@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time analytics over the `events` table: tumbling, sliding and
+  * session windows (batch form of the Structured Streaming operators — the
+  * streaming variants with watermarks live in [[graft.streaming.StreamingDemo]]),
+  * plus the scalar-function surface exercised on event data (JSON props,
+  * timestamp parts, conditional buckets).
+  *
+  * Scale notes: window assignment is a pure projection (no shuffle);
+  * the only exchange is the final hash aggregation on (window, key), which
+  * is map-side combined. Session windows use Spark's native
+  * `session_window`, which plans gap-merging inside the aggregation —
+  * no self-join, no driver-side state.
+  */
+object Events {
+
+  val queries: Map[String, Q] = Map(
+    // ---- tumbling 1-hour windows per event type
+    "events_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("value")).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // ---- sliding windows: 2-hour length, 1-hour slide (each event lands
+    // in exactly two windows)
+    "events_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("value")).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"))
+    }),
+
+    // ---- session windows: 30-minute inactivity gap per user
+    "events_session" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sumMoney(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- JSON extraction from the props column + aggregation
+    "events_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- timestamp parts + date_trunc: daily counts
+    "events_daily" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"),
+          dayofmonth(col("ts")).as("dom"),
+          hour(col("ts")).as("hr"), col("value"))
+        .groupBy(col("day"), col("dom"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("hr")).as("n_active_hours"),
+          sumMoney(col("value")).as("sum_value"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- conditional buckets (CASE WHEN) + math functions over value
+    "events_buckets" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          when(col("value") < 50.0, "low")
+            .when(col("value") < 150.0, "mid")
+            .otherwise("high").as("bucket"),
+          round(sqrt(dec2(col("value")).cast("double")), 6).as("sqrt_v"),
+          floor(col("value")).cast("long").as("floor_v"),
+          pmod(col("event_id"), lit(7)).as("ev_mod"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("floor_v")).as("sum_floor"),
+          max(col("ev_mod")).as("max_mod"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- year/month rollup over the orders date column
+    "orders_by_month" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // ---- string-function surface over part names
+    "part_strings" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events
+      GROUP BY wstart, event_type
+      ORDER BY wstart, event_type""",
+
+    "events_sliding" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour' AS wstart,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events CROSS JOIN (VALUES (0), (1)) off(o)
+      GROUP BY wstart
+      ORDER BY wstart""",
+
+    "events_session" -> """
+      WITH ordered AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL '30 minutes' OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_id
+        FROM ordered)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""",
+
+    "events_json" -> """
+      SELECT event_type, count(*) AS n,
+        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "events_daily" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, day(ts) AS dom, count(*) AS n,
+        count(DISTINCT hour(ts)) AS n_active_hours,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day""",
+
+    "events_buckets" -> """
+      SELECT event_type,
+        CASE WHEN value < 50.0 THEN 'low'
+             WHEN value < 150.0 THEN 'mid'
+             ELSE 'high' END AS bucket,
+        count(*) AS n,
+        sum(CAST(floor(value) AS BIGINT)) AS sum_floor,
+        max(event_id % 7) AS max_mod
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket""",
+
+    "orders_by_month" -> """
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY yr, mo""",
+
+    "part_strings" -> """
+      SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        length(p_name) AS name_len, substring(p_name, 1, 8) AS name_pfx,
+        p_brand || '|' || p_type AS brand_type,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        translate(p_type, 'AEIOU', 'aeiou') AS type_tr
+      FROM part
+      ORDER BY p_partkey"""
+  )
+}

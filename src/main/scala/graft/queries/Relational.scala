@@ -1,0 +1,424 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: scans, filters, projections, every join shape, the
+  * aggregate suite, grouping sets, set operations, sorts and top-k.
+  *
+  * Generalizes the reference's single pipeline (scan → flatMap → partial agg
+  * → shuffle → final agg → top-N; `/root/reference/master.cc:856-880`) to the
+  * full relational surface. All plans are declarative DataFrame ops, so
+  * Catalyst inserts partial aggregation (the reference's `sorttask` combiner,
+  * `/root/reference/slave.cc:155-203`) and hash-partitioned exchanges (the
+  * reference's letter-range shuffle, `/root/reference/master.cc:479-512`)
+  * automatically.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (region/nation/customer/supplier/part) are explicitly
+  *    `broadcast()` — no shuffle of the fact table for small dims;
+  *  - fact-fact joins (lineitem ⋈ orders) are equi-joins on the natural key
+  *    → sort-merge/shuffled-hash with AQE free to pick, both sides
+  *    partitioned by the join key only once;
+  *  - every aggregate is map-side combinable (sum/count/min/max of decimals).
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // ---- TPC-H Q1-style pricing summary: scan → filter → partial+final agg
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sum(decN(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          sum(decN(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6))
+            .cast(DecimalType(18, 6)).as("sum_charge"),
+          avgMoney(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- filter + projection (predicate pushed to parquet, columns pruned)
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-07-01").cast("timestamp") &&
+          col("l_discount") >= lit(0.05) && col("l_quantity") < lit(10.0))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec2(col("l_quantity")).as("qty"),
+          dec2(col("l_extendedprice")).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- global top-k without total sort (TakeOrderedAndProject — same
+    // bounded-heap algorithm as the reference's top-N, master.cc:602-648)
+    "q03_topn_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec2(col("o_totalprice")).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey").asc)
+        .limit(25)
+    }),
+
+    // ---- broadcast hash join: fact ⋈ small dim, no fact shuffle for the join
+    "q04_join_broadcast" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- multiway join: fact-fact sort-merge + broadcast dim chain
+    // (TPC-H Q5 shape: revenue per nation within one region)
+    "q05_join_multiway" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(decN(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .cast(DecimalType(18, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- left-semi join (EXISTS): customers that placed an urgent order
+    "q06_join_semi" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- left-anti join (NOT EXISTS): customers with no urgent order
+    "q07_join_anti" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- left-outer join with empty-group null handling
+    "q08_join_outer" -> ((s, d) => {
+      val partial = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "P")
+      Tables.customer(s, d)
+        .join(partial, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_partial"),
+          coalesce(sumMoney(col("o_totalprice")), lit(0).cast(DecimalType(18, 2)))
+            .as("partial_revenue"))
+        .filter(col("n_partial") >= 2)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- distinct aggregation (expands to two-phase agg under the hood)
+    "q09_agg_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- aggregate suite: min/max/deterministic avg over exact decimals
+    "q10_agg_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(dec2(col("o_totalprice"))).as("min_price"),
+          max(dec2(col("o_totalprice"))).as("max_price"),
+          avgMoney(col("o_totalprice")).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- rollup: hierarchical subtotals + grand total
+    "q11_agg_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- cube: all grouping-set combinations
+    "q12_agg_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sumMoney(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- explicit grouping sets (via SQL — exact set, no extra combos)
+    "q13_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               count(*) AS n
+        FROM graft_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // ---- set operations: UNION (set), INTERSECT, EXCEPT
+    "q14_set_union" -> ((s, d) => {
+      val a = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      a.union(b).distinct().orderBy(col("c_custkey"))
+    }),
+    "q15_set_intersect" -> ((s, d) => {
+      val a = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      a.intersect(b).orderBy(col("c_custkey"))
+    }),
+    "q16_set_except" -> ((s, d) => {
+      val a = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      a.except(b).orderBy(col("c_custkey"))
+    }),
+
+    // ---- window: per-group top-k via row_number (no global sort)
+    "q17_window_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          dec2(col("o_totalprice")).as("price"))
+        .filter(col("o_custkey") <= 200)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- window: lag/lead + rank over event-time order
+    "q18_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec2(col("o_totalprice")).as("price"),
+          lag(dec2(col("o_totalprice")), 1).over(w).as("prev_price"),
+          lead(dec2(col("o_totalprice")), 1).over(w).as("next_price"),
+          rank().over(w).as("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // ---- window: running (prefix) sum with explicit frame
+    "q19_window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(dec2(col("l_quantity"))).over(w)
+            .cast(DecimalType(18, 2)).as("running_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber,
+        CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2001-07-01 00:00:00'
+        AND l_discount >= 0.05 AND l_quantity < 10.0
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_topn_orders" -> """
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      ORDER BY price DESC, o_orderkey ASC
+      LIMIT 25""",
+
+    "q04_join_broadcast" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q05_join_multiway" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q06_join_semi" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q07_join_anti" -> """
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q08_join_outer" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_partial,
+        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)),
+                 CAST(0 AS DECIMAL(18,2))) AS partial_revenue
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus = 'P'
+      GROUP BY c_custkey
+      HAVING count(o_orderkey) >= 2
+      ORDER BY c_custkey""",
+
+    "q09_agg_distinct" -> """
+      SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items
+      FROM lineitem
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey""",
+
+    "q10_agg_stats" -> """
+      SELECT o_orderpriority,
+        min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+        max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q11_agg_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q12_agg_cube" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        count(*) AS n
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q13_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q14_set_union" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000.0
+      ORDER BY c_custkey""",
+
+    "q15_set_intersect" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+      ORDER BY c_custkey""",
+
+    "q16_set_except" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+      ORDER BY c_custkey""",
+
+    "q17_window_topk_per_group" -> """
+      SELECT o_custkey, rn, o_orderkey, price FROM (
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+      WHERE rn <= 2 AND o_custkey <= 200
+      ORDER BY o_custkey, rn""",
+
+    "q18_window_lag" -> """
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+        lead(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price,
+        rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rnk
+      FROM orders
+      WHERE o_custkey <= 100
+      ORDER BY o_custkey, rnk""",
+
+    "q19_window_running_sum" -> """
+      SELECT l_orderkey, l_linenumber,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+      FROM lineitem
+      WHERE l_orderkey <= 2000
+      ORDER BY l_orderkey, l_linenumber"""
+  )
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` corpus.
+  *
+  * `wordcount_topn` is the flagship: it reproduces the reference's entire
+  * observable query — scan → tokenize (maximal alpha runs,
+  * `/root/reference/slave.cc:77-98`) → count-by-word
+  * (`/root/reference/slave.cc:101-152`) → global top-N by count
+  * (`/root/reference/master.cc:585-669`) — as one declarative plan. Catalyst
+  * plans it as scan → Generate(explode) → partial agg → shuffle → final agg
+  * → TakeOrderedAndProject: stage-for-stage the reference pipeline, with the
+  * same bounded-heap top-k algorithm in `TakeOrderedAndProjectExec`.
+  *
+  * The rest are the training-data-pipeline text operators: token counting,
+  * quality scoring, a deterministic language-ID heuristic, and document
+  * fingerprinting. Everything is built from codegen'd built-in functions —
+  * no UDFs in the hot path — and aggregates are map-side combinable.
+  */
+object TextOps {
+
+  /** Flagship word-count + top-N as a reusable plan. */
+  def wordcountTopN(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(n)
+
+  val queries: Map[String, Q] = Map(
+    // ---- the reference's query: word count + global top-N
+    "wordcount_topn" -> ((s, d) => wordcountTopN(s, d, 20)),
+
+    // ---- full word count (no limit): complete agg output, totally ordered
+    "wordcount_full" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word"))
+    }),
+
+    // ---- token counting: whitespace tokens + BPE-ish subword pieces
+    // (alpha runs / digit runs / single punctuation, the GPT-2 pre-tokenizer
+    // family) + distinct words, per document
+    "text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+            .as("n_bpe_tokens"),
+          size(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
+            w => length(w) > 0))).as("n_distinct_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality scoring: length, alpha ratio, stopword ratio, mean word len
+    "text_quality" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("n_words", size(words))
+        .withColumn("n_stop", size(filter(words,
+          w => w === "the" || w === "a" || w === "of")))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+            / col("n_chars"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_words"))
+        .withColumn("mean_word_len",
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+            / col("n_words"))
+        .withColumn("quality",
+          when(col("n_words") >= 20 && col("stop_ratio") < 0.4, 1.0)
+            .otherwise(0.0))
+        .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_stop"),
+          col("alpha_ratio"), col("stop_ratio"), col("mean_word_len"),
+          col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- language-ID heuristic: deterministic n-gram/stopword scoring.
+    // Scores each language by marker-token hits; argmax with a fixed
+    // priority tie-break. (The corpus vocabulary is synthetic, so the
+    // markers are drawn from its actual high-frequency tokens per lang.)
+    "text_langid" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)
+      Tables.documents(s, d)
+        .withColumn("ws", words)
+        .withColumn("score_en", size(filter(col("ws"),
+          w => w === "the" || w === "a")))
+        .withColumn("score_zh", size(filter(col("ws"),
+          w => w === "shu" || w === "ju")))
+        .withColumn("vowel_ratio",
+          length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+            .cast("double") / length(col("text")))
+        .withColumn("lang_guess",
+          when(col("score_zh") > col("score_en"), "zh")
+            .when(col("score_en") > 0, "en")
+            .otherwise("und"))
+        .select(col("doc_id"), col("lang").as("lang_label"),
+          col("score_en"), col("score_zh"), col("vowel_ratio"),
+          col("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- document fingerprinting: md5 + sha256 over normalized text
+    "text_fingerprint" -> ((s, d) => {
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(norm.cast("binary")).as("fp_md5"),
+          sha2(norm.cast("binary"), 256).as("fp_sha256"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus-level bigram statistics (n-gram generation via zip_with —
+    // no shuffle until the final count-by-bigram)
+    "text_bigrams_top" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)
+      Tables.documents(s, d)
+        .select(explode(zip_with(
+          slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+          slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(30)
+    })
+  )
+
+  private val wcOracle = (n: Int) => s"""
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word ASC
+    LIMIT $n"""
+
+  val oracles: Map[String, String] = Map(
+    "wordcount_topn" -> wcOracle(20),
+
+    "wordcount_full" -> """
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents) t
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY word""",
+
+    "text_tokens" -> """
+      SELECT doc_id,
+        len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          w -> len(w) > 0))) AS n_distinct_words
+      FROM documents
+      ORDER BY doc_id""",
+
+    "text_quality" -> """
+      SELECT doc_id, n_chars, n_words, n_stop,
+        CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+        CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        CAST(n_alpha AS DOUBLE) / n_words AS mean_word_len,
+        CAST(CASE WHEN n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words < 0.4
+             THEN 1.0 ELSE 0.0 END AS DOUBLE) AS quality
+      FROM (
+        SELECT doc_id, length(text) AS n_chars,
+          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+            w -> len(w) > 0)) AS n_words,
+          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+            w -> w = 'the' OR w = 'a' OR w = 'of')) AS n_stop,
+          length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+        FROM documents) t
+      ORDER BY doc_id""",
+
+    "text_langid" -> """
+      SELECT doc_id, lang AS lang_label, score_en, score_zh,
+        CAST(n_vowel AS DOUBLE) / length(text) AS vowel_ratio,
+        CASE WHEN score_zh > score_en THEN 'zh'
+             WHEN score_en > 0 THEN 'en'
+             ELSE 'und' END AS lang_guess
+      FROM (
+        SELECT doc_id, lang, text,
+          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+            w -> w = 'the' OR w = 'a')) AS score_en,
+          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+            w -> w = 'shu' OR w = 'ju')) AS score_zh,
+          length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowel
+        FROM documents) t
+      ORDER BY doc_id""",
+
+    "text_fingerprint" -> """
+      SELECT doc_id,
+        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+        sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_sha256
+      FROM documents
+      ORDER BY doc_id""",
+
+    "text_bigrams_top" -> """
+      SELECT bigram, count(*) AS cnt FROM (
+        SELECT w[i] || ' ' || w[i+1] AS bigram
+        FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                x -> len(x) > 0) AS w FROM documents) t,
+             unnest(range(1, len(w))) u(i)
+      ) b
+      GROUP BY bigram
+      ORDER BY cnt DESC, bigram ASC
+      LIMIT 30"""
+  )
+}
