@@ -23,9 +23,13 @@ object Tables {
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read nanos as raw longs and truncate to
     * microseconds (integer `div` — exact, no double rounding), matching how
-    * DuckDB's scanner coerces TIMESTAMP_NS → TIMESTAMP for the oracle. */
+    * DuckDB's scanner coerces TIMESTAMP_NS → TIMESTAMP for the oracle.
+    * `spark.sql.legacy.parquet.nanosAsLong` is set at session-build time by
+    * Verify/Bench/tests; the guard below only covers ad-hoc sessions without
+    * mutating already-configured ones. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

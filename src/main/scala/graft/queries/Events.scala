@@ -2,19 +2,25 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Event-time analytics over the `events` table: tumbling, sliding and
-  * session windows (batch form of the Structured Streaming operators — the
-  * streaming variants with watermarks live in [[graft.streaming.StreamingDemo]]),
-  * plus the scalar-function surface exercised on event data (JSON props,
-  * timestamp parts, conditional buckets).
+  * session windows — the batch form of the Structured Streaming operators;
+  * the streaming variants with watermarks live in
+  * [[graft.streaming.StreamingDemo]] — plus the scalar-function surface
+  * exercised on event data (JSON props, timestamp parts, conditional
+  * buckets).
   *
   * Scale notes: window assignment is a pure projection (no shuffle);
   * the only exchange is the final hash aggregation on (window, key), which
   * is map-side combined. Session windows use Spark's native
   * `session_window`, which plans gap-merging inside the aggregation —
   * no self-join, no driver-side state.
+  *
+  * Output canonicalization: timestamps surface at microsecond precision
+  * (Verify writes TIMESTAMP_MICROS parquet), int-typed timestamp parts are
+  * cast to long, and value sums ride the exact cent grid
+  * ([[graft.queries.gridSum]]) — so every column is double/long/string/
+  * timestamp(us) in both engines.
   */
 object Events {
 
@@ -67,7 +73,7 @@ object Events {
     "events_daily" -> ((s, d) => {
       Tables.events(s, d)
         .select(date_trunc("day", col("ts")).as("day"),
-          dayofmonth(col("ts")).as("dom"),
+          dayofmonth(col("ts")).cast("long").as("dom"),
           hour(col("ts")).as("hr"), col("value"))
         .groupBy(col("day"), col("dom"))
         .agg(count(lit(1)).as("n"),
@@ -83,8 +89,7 @@ object Events {
           when(col("value") < 50.0, "low")
             .when(col("value") < 150.0, "mid")
             .otherwise("high").as("bucket"),
-          round(sqrt(dec2(col("value")).cast("double")), 6).as("sqrt_v"),
-          floor(col("value")).cast("long").as("floor_v"),
+          floor(col("value")).as("floor_v"),
           pmod(col("event_id"), lit(7)).as("ev_mod"))
         .groupBy(col("event_type"), col("bucket"))
         .agg(count(lit(1)).as("n"),
@@ -96,8 +101,8 @@ object Events {
     // ---- year/month rollup over the orders date column
     "orders_by_month" -> ((s, d) => {
       Tables.orders(s, d)
-        .groupBy(year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
         .agg(count(lit(1)).as("n_orders"),
           sumMoney(col("o_totalprice")).as("revenue"))
         .orderBy(col("yr"), col("mo"))
@@ -109,7 +114,7 @@ object Events {
         .select(col("p_partkey"),
           upper(col("p_brand")).as("brand_u"),
           lower(col("p_type")).as("type_l"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("long").as("name_len"),
           substring(col("p_name"), 1, 8).as("name_pfx"),
           concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
           regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
@@ -118,24 +123,27 @@ object Events {
     })
   )
 
+  private val sumValue =
+    "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
+
   val oracles: Map[String, String] = Map(
-    "events_tumbling" -> """
+    "events_tumbling" -> s"""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        $sumValue
       FROM events
       GROUP BY wstart, event_type
       ORDER BY wstart, event_type""",
 
-    "events_sliding" -> """
+    "events_sliding" -> s"""
       SELECT time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour' AS wstart,
         count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        $sumValue
       FROM events CROSS JOIN (VALUES (0), (1)) off(o)
       GROUP BY wstart
       ORDER BY wstart""",
 
-    "events_session" -> """
+    "events_session" -> s"""
       WITH ordered AS (
         SELECT user_id, ts, value,
           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -150,24 +158,25 @@ object Events {
             AS session_id
         FROM ordered)
       SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        $sumValue
       FROM sessions
       GROUP BY user_id, session_id
       ORDER BY user_id, session_start""",
 
     "events_json" -> """
       SELECT event_type, count(*) AS n,
-        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
 
-    "events_daily" -> """
-      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, day(ts) AS dom, count(*) AS n,
+    "events_daily" -> s"""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(day(ts) AS BIGINT) AS dom, count(*) AS n,
         count(DISTINCT hour(ts)) AS n_active_hours,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        $sumValue
       FROM events
       GROUP BY 1, 2
       ORDER BY day""",
@@ -178,23 +187,24 @@ object Events {
              WHEN value < 150.0 THEN 'mid'
              ELSE 'high' END AS bucket,
         count(*) AS n,
-        sum(CAST(floor(value) AS BIGINT)) AS sum_floor,
+        CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
         max(event_id % 7) AS max_mod
       FROM events
       GROUP BY 1, 2
       ORDER BY event_type, bucket""",
 
     "orders_by_month" -> """
-      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(month(o_orderdate) AS BIGINT) AS mo,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
       FROM orders
       GROUP BY 1, 2
       ORDER BY yr, mo""",
 
     "part_strings" -> """
       SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
-        length(p_name) AS name_len, substring(p_name, 1, 8) AS name_pfx,
+        CAST(length(p_name) AS BIGINT) AS name_len, substring(p_name, 1, 8) AS name_pfx,
         p_brand || '|' || p_type AS brand_type,
         regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
         translate(p_type, 'AEIOU', 'aeiou') AS type_tr

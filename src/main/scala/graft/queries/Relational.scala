@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Relational core: scans, filters, projections, every join shape, the
   * aggregate suite, grouping sets, set operations, sorts and top-k.
@@ -23,7 +22,10 @@ import org.apache.spark.sql.types.DecimalType
   *  - fact-fact joins (lineitem ⋈ orders) are equi-joins on the natural key
   *    → sort-merge/shuffled-hash with AQE free to pick, both sides
   *    partitioned by the join key only once;
-  *  - every aggregate is map-side combinable (sum/count/min/max of decimals).
+  *  - every aggregate is map-side combinable (integer grid sums / count /
+  *    min / max — see [[graft.queries.gridSum]]);
+  *  - grid sums are carried in decimal(38,0), so 10^12-row sums cannot
+  *    silently overflow a long.
   */
 object Relational {
 
@@ -34,27 +36,27 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+          sumMoney(col("l_quantity")).as("sum_qty"),
           sumMoney(col("l_extendedprice")).as("sum_base_price"),
-          sum(decN(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-            .cast(DecimalType(18, 4)).as("sum_disc_price"),
-          sum(decN(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")), 6))
-            .cast(DecimalType(18, 6)).as("sum_charge"),
+          gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+            10000.0).as("sum_disc_price"),
+          gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 1000000.0).as("sum_charge"),
           avgMoney(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // ---- filter + projection (predicate pushed to parquet, columns pruned)
+    // ---- filter + projection (predicate pushed to parquet, columns pruned;
+    // projected measures are the raw source doubles — bit-identical by scan)
     "q02_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp") &&
           col("l_shipdate") < lit("2001-07-01").cast("timestamp") &&
           col("l_discount") >= lit(0.05) && col("l_quantity") < lit(10.0))
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec2(col("l_quantity")).as("qty"),
-          dec2(col("l_extendedprice")).as("price"))
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -63,7 +65,7 @@ object Relational {
     "q03_topn_orders" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
-          dec2(col("o_totalprice")).as("price"))
+          col("o_totalprice").as("price"))
         .orderBy(col("price").desc, col("o_orderkey").asc)
         .limit(25)
     }),
@@ -92,8 +94,8 @@ object Relational {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(decN(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-          .cast(DecimalType(18, 4)).as("revenue"),
+        .agg(gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          10000.0).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -130,7 +132,7 @@ object Relational {
         .join(partial, col("c_custkey") === col("o_custkey"), "left_outer")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_partial"),
-          coalesce(sumMoney(col("o_totalprice")), lit(0).cast(DecimalType(18, 2)))
+          coalesce(sumMoney(col("o_totalprice")), lit(0.0))
             .as("partial_revenue"))
         .filter(col("n_partial") >= 2)
         .orderBy(col("c_custkey"))
@@ -146,13 +148,14 @@ object Relational {
         .orderBy(col("l_suppkey"))
     }),
 
-    // ---- aggregate suite: min/max/deterministic avg over exact decimals
+    // ---- aggregate suite: raw-double min/max (no arithmetic → bit-exact)
+    // + deterministic grid mean
     "q10_agg_stats" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          min(dec2(col("o_totalprice"))).as("min_price"),
-          max(dec2(col("o_totalprice"))).as("max_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
           avgMoney(col("o_totalprice")).as("avg_price"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
@@ -162,7 +165,7 @@ object Relational {
     "q11_agg_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
@@ -180,12 +183,12 @@ object Relational {
 
     // ---- explicit grouping sets (via SQL — exact set, no extra combos)
     "q13_grouping_sets" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q13_lineitem")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_qty,
                count(*) AS n
-        FROM graft_li_gs
+        FROM graft_q13_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),
@@ -221,10 +224,10 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 2)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-          dec2(col("o_totalprice")).as("price"))
+          col("o_totalprice").as("price"))
         .filter(col("o_custkey") <= 200)
         .orderBy(col("o_custkey"), col("rn"))
     }),
@@ -236,14 +239,15 @@ object Relational {
       Tables.orders(s, d)
         .filter(col("o_custkey") <= 100)
         .select(col("o_custkey"), col("o_orderkey"),
-          dec2(col("o_totalprice")).as("price"),
-          lag(dec2(col("o_totalprice")), 1).over(w).as("prev_price"),
-          lead(dec2(col("o_totalprice")), 1).over(w).as("next_price"),
-          rank().over(w).as("rnk"))
-        .orderBy(col("o_custkey"), col("rnk"))
+          col("o_totalprice").as("price"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          rank().over(w).cast("long").as("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
     }),
 
-    // ---- window: running (prefix) sum with explicit frame
+    // ---- window: running (prefix) sum with explicit frame — summed on the
+    // exact cent grid so the cumulative value is order-exact in both engines
     "q19_window_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"))
@@ -251,8 +255,8 @@ object Relational {
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") <= 2000)
         .select(col("l_orderkey"), col("l_linenumber"),
-          sum(dec2(col("l_quantity"))).over(w)
-            .cast(DecimalType(18, 2)).as("running_qty"))
+          (sum(cents(col("l_quantity"))).over(w).cast("double") / lit(100.0))
+            .as("running_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
@@ -260,11 +264,11 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
         count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -273,8 +277,8 @@ object Relational {
 
     "q02_filter_project" -> """
       SELECT l_orderkey, l_linenumber,
-        CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-        CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        l_quantity AS qty,
+        l_extendedprice AS price
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '2001-07-01 00:00:00'
@@ -282,21 +286,21 @@ object Relational {
       ORDER BY l_orderkey, l_linenumber""",
 
     "q03_topn_orders" -> """
-      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      SELECT o_orderkey, o_custkey, o_totalprice AS price
       FROM orders
       ORDER BY price DESC, o_orderkey ASC
       LIMIT 25""",
 
     "q04_join_broadcast" -> """
       SELECT c_mktsegment, count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
 
     "q05_join_multiway" -> """
       SELECT n_name,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         count(*) AS n_items
       FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -325,8 +329,8 @@ object Relational {
 
     "q08_join_outer" -> """
       SELECT c_custkey, count(o_orderkey) AS n_partial,
-        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)),
-                 CAST(0 AS DECIMAL(18,2))) AS partial_revenue
+        coalesce(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0,
+                 0.0) AS partial_revenue
       FROM customer LEFT JOIN orders
         ON c_custkey = o_custkey AND o_orderstatus = 'P'
       GROUP BY c_custkey
@@ -342,9 +346,9 @@ object Relational {
 
     "q10_agg_stats" -> """
       SELECT o_orderpriority,
-        min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-        max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        min(o_totalprice) AS min_price,
+        max(o_totalprice) AS max_price,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
         count(*) AS n
       FROM orders
       GROUP BY o_orderpriority
@@ -352,7 +356,7 @@ object Relational {
 
     "q11_agg_rollup" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         count(*) AS n
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -360,7 +364,7 @@ object Relational {
 
     "q12_agg_cube" -> """
       SELECT o_orderstatus, o_orderpriority,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
         count(*) AS n
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -368,7 +372,7 @@ object Relational {
 
     "q13_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         count(*) AS n
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -394,29 +398,29 @@ object Relational {
 
     "q17_window_topk_per_group" -> """
       SELECT o_custkey, rn, o_orderkey, price FROM (
-        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-          row_number() OVER (PARTITION BY o_custkey
-                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        SELECT o_custkey, o_orderkey, o_totalprice AS price,
+          CAST(row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
         FROM orders) t
       WHERE rn <= 2 AND o_custkey <= 200
       ORDER BY o_custkey, rn""",
 
     "q18_window_lag" -> """
-      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-        lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+      SELECT o_custkey, o_orderkey, o_totalprice AS price,
+        lag(o_totalprice, 1)
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
-        lead(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+        lead(o_totalprice, 1)
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price,
-        rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rnk
+        CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS rnk
       FROM orders
       WHERE o_custkey <= 100
-      ORDER BY o_custkey, rnk""",
+      ORDER BY o_custkey, rnk, o_orderkey""",
 
     "q19_window_running_sum" -> """
       SELECT l_orderkey, l_linenumber,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
       FROM lineitem
       WHERE l_orderkey <= 2000
       ORDER BY l_orderkey, l_linenumber"""

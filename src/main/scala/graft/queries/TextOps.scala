@@ -52,11 +52,11 @@ object TextOps {
     "text_tokens" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
           regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
-            .as("n_bpe_tokens"),
+            .cast("long").as("n_bpe_tokens"),
           size(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
-            w => length(w) > 0))).as("n_distinct_words"))
+            w => length(w) > 0))).cast("long").as("n_distinct_words"))
         .orderBy(col("doc_id"))
     }),
 
@@ -66,10 +66,10 @@ object TextOps {
         w => length(w) > 0)
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
-        .withColumn("n_chars", length(col("text")))
-        .withColumn("n_words", size(words))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_words", size(words).cast("long"))
         .withColumn("n_stop", size(filter(words,
-          w => w === "the" || w === "a" || w === "of")))
+          w => w === "the" || w === "a" || w === "of")).cast("long"))
         .withColumn("alpha_ratio",
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
             / col("n_chars"))
@@ -97,9 +97,9 @@ object TextOps {
       Tables.documents(s, d)
         .withColumn("ws", words)
         .withColumn("score_en", size(filter(col("ws"),
-          w => w === "the" || w === "a")))
+          w => w === "the" || w === "a")).cast("long"))
         .withColumn("score_zh", size(filter(col("ws"),
-          w => w === "shu" || w === "ju")))
+          w => w === "shu" || w === "ju")).cast("long"))
         .withColumn("vowel_ratio",
           length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
             .cast("double") / length(col("text")))
@@ -124,14 +124,16 @@ object TextOps {
     }),
 
     // ---- corpus-level bigram statistics (n-gram generation via zip_with —
-    // no shuffle until the final count-by-bigram)
+    // no shuffle until the final count-by-bigram). The tokenization is
+    // materialized once per row (`withColumn`) so the regex split isn't
+    // re-evaluated per `slice`/`size` reference across the Generate boundary.
     "text_bigrams_top" -> ((s, d) => {
-      val words = filter(split(lower(col("text")), "[^a-z]+"),
-        w => length(w) > 0)
       Tables.documents(s, d)
+        .withColumn("ws", filter(split(lower(col("text")), "[^a-z]+"),
+          w => length(w) > 0))
         .select(explode(zip_with(
-          slice(words, lit(1), greatest(size(words) - 1, lit(0))),
-          slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
           (a, b) => concat_ws(" ", a, b))).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))

@@ -7,28 +7,45 @@ import org.apache.spark.sql.types.DecimalType
 /** Shared helpers for the query library.
   *
   * Determinism discipline (SURVEY.md §5): every oracle-checked query has a
-  * total row ordering, and every floating-point aggregate goes through an
-  * exact decimal cast *before* the sum so that Spark and the DuckDB oracle
-  * produce bit-identical results regardless of partial-aggregation order.
-  * The source doubles carry at most 2 decimal digits (prices, discounts) so
-  * `cast(decimal(18,s))` recovers the intended exact value; sums of decimals
-  * are exact integers scaled by 10^-s in both engines.
+  * total row ordering, and every final output column is one of
+  * double / long / string / timestamp(micros) — never DecimalType. The
+  * source doubles are arbitrary 64-bit values (NOT 2-decimal-representable
+  * in general), so any double→decimal cast is a genuine rounding whose tie
+  * behavior is engine-specific. Instead, measures are snapped onto an exact
+  * integer grid with pure IEEE-754 arithmetic — `floor(x*scale + 0.5)` —
+  * which multiply/add/floor identically in Spark and DuckDB, summed exactly
+  * as integers (order-insensitive), and surfaced as DOUBLE with the
+  * *identical* expression shape in the oracle SQL.
   */
 package object queries {
   /** A named query: (session, scale-factor dir) => result. */
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact 2-dec decimal view of a source double column (price, qty...). */
-  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Snap a measure double onto the exact 1/scale grid as an integral value.
+    * floor(x*scale + 0.5) uses only IEEE-754 double multiply/add/floor —
+    * bit-identical across engines — and yields an integral double, so the
+    * integer conversion that follows is exact everywhere (no engine-specific
+    * double→int rounding, no double→decimal tie behavior). */
+  def grid(c: Column, scale: Double): Column = floor(c * lit(scale) + lit(0.5))
 
-  /** Exact decimal of a derived product with s decimal digits. */
-  def decN(c: Column, s: Int): Column = c.cast(DecimalType(18, s))
+  /** Money (2-dec) grid in integer cents. */
+  def cents(c: Column): Column = grid(c, 100.0)
 
-  /** Order-insensitive exact sum of a 2-dec money column, fixed out type. */
-  def sumMoney(c: Column): Column = sum(dec2(c)).cast(DecimalType(18, 2))
+  /** Order-insensitive, hash-stable sum of a gridded measure: exact integer
+    * sum carried in decimal(38,0) (no silent long overflow at 100 TB row
+    * counts — the oracle side sums BIGINT into a 128-bit HUGEINT), surfaced
+    * as DOUBLE.  Oracle shape:
+    * `CAST(sum(CAST(floor(x * <scale> + 0.5) AS BIGINT)) AS DOUBLE) / <scale>`. */
+  def gridSum(c: Column, scale: Double): Column =
+    sum(grid(c, scale).cast(DecimalType(38, 0))).cast("double") / lit(scale)
 
-  /** Deterministic mean: exact decimal sum, cast to double, divided by n.
-    * Both engines compute the identical double. */
+  /** 2-dec money sum as DOUBLE. */
+  def sumMoney(c: Column): Column = gridSum(c, 100.0)
+
+  /** Deterministic mean over the cent grid; identical double in both
+    * engines. Oracle shape:
+    * `CAST(sum(CAST(floor(x * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)`. */
   def avgMoney(c: Column): Column =
-    sum(dec2(c)).cast("double") / count(lit(1))
+    sum(cents(c).cast(DecimalType(38, 0))).cast("double") / lit(100.0) /
+      count(lit(1))
 }
