@@ -20,12 +20,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries ++
+      graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.TextOps.oracles ++
-      graft.queries.Events.oracles
+      graft.queries.Events.oracles ++
+      graft.queries.Dedup.oracles ++
+      graft.queries.Similarity.oracles ++
+      graft.queries.Multimodal.oracles
 }

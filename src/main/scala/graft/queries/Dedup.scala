@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` corpus — the LLM-training-
+  * pipeline surface (SURVEY.md §2.12): exact dedup, n-gram-Jaccard near-dup,
+  * MinHash+LSH near-dup, and SimHash.
+  *
+  * Everything is expressed as declarative DataFrame plans over built-in,
+  * codegen'd functions (md5/conv/substring/bit ops) — no UDFs — and every
+  * hash primitive is chosen to be *cross-engine reproducible* so the DuckDB
+  * oracle can replicate the full pipeline bit-for-bit:
+  * `hash60(seed, s) = int(md5(seed || '|' || s)[0,15 hex])` is the same 60-bit
+  * value in Spark (`conv(substring(md5(..),1,15),16,10)`) and DuckDB
+  * (`CAST('0x' || substr(md5(..),1,15) AS BIGINT)`).
+  *
+  * Scale notes (100 TB discipline):
+  *  - exact dedup is one hash-partitioned groupBy on a 128-bit fingerprint —
+  *    the canonical shuffle-once pattern;
+  *  - near-dup candidate generation is *inverted-index* based (explode
+  *    shingles → self-join on shingle) with a document-frequency cap so a
+  *    boilerplate shingle can never produce an O(df²) pair explosion; no
+  *    all-pairs cross join exists anywhere;
+  *  - MinHash-LSH reduces candidates further: 16 permutations banded 4×4,
+  *    so only pairs agreeing on a full band (J ≈ 0.7+) collide;
+  *  - pair verification (exact Jaccard) touches only candidate pairs and is
+  *    two hash joins + one aggregation.
+  */
+object Dedup {
+
+  /** Lower-cased alpha tokens, in document order (duplicates kept). */
+  private def words(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
+
+  /** Distinct 3-word shingles of the token array. */
+  private def shingles(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Cross-engine 60-bit hash: first 15 hex chars of md5(seed || '|' || s). */
+  private def hash60(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), c).cast("binary")), 1, 15),
+      16, 10).cast("long")
+
+  /** Cross-engine 32-bit hash: first 8 hex chars of md5(s). */
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private val NumPerm = 16
+  private val Bands = 4 // 4 bands × 4 rows
+
+  /** (doc_id, shingles) for the corpus. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(words(col("text"))).as("shingles"))
+
+  /** Distinct (doc_id, s) inverted postings. */
+  private def inverted(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+
+  /** Exact-Jaccard verification of candidate (a, b) pairs; returns
+    * (doc_a, doc_b, common, jaccard) for jaccard >= minJ, totally ordered.
+    * Touches only candidate pairs: two hash joins against the postings plus
+    * one count aggregation — never materializes non-candidate pairs. */
+  private def verifyPairs(cand: DataFrame, inv: DataFrame, sh: DataFrame,
+                          minJ: Double): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val common = cand
+      .join(inv.select(col("doc_id").as("a"), col("s")), "a")
+      .join(inv.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: fingerprint-groupBy; output = kept representative +
+    // multiplicity per distinct normalized content
+    "dedup_exact" -> ((s, d) => {
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_doc_id"), col("fp"), col("n_copies"))
+        .orderBy(col("keep_doc_id"))
+    }),
+
+    // ---- n-gram (3-shingle) Jaccard near-dup: inverted-index candidates
+    // (df-capped) + exact-Jaccard verification at J >= 0.6
+    "dedup_neardup_jaccard" -> ((s, d) => {
+      val sh  = docShingles(s, d)
+      val inv = inverted(sh)
+      val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val invCapped = inv.join(dfc.filter(col("df") <= 1000), "s")
+        .select(col("doc_id"), col("s"))
+      val cand = invCapped.select(col("doc_id").as("a"), col("s"))
+        .join(invCapped.select(col("doc_id").as("b"), col("s")), "s")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      verifyPairs(cand, inv, sh, 0.6)
+    }),
+
+    // ---- MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup:
+    // banded candidates + exact-Jaccard verification at J >= 0.7
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh  = docShingles(s, d)
+      val inv = inverted(sh)
+      val sig = inv.groupBy(col("doc_id"))
+        .agg(min(hash60(0, col("s"))).as("m0"),
+          (1 until NumPerm).map(i =>
+            min(hash60(i, col("s"))).as(s"m$i")): _*)
+      val bandCols = (0 until Bands).map { b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws(",", (0 until NumPerm / Bands).map(r =>
+            col(s"m${b * (NumPerm / Bands) + r}").cast("string")): _*)
+            .cast("binary")).as("h"))
+      }
+      val bands = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.h"))
+      val cand = bands.select(col("doc_id").as("a"), col("band_id"), col("h"))
+        .join(bands.select(col("doc_id").as("b"), col("band_id"), col("h")),
+          Seq("band_id", "h"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      verifyPairs(cand, inv, sh, 0.7)
+    }),
+
+    // ---- SimHash: 60-bit signature per document (bitwise majority vote of
+    // token hashes; token multiplicity = weight)
+    "dedup_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .select(col("doc_id"), hash60(99, col("w")).as("h"))
+      val bits = tok
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"))
+          .as("sgn"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("sgn") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+          .cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- SimHash near-dup pairs: 15-bit band blocking (4 bands) + Hamming
+    // distance <= 3. Pigeonhole: <= 3 differing bits leave at least one of
+    // the 4 bands intact, so band blocking loses no qualifying pair. At
+    // larger corpus sizes widen the bands (band bits ~ log2 N + margin) to
+    // keep per-band collision rates — and thus candidate counts — bounded.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .select(col("doc_id"), hash60(99, col("w")).as("h"))
+      val bits = tok
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"))
+          .as("sgn"))
+      val sims = bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("sgn") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+          .cast("long").as("simhash"))
+      val banded = sims.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(simhash, ${15 * b}) & 32767")): _*)))
+        .toDF("doc_id", "simhash", "band_id", "band_val")
+      val cand = banded
+        .select(col("doc_id").as("a"), col("simhash").as("sh_a"),
+          col("band_id"), col("band_val"))
+        .join(banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
+          col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
+      cand
+        .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared oracle CTEs: tokens → shingles → postings (+ sizes). */
+  private val shingleCtes = """
+      w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                          x -> len(x) > 0) AS w
+            FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS shingles
+             FROM w),
+      inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      sz AS (SELECT doc_id, len(shingles) AS n FROM sh)"""
+
+  private def verifySql(minJ: String) = s"""
+      common AS (
+        SELECT c.a, c.b, count(*) AS common
+        FROM cand c
+        JOIN inv ia ON ia.doc_id = c.a
+        JOIN inv ib ON ib.doc_id = c.b AND ib.s = ia.s
+        GROUP BY c.a, c.b)
+      SELECT c.a AS doc_a, c.b AS doc_b, CAST(c.common AS BIGINT) AS common,
+        c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard
+      FROM common c
+      JOIN sz sa ON sa.doc_id = c.a
+      JOIN sz sb ON sb.doc_id = c.b
+      WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= $minJ
+      ORDER BY doc_a, doc_b"""
+
+  private val minhashSigSql = {
+    val mins = (0 until NumPerm).map(i =>
+      s"min(CAST(('0x' || substr(md5($i || '|' || s), 1, 15)) AS BIGINT)) AS m$i")
+      .mkString(",\n               ")
+    s"""sig AS (SELECT doc_id,
+               $mins
+             FROM inv GROUP BY doc_id)"""
+  }
+
+  private val minhashBandsSql = (0 until Bands).map { b =>
+    val cols = (0 until NumPerm / Bands)
+      .map(r => s"m${b * (NumPerm / Bands) + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws(',', $cols)) AS h FROM sig"
+  }.mkString("\n        UNION ALL ")
+
+  private val simhashCtes = """
+      w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                          x -> len(x) > 0) AS w
+            FROM documents),
+      tok AS (SELECT doc_id,
+                CAST(('0x' || substr(md5('99|' || t.t), 1, 15)) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(w) AS t FROM w) t),
+      bits AS (SELECT doc_id, r.range AS j,
+                 sum(CASE WHEN (h >> CAST(r.range AS INT)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS sgn
+               FROM tok CROSS JOIN range(0, 60) r
+               GROUP BY doc_id, r.range),
+      sims AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN sgn > 0
+                               THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                               ELSE 0 END) AS BIGINT) AS simhash
+               FROM bits GROUP BY doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT min(doc_id) AS keep_doc_id,
+        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        count(*) AS n_copies
+      FROM documents
+      GROUP BY fp
+      ORDER BY keep_doc_id""",
+
+    "dedup_neardup_jaccard" -> s"""
+      WITH $shingleCtes,
+      df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+      invc AS (SELECT inv.doc_id, inv.s FROM inv
+               JOIN df ON df.s = inv.s WHERE df.df <= 1000),
+      cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id),
+      ${verifySql("0.6")}""",
+
+    "dedup_minhash_lsh" -> s"""
+      WITH $shingleCtes,
+      $minhashSigSql,
+      bands AS (
+        $minhashBandsSql),
+      cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM bands a
+               JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
+                           AND a.doc_id < b.doc_id),
+      ${verifySql("0.7")}""",
+
+    "dedup_simhash" -> s"""
+      WITH $simhashCtes
+      SELECT doc_id, simhash FROM sims ORDER BY doc_id""",
+
+    "dedup_simhash_pairs" -> s"""
+      WITH $simhashCtes,
+      banded AS (SELECT doc_id, simhash, r.range AS band_id,
+                   (simhash >> CAST(15 * r.range AS INT)) & 32767 AS band_val
+                 FROM sims CROSS JOIN range(0, 4) r),
+      cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+               FROM banded a
+               JOIN banded b ON a.band_id = b.band_id
+                            AND a.band_val = b.band_val
+                            AND a.doc_id < b.doc_id)
+      SELECT a AS doc_a, b AS doc_b,
+        CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      ORDER BY doc_a, doc_b"""
+  )
+}
