@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++
+      graft.operators.MapReduce.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Events.oracles ++
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
-      graft.queries.Multimodal.oracles
+      graft.queries.Multimodal.oracles ++
+      graft.operators.MapReduce.oracles
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks of the dedup family on a controlled corpus: known
+  * duplicates are found, non-duplicates are not, and exact dedup is
+  * idempotent. The corpus is written as a documents.parquet under a temp
+  * sfDir so the queries run exactly as the driver runs them. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the cat watches the bird in the tall green tree today"
+    val docs = Seq(
+      (0L, base, "en", "web", base.length.toLong),
+      (1L, base, "en", "web", base.length.toLong), // exact dup of 0
+      (2L, base.replace("today", "tonight"), "en", "web", 0L), // near-dup of 0
+      (3L, "completely different content about spark engines and whales " +
+        "swimming through oceans of data at scale", "en", "web", 0L),
+      (4L, "short text", "en", "web", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups byte-identical docs and keeps the min id") {
+    val out = graft.queries.Dedup.queries("dedup_exact")(spark, dir).collect()
+    assert(out.length === 4) // 5 docs, one exact-dup pair
+    val grp = out.find(_.getLong(2) === 2L).get
+    assert(grp.getLong(0) === 0L) // representative = min doc_id
+  }
+
+  test("exact dedup is idempotent") {
+    import spark.implicits._
+    val once = graft.queries.Dedup.queries("dedup_exact")(spark, dir)
+    // dedup of the deduped corpus: every group has exactly one member
+    val d2 = Files.createTempDirectory("graft-dedup2").toString
+    Tables.documents(spark, dir)
+      .join(once.select(col("keep_doc_id").as("doc_id")), "doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val twice = graft.queries.Dedup.queries("dedup_exact")(spark, d2)
+    assert(twice.filter(col("n_copies") > 1).count() === 0L)
+    assert(twice.count() === once.count())
+  }
+
+  test("jaccard near-dup finds the near pair and not the unrelated docs") {
+    val pairs = graft.queries.Dedup.queries("dedup_neardup_jaccard")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dups have J=1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash-LSH finds the same high-similarity pairs") {
+    val pairs = graft.queries.Dedup.queries("dedup_minhash_lsh")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical docs is identical; hamming pairs include dups") {
+    val sims = graft.queries.Dedup.queries("dedup_simhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sims(0L) === sims(1L))
+    val pairs = graft.queries.Dedup.queries("dedup_simhash_pairs")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+}

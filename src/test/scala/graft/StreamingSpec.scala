@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.{StreamEvent, StreamingDemo}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming surface: windowed counts with a watermark, and the
+  * mapGroupsWithState custom-state operator, driven by MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked tumbling window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamEvent(ts(1, 5), "click", 1.0),
+        StreamEvent(ts(1, 20), "click", 2.0),
+        StreamEvent(ts(1, 30), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark past 02:10 so the 01:00 window closes
+      in.addData(StreamEvent(ts(3, 0), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((ts(1, 0), "click", 2L), (ts(1, 0), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running counts accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.runningCounts(in.toDS())
+      .toDF("event_type", "total")
+      .writeStream.format("memory").queryName("rc_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(StreamEvent(ts(1, 0), "click", 1.0),
+        StreamEvent(ts(1, 1), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(ts(1, 2), "click", 1.0),
+        StreamEvent(ts(1, 3), "view", 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("rc_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(latest === Map("click" -> 3L, "view" -> 1L))
+    } finally q.stop()
+  }
+}
