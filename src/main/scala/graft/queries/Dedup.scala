@@ -34,13 +34,20 @@ object Dedup {
   private def words(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
 
-  /** Distinct 3-word shingles of the token array. */
-  private def shingles(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct 3-word shingles of a *materialized* token-array column.
+    * Built from `slice`+`zip_with` rather than `element_at` inside a
+    * lambda: a lambda body that references the outer array column defeats
+    * the optimizer's common-subexpression guard, so the upstream
+    * tokenization would be re-evaluated per element (measured 20×
+    * slower). Slices reference the array only outside lambdas. */
+  private def shingles(ws: Column): Column = {
+    val n = greatest(size(ws) - 2, lit(0))
+    array_distinct(zip_with(
+      zip_with(slice(ws, lit(1), n), slice(ws, lit(2), n),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(ws, lit(3), n),
+      (ab, c) => concat_ws(" ", ab, c)))
+  }
 
   /** Cross-engine 60-bit hash: first 15 hex chars of md5(seed || '|' || s). */
   private def hash60(seed: Int, c: Column): Column =
@@ -54,10 +61,12 @@ object Dedup {
   private val NumPerm = 16
   private val Bands = 4 // 4 bands × 4 rows
 
-  /** (doc_id, shingles) for the corpus. */
+  /** (doc_id, shingles) for the corpus; tokenization is staged into its own
+    * projection so it is evaluated once per document. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles(words(col("text"))).as("shingles"))
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), shingles(col("ws")).as("shingles"))
 
   /** Distinct (doc_id, s) inverted postings. */
   private def inverted(sh: DataFrame): DataFrame =
@@ -99,30 +108,50 @@ object Dedup {
         .orderBy(col("keep_doc_id"))
     }),
 
-    // ---- n-gram (3-shingle) Jaccard near-dup: inverted-index candidates
-    // (df-capped) + exact-Jaccard verification at J >= 0.6
+    // ---- n-gram (3-shingle) Jaccard near-dup: inverted-index pair
+    // generation (df-capped) with the intersection size counted directly in
+    // the self-join's aggregation — one shuffle join + one groupBy, never a
+    // candidates×postings re-join
     "dedup_neardup_jaccard" -> ((s, d) => {
       val sh  = docShingles(s, d)
       val inv = inverted(sh)
       val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val invCapped = inv.join(dfc.filter(col("df") <= 1000), "s")
         .select(col("doc_id"), col("s"))
-      val cand = invCapped.select(col("doc_id").as("a"), col("s"))
+      val common = invCapped.select(col("doc_id").as("a"), col("s"))
         .join(invCapped.select(col("doc_id").as("b"), col("s")), "s")
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      verifyPairs(cand, inv, sh, 0.6)
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      common
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("jaccard",
+          col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
+          col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // ---- MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup:
-    // banded candidates + exact-Jaccard verification at J >= 0.7
+    // banded candidates + exact-Jaccard verification at J >= 0.7.
+    // Permutations are the classic linear family h_i = h1 + i*h2 over ONE
+    // md5 per posting (h1: 60 bits, h2: 32 bits → no 64-bit overflow),
+    // so signature cost is one hash per posting, not NumPerm hashes.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh  = docShingles(s, d)
       val inv = inverted(sh)
-      val sig = inv.groupBy(col("doc_id"))
-        .agg(min(hash60(0, col("s"))).as("m0"),
+      val hashed = inv.select(col("doc_id"),
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h1"),
+        conv(substring(md5(col("s").cast("binary")), 16, 8), 16, 10)
+          .cast("long").as("h2"))
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(min(col("h1") + lit(0) * col("h2")).as("m0"),
           (1 until NumPerm).map(i =>
-            min(hash60(i, col("s"))).as(s"m$i")): _*)
+            min(col("h1") + lit(i) * col("h2")).as(s"m$i")): _*)
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws(",", (0 until NumPerm / Bands).map(r =>
@@ -228,12 +257,15 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
 
   private val minhashSigSql = {
-    val mins = (0 until NumPerm).map(i =>
-      s"min(CAST(('0x' || substr(md5($i || '|' || s), 1, 15)) AS BIGINT)) AS m$i")
+    val mins = (0 until NumPerm).map(i => s"min(h1 + $i * h2) AS m$i")
       .mkString(",\n               ")
-    s"""sig AS (SELECT doc_id,
+    s"""hs AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT) AS h2
+             FROM inv),
+      sig AS (SELECT doc_id,
                $mins
-             FROM inv GROUP BY doc_id)"""
+             FROM hs GROUP BY doc_id)"""
   }
 
   private val minhashBandsSql = (0 until Bands).map { b =>
@@ -275,9 +307,16 @@ object Dedup {
       df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
       invc AS (SELECT inv.doc_id, inv.s FROM inv
                JOIN df ON df.s = inv.s WHERE df.df <= 1000),
-      cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-               FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id),
-      ${verifySql("0.6")}""",
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                 FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+      SELECT c.a AS doc_a, c.b AS doc_b, CAST(c.common AS BIGINT) AS common,
+        c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard
+      FROM common c
+      JOIN sz sa ON sa.doc_id = c.a
+      JOIN sz sb ON sb.doc_id = c.b
+      WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6
+      ORDER BY doc_a, doc_b""",
 
     "dedup_minhash_lsh" -> s"""
       WITH $shingleCtes,

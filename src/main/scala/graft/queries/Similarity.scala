@@ -37,10 +37,15 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
 
-  /** Brute-force top-k: all corpus vectors scored against each query. */
+  /** Brute-force top-k: all corpus vectors scored against each query.
+    * Norms are precomputed per side so the per-pair work is a single dot
+    * product rather than three array folds. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val c = corpus.withColumn("cnorm", sqrt(dotd(col("embedding"), col("embedding"))))
+    val q = queries.withColumn("qnorm", sqrt(dotd(col("qe"), col("qe"))))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos",
+        dotd(col("qe"), col("embedding")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored
@@ -65,13 +70,16 @@ object Similarity {
     "sim_nn_per_label" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val a = emb.select(col("label"), col("vec_id"), col("embedding"))
+        .withColumn("anorm", sqrt(dotd(col("embedding"), col("embedding"))))
       val b = emb.select(col("label"), col("vec_id").as("nn_vec_id"),
         col("embedding").as("nn_e"))
+        .withColumn("bnorm", sqrt(dotd(col("nn_e"), col("nn_e"))))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("nn_vec_id").asc)
       a.join(b, "label")
         .filter(col("vec_id") =!= col("nn_vec_id"))
-        .withColumn("cos", cosine(col("embedding"), col("nn_e")))
+        .withColumn("cos",
+          dotd(col("embedding"), col("nn_e")) / (col("anorm") * col("bnorm")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("label").cast("long").as("label"), col("vec_id"),
