@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension wiring for the engine's native functions: build a
+  * session with `.withExtensions(new GraftExtensions)` or set
+  * `spark.sql.extensions=graft.GraftExtensions`. Query functions also
+  * self-register idempotently ([[graft.functions.GraftFunctions
+  * .ensureRegistered]]) so they work on externally built sessions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(graft.functions.GraftFunctions.dotInfo)
+  }
+}

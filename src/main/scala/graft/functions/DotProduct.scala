@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: left-to-right double-precision dot product
+  * of two `array<float>` columns.
+  *
+  * The built-in route (`aggregate(zip_with(...))`) is a higher-order
+  * function, which Spark evaluates interpreted — lambda-variable binding
+  * per element. For 64-dim embeddings scored millions of times in a
+  * similarity join that interpretation dominates the query. This
+  * expression generates a tight Java loop inside whole-stage codegen
+  * (custom-operator preference order (b), SURVEY.md §2.12: a codegen'd
+  * `Expression` beats a UDF beats interpreted HOFs).
+  *
+  * Accumulation order is the same left-to-right double fold as the HOF
+  * form, so results are bit-identical to it. */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double $acc = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-API access for the engine's native functions. */
+object GraftFunctions {
+
+  val dotInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProductFloat(children(0), children(1)))
+
+  /** Idempotent per-session registration — works on any session, including
+    * ones built without [[graft.GraftExtensions]]. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(dotInfo._1)) {
+      reg.registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
+    }
+  }
+
+  /** Column-API wrapper (requires the function registered in the session
+    * that executes the plan). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

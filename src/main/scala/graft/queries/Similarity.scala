@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product of two float vectors. */
+  /** Left-to-right double-precision dot product of two float vectors —
+    * the native codegen'd expression ([[graft.functions.DotProductFloat]]);
+    * bit-identical to the interpreted `aggregate(zip_with(...))` fold but
+    * a tight Java loop inside whole-stage codegen. */
   private def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
@@ -58,6 +60,7 @@ object Similarity {
     // ---- top-10 cosine neighbors for a fixed query set (vec_id 0..4):
     // broadcast nested-loop over the corpus, per-query bounded rank window
     "sim_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") <= 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -68,6 +71,7 @@ object Similarity {
     // ---- nearest neighbor within each metadata block (label): the blocked
     // similarity-join pattern — block size bounded, no all-pairs product
     "sim_nn_per_label" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, d)
       val a = emb.select(col("label"), col("vec_id"), col("embedding"))
         .withColumn("anorm", sqrt(dotd(col("embedding"), col("embedding"))))
@@ -110,6 +114,7 @@ object Similarity {
 
   /** IVF probe path shared by the query above and the test suite. */
   def ivfTopK(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
     // coarse quantizer: per-label gridded centroids as array<double>
     val cents = emb
@@ -121,7 +126,8 @@ object Similarity {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label").as("cent_id"),
-        transform(col("pc"), p => p.getField("c")).as("cent"))
+        transform(col("pc"), p => p.getField("c"))
+          .cast("array<float>").as("cent"))
     // cell assignment: nearest centroid per corpus vector
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd dot product must be bit-identical to the
+  * interpreted higher-order-function fold, and registrable both via
+  * ensureRegistered and via SparkSessionExtensions. */
+class DotProductSpec extends SparkSpec {
+
+  private def hofDot = {
+    (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+  }
+
+  test("graft_dot is bit-identical to the interpreted fold") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.0f)),
+      (Seq.empty[Float], Seq.empty[Float]),
+      (Seq(1e-8f, 2e8f), Seq(3e7f, -1e-7f)))
+      .toDF("a", "b")
+    val out = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot matches on the real embeddings fixture") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = emb.select(
+      GraftFunctions.dot(col("embedding"), col("embedding")).as("native"),
+      hofDot(col("embedding"), col("embedding")).as("hof")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("GraftExtensions injects the function at session build time") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val v = Seq((Seq(2.0f, 3.0f), Seq(4.0f, 5.0f))).toDF("a", "b")
+        .selectExpr("graft_dot(a, b)").as[Double].head()
+      assert(v === 23.0)
+    } finally {
+      // s2 shares the JVM-wide SparkContext — do NOT stop it, just restore
+      // the suite session as active/default
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
