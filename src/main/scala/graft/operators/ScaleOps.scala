@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out building blocks that don't change query semantics: skew
+  * salting for hot keys. (AQE's skew-join handling covers the join case at
+  * runtime; explicit salting remains the tool for aggregation skew and for
+  * engines/configs without AQE.) */
+object ScaleOps {
+
+  /** Two-phase sum-by-key with salting: a hot key's rows are spread over
+    * `buckets` sub-keys for the first (heavy) aggregation, then the small
+    * per-(key, salt) partials are re-aggregated. Result is identical to a
+    * direct `groupBy(key).sum` for any associative measure; the win is
+    * that no single reducer receives all rows of a hot key.
+    *
+    * The salt derives from `monotonically_increasing_id`, so rows of the
+    * same key land in different buckets regardless of their partitioning.
+    */
+  def saltedSum(df: DataFrame, key: String, value: Column,
+                buckets: Int): DataFrame = {
+    require(buckets > 0)
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(value).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("sum_value"))
+  }
+}

@@ -116,8 +116,13 @@ object Dedup {
       val sh  = docShingles(s, d)
       val inv = inverted(sh)
       val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      // Materialize the capped postings once: they are read twice by the
+      // self-join (and the df computation already re-derives them). At
+      // cluster scale this is the standard "write the inverted index, then
+      // join it" staging; in-memory persist is its local-mode analog.
       val invCapped = inv.join(dfc.filter(col("df") <= 1000), "s")
         .select(col("doc_id"), col("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val common = invCapped.select(col("doc_id").as("a"), col("s"))
         .join(invCapped.select(col("doc_id").as("b"), col("s")), "s")
         .filter(col("a") < col("b"))
@@ -142,7 +147,10 @@ object Dedup {
     // so signature cost is one hash per posting, not NumPerm hashes.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sh  = docShingles(s, d)
+      // Postings feed the signature build AND the verification joins —
+      // materialize once (see dedup_neardup_jaccard note).
       val inv = inverted(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hashed = inv.select(col("doc_id"),
         conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h1"),
@@ -152,6 +160,7 @@ object Dedup {
         .agg(min(col("h1") + lit(0) * col("h2")).as("m0"),
           (1 until NumPerm).map(i =>
             min(col("h1") + lit(i) * col("h2")).as(s"m$i")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws(",", (0 until NumPerm / Bands).map(r =>

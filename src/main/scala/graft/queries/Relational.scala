@@ -246,6 +246,19 @@ object Relational {
         .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
     }),
 
+    // ---- approximate distinct counting (HyperLogLog++): the 100 TB-scale
+    // substitute for exact count_distinct (no Expand, one pass, fixed-size
+    // sketches merged map-side). Sketch estimates are engine-specific, so
+    // there is no SQL oracle (rows-only check); the test suite bounds the
+    // relative error against the exact count.
+    "q20_agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- window: running (prefix) sum with explicit frame — summed on the
     // exact cent grid so the cumulative value is order-exact in both engines
     "q19_window_running_sum" -> ((s, d) => {

@@ -1,0 +1,18 @@
+package graft
+
+/** The HLL++ sketch is engine-specific (hence no DuckDB oracle), so bound
+  * its relative error against the exact distinct count instead. */
+class ApproxDistinctSpec extends SparkSpec {
+
+  test("approx_count_distinct is within 5% of exact at sf0.01") {
+    val rows = SparkEntry.queries("q20_agg_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+
+/** Scale patterns: salted aggregation equals the direct aggregation on a
+  * skewed dataset, and bucketed tables join without any shuffle exchange
+  * (the co-located join the engine would use for repeated 100 TB
+  * fact-fact joins). */
+class ScalePatternsSpec extends SparkSpec {
+
+  test("salted two-phase sum equals direct sum on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val df = (1 to 10000).map { i =>
+      (if (i % 10 == 0) s"key${i % 7}" else "hotkey", i.toLong)
+    }.toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = ScaleOps.saltedSum(df, "k", col("v"), buckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted === direct)
+  }
+
+  test("bucketed tables sort-merge join without shuffle exchanges") {
+    import spark.implicits._
+    // warehouse dir is a temp dir set at session build time (SparkSpec)
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+    a.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("graft_bucketed_a")
+    b.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("graft_bucketed_b")
+    try {
+      val joined = spark.table("graft_bucketed_a")
+        .join(spark.table("graft_bucketed_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === 1000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
+    }
+  }
+}
