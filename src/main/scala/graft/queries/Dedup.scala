@@ -95,6 +95,36 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Verified near-dup pairs at Jaccard >= minJ via df-capped inverted-
+    * index candidate generation, intersection counted in the self-join's
+    * aggregation. The capped postings are materialized once: they are read
+    * twice by the self-join (at cluster scale this is the standard "write
+    * the inverted index, then join it" staging; in-memory persist is its
+    * local-mode analog). */
+  def neardupPairs(s: SparkSession, d: String, minJ: Double): DataFrame = {
+    val sh  = docShingles(s, d)
+    val inv = inverted(sh)
+    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val invCapped = inv.join(dfc.filter(col("df") <= 1000), "s")
+      .select(col("doc_id"), col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = invCapped.select(col("doc_id").as("a"), col("s"))
+      .join(invCapped.select(col("doc_id").as("b"), col("s")), "s")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: fingerprint-groupBy; output = kept representative +
     // multiplicity per distinct normalized content
@@ -112,33 +142,7 @@ object Dedup {
     // generation (df-capped) with the intersection size counted directly in
     // the self-join's aggregation — one shuffle join + one groupBy, never a
     // candidates×postings re-join
-    "dedup_neardup_jaccard" -> ((s, d) => {
-      val sh  = docShingles(s, d)
-      val inv = inverted(sh)
-      val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      // Materialize the capped postings once: they are read twice by the
-      // self-join (and the df computation already re-derives them). At
-      // cluster scale this is the standard "write the inverted index, then
-      // join it" staging; in-memory persist is its local-mode analog.
-      val invCapped = inv.join(dfc.filter(col("df") <= 1000), "s")
-        .select(col("doc_id"), col("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val common = invCapped.select(col("doc_id").as("a"), col("s"))
-        .join(invCapped.select(col("doc_id").as("b"), col("s")), "s")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("common"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      common
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .withColumn("jaccard",
-          col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
-          col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dedup_neardup_jaccard" -> ((s, d) => neardupPairs(s, d, 0.6)),
 
     // ---- MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup:
     // banded candidates + exact-Jaccard verification at J >= 0.7.
@@ -176,6 +180,33 @@ object Dedup {
         .filter(col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
       verifyPairs(cand, inv, sh, 0.7)
+    }),
+
+    // ---- duplicate-cluster assignment: connected components over the
+    // verified near-dup pair graph (J >= 0.6), by iterative min-label
+    // propagation — 8 rounds cover any plausible cluster diameter; each
+    // round is one equi-join + one min-aggregation on the (persisted,
+    // tiny) edge set. Every document gets its cluster representative
+    // (minimum doc_id in its component; itself when unique). At cluster
+    // scale the per-round label frontier would be checkpointed.
+    "dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val pairs = neardupPairs(s, d, 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+      for (_ <- 1 to 8) {
+        val propagated = edges
+          .join(labels.select(col("doc_id").as("src"), col("component")), "src")
+          .select(col("dst").as("doc_id"), col("component"))
+        labels = labels.union(propagated)
+          .groupBy(col("doc_id"))
+          .agg(min(col("component")).as("component"))
+      }
+      labels.orderBy(col("doc_id"))
     }),
 
     // ---- SimHash: 60-bit signature per document (bitwise majority vote of
@@ -337,6 +368,26 @@ object Dedup {
                JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
                            AND a.doc_id < b.doc_id),
       ${verifySql("0.7")}""",
+
+    "dedup_components" -> s"""
+      WITH RECURSIVE $shingleCtes,
+      df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+      invc AS (SELECT inv.doc_id, inv.s FROM inv
+               JOIN df ON df.s = inv.s WHERE df.df <= 1000),
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                 FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+      pairs AS (SELECT c.a, c.b FROM common c
+                JOIN sz sa ON sa.doc_id = c.a
+                JOIN sz sb ON sb.doc_id = c.b
+                WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6),
+      sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN sym e ON e.a = r.n)
+      SELECT n AS doc_id, min(m) AS component
+      FROM reach GROUP BY n ORDER BY doc_id""",
 
     "dedup_simhash" -> s"""
       WITH $simhashCtes

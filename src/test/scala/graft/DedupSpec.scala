@@ -64,6 +64,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components cluster the dup chain under one representative") {
+    val comp = graft.queries.Dedup.queries("dedup_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // docs 0, 1, 2 form one near-dup component; 3 and 4 are singletons
+    assert(comp(0L) === 0L && comp(1L) === 0L && comp(2L) === 0L)
+    assert(comp(3L) === 3L && comp(4L) === 4L)
+  }
+
   test("simhash of identical docs is identical; hamming pairs include dups") {
     val sims = graft.queries.Dedup.queries("dedup_simhash")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

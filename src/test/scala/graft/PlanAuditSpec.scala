@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regressions: the properties that matter at 100 TB must stay
+  * visible in the optimized plans — predicate pushdown, column pruning,
+  * broadcast dimension joins, bounded-heap top-k, and no cartesian
+  * products anywhere except the deliberate broadcast query-set cross. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02 pushes filters into the parquet scan and prunes columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,10.0)"))
+    // pruned scan: only the 6 referenced columns, never the full 16
+    val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!schemaLine.contains("l_comment"))
+    assert(!schemaLine.contains("l_tax"))
+  }
+
+  test("q04 plans a broadcast hash join for the dimension side") {
+    assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans use bounded heaps, not global sorts") {
+    assert(plan("q03_topn_orders").contains("TakeOrderedAndProject"))
+    assert(plan("wordcount_topn").contains("TakeOrderedAndProject"))
+    // per-group top-k: rank filter pushed into a group-limit operator
+    assert(plan("q17_window_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("no cartesian product in any query plan") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("similarity scoring runs the native codegen'd dot product") {
+    assert(plan("sim_topk").contains("graft_dot"))
+  }
+}
