@@ -104,6 +104,7 @@ object Dedup {
   def neardupPairs(s: SparkSession, d: String, minJ: Double): DataFrame = {
     val sh  = docShingles(s, d)
     val inv = inverted(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val invCapped = inv.join(dfc.filter(col("df") <= 1000), "s")
       .select(col("doc_id"), col("s"))
@@ -197,16 +198,40 @@ object Dedup {
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
-      for (_ <- 1 to 8) {
+      // Iterate only over nodes that appear in the pair graph (duplicates
+      // are rare by definition — the label frontier is tiny relative to
+      // the corpus); singletons get their identity label in one final
+      // join. Each round references `labels` twice (union + join), so an
+      // eager localCheckpoint truncates the lineage — the plan stays one
+      // round deep instead of re-executing 2^k subtrees. The frontier is
+      // broadcast into the (persisted) edge join.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id"))
+        .coalesce(1).localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 16) {
         val propagated = edges
-          .join(labels.select(col("doc_id").as("src"), col("component")), "src")
+          .join(broadcast(labels.select(col("doc_id").as("src"),
+            col("component"))), "src")
           .select(col("dst").as("doc_id"), col("component"))
-        labels = labels.union(propagated)
+        val next = labels.union(propagated)
           .groupBy(col("doc_id"))
           .agg(min(col("component")).as("component"))
+          .coalesce(1).localCheckpoint(true)
+        converged = next
+          .join(broadcast(labels.withColumnRenamed("component", "prev")),
+            "doc_id")
+          .filter(col("component") =!= col("prev"))
+          .isEmpty
+        labels = next
+        rounds += 1
       }
-      labels.orderBy(col("doc_id"))
+      docs
+        .join(broadcast(labels), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- SimHash: 60-bit signature per document (bitwise majority vote of
