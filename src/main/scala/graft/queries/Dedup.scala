@@ -3,18 +3,21 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Deduplication operators over the `documents` corpus — the LLM-training-
-  * pipeline surface (SURVEY.md §2.12): exact dedup, n-gram-Jaccard near-dup,
-  * MinHash+LSH near-dup, and SimHash.
+/** Deduplication operators — the LLM-training-pipeline surface
+  * (SURVEY.md §2.12): exact dedup, n-gram-Jaccard near-dup, MinHash+LSH
+  * near-dup, SimHash, and duplicate-cluster connected components.
   *
-  * Everything is expressed as declarative DataFrame plans over built-in,
-  * codegen'd functions (md5/conv/substring/bit ops) — no UDFs — and every
-  * hash primitive is chosen to be *cross-engine reproducible* so the DuckDB
-  * oracle can replicate the full pipeline bit-for-bit:
-  * `hash60(seed, s) = int(md5(seed || '|' || s)[0,15 hex])` is the same 60-bit
-  * value in Spark (`conv(substring(md5(..),1,15),16,10)`) and DuckDB
-  * (`CAST('0x' || substr(md5(..),1,15) AS BIGINT)`).
+  * The public functions operate on ANY corpus DataFrame with an id column
+  * and a text column; the `queries` map instantiates them over the driver's
+  * `documents` table. Everything is expressed as declarative DataFrame
+  * plans over built-in, codegen'd functions (md5/conv/substring/bit ops) —
+  * no UDFs — and every hash primitive is chosen to be *cross-engine
+  * reproducible* so the DuckDB oracle can replicate the full pipeline
+  * bit-for-bit: `hashHex(c, i, n) = int(md5(c)[i, n hex])` is the same
+  * value in Spark (`conv(substring(md5(..), i, n), 16, 10)`) and DuckDB
+  * (`CAST('0x' || substr(md5(..), i, n) AS BIGINT)`).
   *
   * Scale notes (100 TB discipline):
   *  - exact dedup is one hash-partitioned groupBy on a 128-bit fingerprint —
@@ -25,8 +28,10 @@ import org.apache.spark.sql.functions._
   *    all-pairs cross join exists anywhere;
   *  - MinHash-LSH reduces candidates further: 16 permutations banded 4×4,
   *    so only pairs agreeing on a full band (J ≈ 0.7+) collide;
-  *  - pair verification (exact Jaccard) touches only candidate pairs and is
-  *    two hash joins + one aggregation.
+  *  - pair verification (exact Jaccard) touches only candidate pairs;
+  *  - shared postings/signature frames are persisted once and re-read by
+  *    the self-joins (the local-mode analog of staging the inverted index
+  *    to storage between cluster jobs).
   */
 object Dedup {
 
@@ -54,17 +59,19 @@ object Dedup {
     conv(substring(md5(concat(lit(s"$seed|"), c).cast("binary")), 1, 15),
       16, 10).cast("long")
 
-  /** Cross-engine 32-bit hash: first 8 hex chars of md5(s). */
-  private def hash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
-
   private val NumPerm = 16
   private val Bands = 4 // 4 bands × 4 rows
+  private val DfCap = 1000
 
-  /** (doc_id, shingles) for the corpus; tokenization is staged into its own
-    * projection so it is evaluated once per document. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Canonical (doc_id, text) view of an arbitrary corpus. */
+  private def normalize(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** (doc_id, shingles); tokenization staged into its own projection so it
+    * is evaluated once per document. */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), shingles(col("ws")).as("shingles"))
 
@@ -72,18 +79,10 @@ object Dedup {
   private def inverted(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), explode(col("shingles")).as("s"))
 
-  /** Exact-Jaccard verification of candidate (a, b) pairs; returns
-    * (doc_a, doc_b, common, jaccard) for jaccard >= minJ, totally ordered.
-    * Touches only candidate pairs: two hash joins against the postings plus
-    * one count aggregation — never materializes non-candidate pairs. */
-  private def verifyPairs(cand: DataFrame, inv: DataFrame, sh: DataFrame,
-                          minJ: Double): DataFrame = {
+  /** Join candidate pairs to sizes and keep those with Jaccard >= minJ. */
+  private def jaccardFilter(common: DataFrame, sh: DataFrame,
+                            minJ: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val common = cand
-      .join(inv.select(col("doc_id").as("a"), col("s")), "a")
-      .join(inv.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
@@ -95,200 +94,204 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------------ public API
+
+  /** Exact dedup: one row per distinct normalized content with its kept
+    * representative (min id) and multiplicity. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    normalize(docs, idCol, textCol)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_doc_id"), col("fp"), col("n_copies"))
+      .orderBy(col("keep_doc_id"))
+  }
+
   /** Verified near-dup pairs at Jaccard >= minJ via df-capped inverted-
-    * index candidate generation, intersection counted in the self-join's
-    * aggregation. The capped postings are materialized once: they are read
-    * twice by the self-join (at cluster scale this is the standard "write
-    * the inverted index, then join it" staging; in-memory persist is its
-    * local-mode analog). */
-  def neardupPairs(s: SparkSession, d: String, minJ: Double): DataFrame = {
-    val sh  = docShingles(s, d)
-    val inv = inverted(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * index candidate generation, intersection counted directly in the
+    * self-join's aggregation — one shuffle join + one groupBy, never a
+    * candidates×postings re-join. */
+  def jaccardPairs(docs: DataFrame, minJ: Double, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh  = docShingles(normalize(docs, idCol, textCol))
+    val inv = inverted(sh).persist(StorageLevel.MEMORY_AND_DISK)
     val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val invCapped = inv.join(dfc.filter(col("df") <= 1000), "s")
+    val invCapped = inv.join(dfc.filter(col("df") <= DfCap), "s")
       .select(col("doc_id"), col("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val common = invCapped.select(col("doc_id").as("a"), col("s"))
       .join(invCapped.select(col("doc_id").as("b"), col("s")), "s")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jaccard",
-        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= minJ)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
-        col("jaccard"))
+    jaccardFilter(common, sh, minJ)
+  }
+
+  /** MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup pairs, verified
+    * by exact Jaccard >= minJ. Permutations are the classic linear family
+    * h_i = h1 + i*h2 over ONE md5 per posting (h1: 60 bits, h2: 32 bits →
+    * no 64-bit overflow), so signature cost is one hash per posting. */
+  def minhashLshPairs(docs: DataFrame, minJ: Double,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sh  = docShingles(normalize(docs, idCol, textCol))
+    val inv = inverted(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = inv.select(col("doc_id"),
+      conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("s").cast("binary")), 16, 8), 16, 10)
+        .cast("long").as("h2"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(col("h1") + lit(0) * col("h2")).as("m0"),
+        (1 until NumPerm).map(i =>
+          min(col("h1") + lit(i) * col("h2")).as(s"m$i")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",", (0 until NumPerm / Bands).map(r =>
+          col(s"m${b * (NumPerm / Bands) + r}").cast("string")): _*)
+          .cast("binary")).as("h"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.h"))
+    val cand = bands.select(col("doc_id").as("a"), col("band_id"), col("h"))
+      .join(bands.select(col("doc_id").as("b"), col("band_id"), col("h")),
+        Seq("band_id", "h"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    // verification touches only candidate pairs: two hash joins against
+    // the (persisted) postings plus one count aggregation
+    val common = cand
+      .join(inv.select(col("doc_id").as("a"), col("s")), "a")
+      .join(inv.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardFilter(common, sh, minJ)
+  }
+
+  /** 60-bit SimHash signature per document: bitwise majority vote of token
+    * hashes, token multiplicity = weight. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val tok = normalize(docs, idCol, textCol)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash60(99, col("w")).as("h"))
+    tok
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as("sgn"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sgn") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+        .cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= 3, found via 15-bit
+    * band blocking (4 bands). Pigeonhole: <= 3 differing bits leave at
+    * least one of the 4 bands intact, so blocking loses no qualifying
+    * pair. At larger corpus sizes widen the bands (band bits ~ log2 N +
+    * margin) to keep per-band collision rates bounded. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sims = simhashSignatures(docs, idCol, textCol)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftright(simhash, ${15 * b}) & 32767")): _*)))
+      .toDF("doc_id", "simhash", "band_id", "band_val")
+    val cand = banded
+      .select(col("doc_id").as("a"), col("simhash").as("sh_a"),
+        col("band_id"), col("band_val"))
+      .join(banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
+        col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate-cluster assignment: connected components over an undirected
+    * pair graph, by iterative min-label propagation to convergence. Every
+    * id in `ids` gets its cluster representative (minimum id in its
+    * component; itself when unique).
+    *
+    * Iterates only over nodes that appear in the pair graph (duplicates
+    * are rare by definition — the label frontier is tiny relative to the
+    * corpus); singletons get their identity label in one final join. Each
+    * round references `labels` twice (union + join), so an eager
+    * localCheckpoint truncates the lineage — the plan stays one round deep
+    * instead of re-executing 2^k subtrees. The frontier is broadcast into
+    * the (persisted) edge join. At cluster scale the checkpoint would go
+    * to reliable storage and the broadcast hint dropped once the frontier
+    * outgrows the driver. */
+  def components(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.toDF("b0", "a0").select(col("a0"), col("b0")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .coalesce(1).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 16) {
+      val propagated = edges
+        .join(broadcast(labels.select(col("doc_id").as("src"),
+          col("component"))), "src")
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.union(propagated)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"))
+        .coalesce(1).localCheckpoint(true)
+      converged = next
+        .join(broadcast(labels.withColumnRenamed("component", "prev")),
+          "doc_id")
+        .filter(col("component") =!= col("prev"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    ids.toDF("doc_id")
+      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Path-based convenience used by queries and tests. */
+  def neardupPairs(s: SparkSession, d: String, minJ: Double): DataFrame =
+    jaccardPairs(Tables.documents(s, d), minJ)
+
+  // ---------------------------------------------------------------- queries
+
   val queries: Map[String, Q] = Map(
-    // ---- exact dedup: fingerprint-groupBy; output = kept representative +
-    // multiplicity per distinct normalized content
-    "dedup_exact" -> ((s, d) => {
-      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
-        .groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_doc_id"), col("fp"), col("n_copies"))
-        .orderBy(col("keep_doc_id"))
-    }),
+    "dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
 
-    // ---- n-gram (3-shingle) Jaccard near-dup: inverted-index pair
-    // generation (df-capped) with the intersection size counted directly in
-    // the self-join's aggregation — one shuffle join + one groupBy, never a
-    // candidates×postings re-join
-    "dedup_neardup_jaccard" -> ((s, d) => neardupPairs(s, d, 0.6)),
+    "dedup_neardup_jaccard" -> ((s, d) =>
+      jaccardPairs(Tables.documents(s, d), 0.6)),
 
-    // ---- MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup:
-    // banded candidates + exact-Jaccard verification at J >= 0.7.
-    // Permutations are the classic linear family h_i = h1 + i*h2 over ONE
-    // md5 per posting (h1: 60 bits, h2: 32 bits → no 64-bit overflow),
-    // so signature cost is one hash per posting, not NumPerm hashes.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val sh  = docShingles(s, d)
-      // Postings feed the signature build AND the verification joins —
-      // materialize once (see dedup_neardup_jaccard note).
-      val inv = inverted(sh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hashed = inv.select(col("doc_id"),
-        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h1"),
-        conv(substring(md5(col("s").cast("binary")), 16, 8), 16, 10)
-          .cast("long").as("h2"))
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(min(col("h1") + lit(0) * col("h2")).as("m0"),
-          (1 until NumPerm).map(i =>
-            min(col("h1") + lit(i) * col("h2")).as(s"m$i")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bandCols = (0 until Bands).map { b =>
-        struct(lit(b).as("band_id"),
-          md5(concat_ws(",", (0 until NumPerm / Bands).map(r =>
-            col(s"m${b * (NumPerm / Bands) + r}").cast("string")): _*)
-            .cast("binary")).as("h"))
-      }
-      val bands = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.h"))
-      val cand = bands.select(col("doc_id").as("a"), col("band_id"), col("h"))
-        .join(bands.select(col("doc_id").as("b"), col("band_id"), col("h")),
-          Seq("band_id", "h"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      verifyPairs(cand, inv, sh, 0.7)
-    }),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      minhashLshPairs(Tables.documents(s, d), 0.7)),
 
-    // ---- duplicate-cluster assignment: connected components over the
-    // verified near-dup pair graph (J >= 0.6), by iterative min-label
-    // propagation — 8 rounds cover any plausible cluster diameter; each
-    // round is one equi-join + one min-aggregation on the (persisted,
-    // tiny) edge set. Every document gets its cluster representative
-    // (minimum doc_id in its component; itself when unique). At cluster
-    // scale the per-round label frontier would be checkpointed.
     "dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      val pairs = neardupPairs(s, d, 0.6)
+      val pairs = jaccardPairs(Tables.documents(s, d), 0.6)
         .select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Iterate only over nodes that appear in the pair graph (duplicates
-      // are rare by definition — the label frontier is tiny relative to
-      // the corpus); singletons get their identity label in one final
-      // join. Each round references `labels` twice (union + join), so an
-      // eager localCheckpoint truncates the lineage — the plan stays one
-      // round deep instead of re-executing 2^k subtrees. The frontier is
-      // broadcast into the (persisted) edge join.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("component", col("doc_id"))
-        .coalesce(1).localCheckpoint(true)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 16) {
-        val propagated = edges
-          .join(broadcast(labels.select(col("doc_id").as("src"),
-            col("component"))), "src")
-          .select(col("dst").as("doc_id"), col("component"))
-        val next = labels.union(propagated)
-          .groupBy(col("doc_id"))
-          .agg(min(col("component")).as("component"))
-          .coalesce(1).localCheckpoint(true)
-        converged = next
-          .join(broadcast(labels.withColumnRenamed("component", "prev")),
-            "doc_id")
-          .filter(col("component") =!= col("prev"))
-          .isEmpty
-        labels = next
-        rounds += 1
-      }
-      docs
-        .join(broadcast(labels), Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
-        .orderBy(col("doc_id"))
+      components(docs, pairs)
     }),
 
-    // ---- SimHash: 60-bit signature per document (bitwise majority vote of
-    // token hashes; token multiplicity = weight)
-    "dedup_simhash" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .select(col("doc_id"), hash60(99, col("w")).as("h"))
-      val bits = tok
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(59))).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"))
-          .as("sgn"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("sgn") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-          .cast("long").as("simhash"))
-        .orderBy(col("doc_id"))
-    }),
+    "dedup_simhash" -> ((s, d) =>
+      simhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
-    // ---- SimHash near-dup pairs: 15-bit band blocking (4 bands) + Hamming
-    // distance <= 3. Pigeonhole: <= 3 differing bits leave at least one of
-    // the 4 bands intact, so band blocking loses no qualifying pair. At
-    // larger corpus sizes widen the bands (band bits ~ log2 N + margin) to
-    // keep per-band collision rates — and thus candidate counts — bounded.
-    "dedup_simhash_pairs" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .select(col("doc_id"), hash60(99, col("w")).as("h"))
-      val bits = tok
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(59))).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"))
-          .as("sgn"))
-      val sims = bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("sgn") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-          .cast("long").as("simhash"))
-      val banded = sims.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          expr(s"shiftright(simhash, ${15 * b}) & 32767")): _*)))
-        .toDF("doc_id", "simhash", "band_id", "band_val")
-      val cand = banded
-        .select(col("doc_id").as("a"), col("simhash").as("sh_a"),
-          col("band_id"), col("band_val"))
-        .join(banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
-          col("band_id"), col("band_val")), Seq("band_id", "band_val"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
-      cand
-        .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
-        .filter(col("hamming") <= 3)
-        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    })
+    "dedup_simhash_pairs" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracles

@@ -64,6 +64,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("public API works on arbitrary DataFrames with custom column names") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "totally unrelated words here now")).toDF("item_id", "body")
+    val kept = graft.queries.Dedup.exact(corpus, "item_id", "body")
+    assert(kept.count() === 2)
+    val pairs = graft.queries.Dedup.jaccardPairs(corpus, 0.9, "item_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((10L, 11L)))
+    val comp = graft.queries.Dedup.components(
+      corpus.select($"item_id"),
+      graft.queries.Dedup.jaccardPairs(corpus, 0.9, "item_id", "body")
+        .select($"doc_a", $"doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp === Map(10L -> 10L, 11L -> 10L, 12L -> 12L))
+  }
+
   test("connected components cluster the dup chain under one representative") {
     val comp = graft.queries.Dedup.queries("dedup_components")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
