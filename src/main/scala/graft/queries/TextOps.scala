@@ -113,6 +113,33 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash
+    // every 8-char gram, slide a 4-hash window, keep each window's minimum
+    // — the classic local document fingerprint for plagiarism/near-dup
+    // detection. Output is the distinct fingerprint set per document.
+    // Scale: one explode + one per-document window — partitioned by
+    // doc_id, no cross-document state.
+    "text_winnow_fingerprint" -> ((s, d) => {
+      val k = 8
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .withColumn("n", length(col("t")))
+        .select(col("doc_id"), col("t"),
+          explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr(s"conv(substring(md5(cast(substring(t, i, $k) AS BINARY)), 1, 8), 16, 10)")
+            .cast("long").as("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+      grams
+        .withColumn("fp", min(col("h")).over(win))
+        .filter(col("i") >= 4)
+        .select(col("doc_id"), col("fp")).distinct()
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // ---- document fingerprinting: md5 + sha256 over normalized text
     "text_fingerprint" -> ((s, d) => {
       val norm = regexp_replace(lower(col("text")), "\\s+", " ")
@@ -203,6 +230,24 @@ object TextOps {
           length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowel
         FROM documents) t
       ORDER BY doc_id""",
+
+    "text_winnow_fingerprint" -> """
+      WITH g0 AS (
+        SELECT doc_id, lower(text) AS t,
+          unnest(range(1, greatest(length(text) - 6, 1))) AS i
+        FROM documents),
+      g AS (
+        SELECT doc_id, i,
+          CAST(('0x' || substr(md5(substring(t, CAST(i AS INT), 8)), 1, 8))
+            AS BIGINT) AS h
+        FROM g0),
+      wmin AS (
+        SELECT doc_id, i,
+          min(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM g)
+      SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4
+      ORDER BY doc_id, fp""",
 
     "text_fingerprint" -> """
       SELECT doc_id,
