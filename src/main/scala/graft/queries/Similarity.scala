@@ -105,6 +105,25 @@ object Similarity {
         .orderBy(col("label"), col("j"))
     }),
 
+    // ---- int8 embedding quantization (training-pipeline compression):
+    // per-vector symmetric scale 127/max|x|, values snapped with the
+    // deterministic floor(x*scale + 0.5) grid — exact in both engines.
+    // Elementwise via posexplode + one per-vector max — no UDF.
+    "emb_quantize_int8" -> ((s, d) => {
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+          col("col").cast("double").as("x"))
+      val scales = elems.groupBy(col("vec_id"))
+        .agg(max(abs(col("x"))).as("m"))
+        .filter(col("m") > 0)
+      elems.join(scales, "vec_id")
+        .select(col("vec_id"), col("j"),
+          floor(col("x") * (lit(127.0) / col("m")) + lit(0.5))
+            .as("q"))
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
     // ---- IVF-style ANN top-k: assign corpus to nearest centroid, probe the
     // 3 centroids nearest each query, brute-force only within probed cells.
     // Approximate by construction → no SQL oracle (rows-only check); exact-
@@ -182,6 +201,18 @@ object Similarity {
         JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) t
       WHERE rn = 1
       ORDER BY vec_id""",
+
+    "emb_quantize_int8" -> """
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      s AS (SELECT vec_id, max(abs(x)) AS m FROM e GROUP BY vec_id)
+      SELECT e.vec_id, e.j,
+        CAST(floor(e.x * (127.0 / s.m) + 0.5) AS BIGINT) AS q
+      FROM e JOIN s ON e.vec_id = s.vec_id
+      WHERE s.m > 0
+      ORDER BY e.vec_id, e.j""",
 
     "emb_centroids" -> """
       SELECT CAST(label AS BIGINT) AS label, j,

@@ -113,6 +113,37 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sequence packing for training batches: assign documents (in
+    // doc_id order) to fixed token-budget batches — batch_id is the
+    // running token count before the document, integer-divided by the
+    // budget. Implemented as a two-phase distributed prefix sum: per-shard
+    // window cumsums plus a tiny shard-offset window (shard count ~
+    // corpus/256 — the only global window runs over that small frame), so
+    // no single task ever sees the whole corpus.
+    "docs_pack_batches" -> ((s, d) => {
+      val budget = 512
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+          expr("doc_id DIV 256").as("shard"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Long.MinValue, -1)
+      val within = toks.withColumn("within_before",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      val wSh = org.apache.spark.sql.expressions.Window
+        .orderBy(col("shard")).rowsBetween(Long.MinValue, -1)
+      val offsets = toks.groupBy(col("shard"))
+        .agg(sum(col("n_tokens")).as("tot"))
+        .withColumn("offset", coalesce(sum(col("tot")).over(wSh), lit(0L)))
+        .select(col("shard"), col("offset"))
+      within.join(broadcast(offsets), "shard")
+        .withColumn("cum_before", col("offset") + col("within_before"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"cum_before DIV $budget").as("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash
     // every 8-char gram, slide a 4-hash window, keep each window's minimum
     // — the classic local document fingerprint for plagiarism/near-dup
@@ -229,6 +260,23 @@ object TextOps {
             w -> w = 'shu' OR w = 'ju')) AS score_zh,
           length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowel
         FROM documents) t
+      ORDER BY doc_id""",
+
+    "docs_pack_batches" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          coalesce(sum(n_tokens) OVER (
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+        FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(cum_before // 512 AS BIGINT) AS batch_id
+      FROM c
       ORDER BY doc_id""",
 
     "text_winnow_fingerprint" -> """
