@@ -13,9 +13,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up (JIT, codegen cache, parquet footers) so the first
-    // timed query doesn't absorb one-time JVM costs
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // untimed warm-up at the smallest scale factor (JIT, codegen cache,
+    // parquet footers) so timed queries measure steady-state throughput
+    // rather than first-execution compilation of each operator family
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

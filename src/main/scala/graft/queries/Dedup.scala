@@ -232,9 +232,13 @@ object Dedup {
     * to reliable storage and the broadcast hint dropped once the frontier
     * outgrows the driver. */
   def components(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    // both edge directions from a single pass over the pair pipeline
+    // (a union of two `pairs` references would execute it twice)
     val edges = pairs.toDF("a", "b")
-      .union(pairs.toDF("b0", "a0").select(col("a0"), col("b0")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))

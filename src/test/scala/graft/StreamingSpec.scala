@@ -33,6 +33,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data behind the watermark is dropped from closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamEvent(ts(1, 5), "click", 1.0))
+      q.processAllAvailable()
+      // watermark advances to 03:50; the 01:00 window closes and emits
+      in.addData(StreamEvent(ts(4, 0), "click", 1.0))
+      q.processAllAvailable()
+      // a straggler for the closed 01:00 window must be dropped
+      in.addData(StreamEvent(ts(1, 30), "click", 99.0))
+      // push the watermark far ahead so any (incorrect) re-emission flushes
+      in.addData(StreamEvent(ts(9, 0), "click", 1.0))
+      q.processAllAvailable()
+      val w1 = spark.table("late_out").collect()
+        .filter(_.getTimestamp(0) === ts(1, 0))
+        .map(r => r.getLong(2))
+      assert(w1.toSeq === Seq(1L)) // straggler not counted, no re-emit
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
