@@ -16,16 +16,23 @@ object Bench {
     // untimed warm-up at the smallest scale factor (JIT, codegen cache,
     // parquet footers) so timed queries measure steady-state throughput
     // rather than first-execution compilation of each operator family
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = SparkEntry.smokeDir
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+      // drop warm-up persist/checkpoint residue so the timed phase runs
+      // with full storage memory
+      spark.catalog.clearCache()
+    } else {
+      System.err.println(s"[bench] warm-up skipped: $warmDir not found")
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1 so breakage can't read as a speed-up
+      try { fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => name -> -1.0 }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -11,10 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Smallest scale-factor fixture: flagship smoke checks and bench
+    * warm-up both point here. */
+  val smokeDir = "/root/testdata/sf0.001"
+
   /** Flagship query (reference's word count + top-N, SURVEY §2.1) on
     * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.TextOps.wordcountTopN(spark, "/root/testdata/sf0.001", 20)
+    graft.queries.TextOps.wordcountTopN(spark, smokeDir, 20)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

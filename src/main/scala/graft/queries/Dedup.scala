@@ -245,12 +245,18 @@ object Dedup {
       .coalesce(1).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 16) {
+    while (!converged && rounds < 32) {
       val propagated = edges
         .join(broadcast(labels.select(col("doc_id").as("src"),
           col("component"))), "src")
         .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.union(propagated)
+      // pointer doubling: also pull each node's label's label, so long
+      // chains converge in O(log diameter) rounds rather than O(diameter)
+      val doubled = labels
+        .join(broadcast(labels.select(col("doc_id").as("component"),
+          col("component").as("component2"))), "component")
+        .select(col("doc_id"), col("component2").as("component"))
+      val next = labels.union(propagated).union(doubled)
         .groupBy(col("doc_id"))
         .agg(min(col("component")).as("component"))
         .coalesce(1).localCheckpoint(true)
@@ -262,6 +268,10 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // an unconverged exit would silently split clusters (and diverge from
+    // the fixpoint the oracle computes) — fail loudly instead
+    require(converged,
+      s"components() did not converge within $rounds rounds")
     ids.toDF("doc_id")
       .join(broadcast(labels), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -91,6 +91,25 @@ class DedupSpec extends SparkSpec {
     assert(comp(3L) === 3L && comp(4L) === 4L)
   }
 
+  test("components converges on a long near-dup chain (pointer doubling)") {
+    import spark.implicits._
+    // sliding 22-word windows with stride 4 over a distinct-word stream:
+    // adjacent docs share J≈0.67 (> 0.6), two-hop docs J≈0.43 (< 0.6) —
+    // a pure chain of diameter n-1
+    val wordsPool = for (a <- 'a' to 'e'; b <- 'a' to 'z'; c <- 'a' to 'z')
+      yield s"$a$b$c"
+    val docs = (0 until 12).map { i =>
+      (i.toLong, wordsPool.slice(4 * i, 4 * i + 22).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = graft.queries.Dedup.jaccardPairs(docs, 0.6)
+      .select($"doc_a", $"doc_b")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (0 until 11).map(i => (i.toLong, i + 1L)).toSet)
+    val comp = graft.queries.Dedup.components(docs.select($"doc_id"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp.values.toSet === Set(0L)) // one cluster, min representative
+  }
+
   test("simhash of identical docs is identical; hamming pairs include dups") {
     val sims = graft.queries.Dedup.queries("dedup_simhash")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
