@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every probe row, the most recent build-side value at or
+  * before the probe time, per key.
+  *
+  * Implemented as the scalable union+window formulation: tag both streams,
+  * union them, and take the running last non-null build value per key in
+  * time order — one shuffle on the key and one window pass, independent of
+  * how many build rows precede each probe row (a naive range join is
+  * O(probe × matching-range)). Ties: build rows sort before probe rows at
+  * the same instant (inclusive as-of); equal-time build rows resolve to
+  * the greatest value, making the result total. */
+object AsOf {
+
+  /** @param probe (key, time, id) rows asking "latest value as of time"
+    * @param build (key, time, value) rows providing the values
+    * @return (id, key, time, asof_value) — asof_value null when no build
+    *         row at or before the probe time exists for the key */
+  def lastValueAsOf(probe: DataFrame, probeKey: String, probeTime: String,
+                    probeId: String, build: DataFrame, buildKey: String,
+                    buildTime: String, buildVal: String): DataFrame = {
+    val p = probe.select(col(probeKey).as("k"), col(probeTime).as("t"),
+      col(probeId).as("id"), lit(null).cast("long").as("v"),
+      lit(0).as("side"))
+    val b = build.select(col(buildKey).as("k"), col(buildTime).as("t"),
+      lit(null).cast("long").as("id"), col(buildVal).as("v"),
+      lit(1).as("side"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("side").desc, col("v").asc_nulls_first)
+      .rowsBetween(Long.MinValue, Window.currentRow)
+    p.union(b)
+      .withColumn("asof_value", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("id"), col("k"), col("t"), col("asof_value"))
+  }
+}

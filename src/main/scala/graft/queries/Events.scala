@@ -98,6 +98,22 @@ object Events {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ---- as-of join: each event picks the user's most recent order at or
+    // before the event time. Implemented as the scalable union+window
+    // formulation: tag both streams, union, and take the running last
+    // non-null order key per user in time order — one shuffle on the key,
+    // one window pass, no range-join pair explosion. Ties: orders sort
+    // before events at the same instant (inclusive as-of), equal-date
+    // orders resolve to the max order key.
+    "events_asof_order" -> ((s, d) => {
+      graft.operators.AsOf.lastValueAsOf(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("t").as("ts"), col("asof_value").as("asof_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- year/month rollup over the orders date column
     "orders_by_month" -> ((s, d) => {
       Tables.orders(s, d)
@@ -192,6 +208,26 @@ object Events {
       FROM events
       GROUP BY 1, 2
       ORDER BY event_type, bucket""",
+
+    "events_asof_order" -> """
+      WITH u AS (
+        SELECT user_id AS k, ts AS t, event_id,
+          CAST(NULL AS BIGINT) AS okey, 0 AS side
+        FROM events
+        UNION ALL
+        SELECT o_custkey, o_orderdate, CAST(NULL AS BIGINT), o_orderkey, 1
+        FROM orders),
+      w AS (
+        SELECT k, t, event_id, side,
+          last_value(okey IGNORE NULLS) OVER (
+            PARTITION BY k
+            ORDER BY t ASC, side DESC, okey ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS asof_orderkey
+        FROM u)
+      SELECT event_id, k AS user_id, t AS ts, asof_orderkey
+      FROM w WHERE side = 0
+      ORDER BY event_id""",
 
     "orders_by_month" -> """
       SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
