@@ -2,11 +2,18 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** A timestamped event as it arrives on a stream. */
 final case class StreamEvent(ts: java.sql.Timestamp, event_type: String,
                              value: Double)
+
+/** Open-session state kept per key in the state store. */
+final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+/** A closed session emitted downstream. */
+final case class SessionOut(event_type: String,
+                            session_start: java.sql.Timestamp, n_events: Long)
 
 /** Structured Streaming surface (SURVEY.md §7 step 7): the streaming
   * variants of the batch event-time queries in
@@ -29,6 +36,54 @@ object StreamingDemo {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` with
+    * event-time timeouts: events within `gapMinutes` of each other merge
+    * into one session per key; a session is emitted once the watermark
+    * passes its close time (last event + gap). State per key is one open
+    * session — bounded, watermark-expired, store-partitioned by key. */
+  def sessionize(events: Dataset[StreamEvent], gapMinutes: Int)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[StreamEvent],
+         state: GroupState[OpenSession]) =>
+          val batch = it.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          if (batch.isEmpty) {
+            // woken by timeout: the watermark passed the open session's
+            // close time — emit and clear
+            open.foreach(o =>
+              closed += SessionOut(key, new java.sql.Timestamp(o.startMs),
+                o.n))
+            state.remove()
+          } else {
+            for (e <- batch) {
+              val t = e.ts.getTime
+              open match {
+                case Some(o) if t - o.lastMs <= gapMs =>
+                  open = Some(o.copy(lastMs = t, n = o.n + 1))
+                case Some(o) =>
+                  closed += SessionOut(key,
+                    new java.sql.Timestamp(o.startMs), o.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            val o = open.get
+            state.update(o)
+            state.setTimeoutTimestamp(o.lastMs + gapMs)
+          }
+          closed.result().iterator
+      }
+  }
 
   /** Custom stateful operator: running count per event type via
     * `mapGroupsWithState` — the arbitrary-state surface (the stream-side

@@ -58,6 +58,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization matches batch session_window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      StreamEvent(ts(1, 0), "click", 1.0),
+      StreamEvent(ts(1, 10), "click", 1.0), // same session (gap 30m)
+      StreamEvent(ts(2, 0), "click", 1.0),  // new session (50m gap)
+      StreamEvent(ts(1, 5), "view", 1.0))
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session close time, then one
+      // more trigger so event-time timeouts fire and emit
+      in.addData(StreamEvent(ts(9, 0), "other", 1.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(ts(10, 0), "other", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+        .filter(_._1 != "other").toSet
+      // batch truth: native session_window over the same rows
+      val batch = events.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("w.start"), col("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
