@@ -28,6 +28,9 @@ object Bench {
       System.err.println(s"[bench] warm-up skipped: $warmDir not found")
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate queries: internal persists must not let one timed query
+      // read another's cached subplan (CacheManager matches by plan)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // a failed query reports -1 so breakage can't read as a speed-up
       try { fn(spark, sfDir).count()

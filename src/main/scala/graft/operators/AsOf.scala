@@ -23,11 +23,15 @@ object AsOf {
   def lastValueAsOf(probe: DataFrame, probeKey: String, probeTime: String,
                     probeId: String, build: DataFrame, buildKey: String,
                     buildTime: String, buildVal: String): DataFrame = {
+    // null placeholders typed from the actual schemas so the union never
+    // coerces (works for any orderable value/id type, not just long)
+    val valType = build.schema(buildVal).dataType
+    val idType = probe.schema(probeId).dataType
     val p = probe.select(col(probeKey).as("k"), col(probeTime).as("t"),
-      col(probeId).as("id"), lit(null).cast("long").as("v"),
+      col(probeId).as("id"), lit(null).cast(valType).as("v"),
       lit(0).as("side"))
     val b = build.select(col(buildKey).as("k"), col(buildTime).as("t"),
-      lit(null).cast("long").as("id"), col(buildVal).as("v"),
+      lit(null).cast(idType).as("id"), col(buildVal).as("v"),
       lit(1).as("side"))
     val w = Window.partitionBy(col("k"))
       .orderBy(col("t").asc, col("side").desc, col("v").asc_nulls_first)

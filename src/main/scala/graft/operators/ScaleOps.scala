@@ -12,11 +12,15 @@ object ScaleOps {
   /** Two-phase sum-by-key with salting: a hot key's rows are spread over
     * `buckets` sub-keys for the first (heavy) aggregation, then the small
     * per-(key, salt) partials are re-aggregated. Result is identical to a
-    * direct `groupBy(key).sum` for any associative measure; the win is
-    * that no single reducer receives all rows of a hot key.
+    * direct `groupBy(key).sum` for EXACT measures (integer, decimal, or
+    * grid-snapped doubles — see [[graft.queries.grid]]); for raw doubles
+    * the re-grouping changes the floating-point addition order, so use the
+    * grid first if bit-stable output is required.
     *
     * The salt derives from `monotonically_increasing_id`, so rows of the
-    * same key land in different buckets regardless of their partitioning.
+    * same key land in different buckets regardless of their partitioning
+    * (bucket assignment — not the exact-sum result — varies with partition
+    * layout).
     */
   def saltedSum(df: DataFrame, key: String, value: Column,
                 buckets: Int): DataFrame = {

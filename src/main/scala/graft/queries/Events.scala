@@ -163,7 +163,7 @@ object Events {
       WITH ordered AS (
         SELECT user_id, ts, value,
           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                    > INTERVAL '30 minutes' OR
+                    >= INTERVAL '30 minutes' OR
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                THEN 1 ELSE 0 END AS new_session
         FROM events),

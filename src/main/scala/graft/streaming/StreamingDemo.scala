@@ -67,12 +67,22 @@ object StreamingDemo {
             for (e <- batch) {
               val t = e.ts.getTime
               open match {
-                case Some(o) if t - o.lastMs <= gapMs =>
-                  open = Some(o.copy(lastMs = t, n = o.n + 1))
-                case Some(o) =>
+                // half-open [t, t+gap) windows, matching session_window:
+                // strict inequality on both boundaries; out-of-order
+                // (within-watermark) events extend the session backwards
+                case Some(o) if t > o.startMs - gapMs &&
+                    t < o.lastMs + gapMs =>
+                  open = Some(OpenSession(math.min(o.startMs, t),
+                    math.max(o.lastMs, t), o.n + 1))
+                case Some(o) if t >= o.lastMs + gapMs =>
                   closed += SessionOut(key,
                     new java.sql.Timestamp(o.startMs), o.n)
                   open = Some(OpenSession(t, t, 1))
+                case Some(_) =>
+                  // admitted late but beyond the open session's backward
+                  // reach: emit as its own session immediately (single-
+                  // open-session state cannot grow a session in the past)
+                  closed += SessionOut(key, new java.sql.Timestamp(t), 1)
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }

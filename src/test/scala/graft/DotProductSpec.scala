@@ -46,22 +46,47 @@ class DotProductSpec extends SparkSpec {
   }
 
   test("GraftExtensions injects the function at session build time") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // getOrCreate() returns the existing default session (where earlier
+    // tests may have called ensureRegistered) — clear it first so a truly
+    // FRESH session is built with the extensions applied
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark) // a genuinely new session, fresh registry
       import s2.implicits._
       val v = Seq((Seq(2.0f, 3.0f), Seq(4.0f, 5.0f))).toDF("a", "b")
         .selectExpr("graft_dot(a, b)").as[Double].head()
       assert(v === 23.0)
     } finally {
-      // s2 shares the JVM-wide SparkContext — do NOT stop it, just restore
-      // the suite session as active/default
+      // the new session shares the JVM-wide SparkContext — do NOT stop it,
+      // just restore the suite session as active/default
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("ragged or null-element inputs yield NULL like the HOF fold") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f)), // length mismatch
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .union(Seq((Seq(Some(1.0f), None), Seq(Some(3.0f), Some(4.0f))))
+        .toDF("a", "b")) // null element
+    val out = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    assert(out.map(_.isNullAt(0)).toSeq === Seq(true, false, true))
+    out.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1)) // same null semantics as HOF
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
     }
   }
 }

@@ -74,6 +74,10 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(events: _*)
       q.processAllAvailable()
+      // out-of-order but within the watermark (wm = 02:00 - 10m = 01:50):
+      // extends the open 02:00 session backwards to 01:55
+      in.addData(StreamEvent(ts(1, 55), "click", 1.0))
+      q.processAllAvailable()
       // advance the watermark far past every session close time, then one
       // more trigger so event-time timeouts fire and emit
       in.addData(StreamEvent(ts(9, 0), "other", 1.0))
@@ -83,8 +87,9 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("sess_out").collect()
         .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
         .filter(_._1 != "other").toSet
-      // batch truth: native session_window over the same rows
-      val batch = events.toDF()
+      // batch truth: native session_window over the same rows (including
+      // the out-of-order one)
+      val batch = (events :+ StreamEvent(ts(1, 55), "click", 1.0)).toDF()
         .groupBy(session_window(col("ts"), "30 minutes").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
