@@ -246,6 +246,39 @@ object Relational {
         .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
     }),
 
+    // ---- supplier dimension: per-nation account-balance stats (raw-double
+    // min/max, grid-exact mean) through a broadcast dimension join
+    "q21_supplier_stats" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          min(col("s_acctbal")).as("min_bal"),
+          max(col("s_acctbal")).as("max_bal"),
+          avgMoney(col("s_acctbal")).as("avg_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- correlated scalar subquery + anti join (TPC-H Q22 shape):
+    // customers above the positive-balance average with no urgent orders.
+    // Catalyst decorrelates the scalar aggregate into a broadcast cross
+    // join; the threshold rides the cent grid so both engines compare
+    // against the identical double.
+    "q22_rich_inactive_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val thr = c.filter(col("c_acctbal") > 0.0)
+        .agg(avgMoney(col("c_acctbal")).as("thr"))
+      c.join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- approximate distinct counting (HyperLogLog++): the 100 TB-scale
     // substitute for exact count_distinct (no Expand, one pass, fixed-size
     // sketches merged map-side). Sketch estimates are engine-specific, so
@@ -428,6 +461,26 @@ object Relational {
       FROM orders
       WHERE o_custkey <= 100
       ORDER BY o_custkey, rnk, o_orderkey""",
+
+    "q21_supplier_stats" -> """
+      SELECT n_name, count(*) AS n_suppliers,
+        min(s_acctbal) AS min_bal,
+        max(s_acctbal) AS max_bal,
+        CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q22_rich_inactive_customers" -> """
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
 
     "q19_window_running_sum" -> """
       SELECT l_orderkey, l_linenumber,
