@@ -279,6 +279,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup for corpus ingest: of a batch of new documents,
+    * keep only those whose normalized-content fingerprint is neither
+    * already in the known set nor duplicated within the batch (batch-
+    * internal ties keep the minimum id). One anti join against the known
+    * fingerprints + one fingerprint groupBy — both hash-partitioned on the
+    * 128-bit fingerprint, the same shuffle-once shape as [[exact]]. */
+  def incremental(newDocs: DataFrame, knownFps: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  fpCol: String = "fp"): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    normalize(newDocs, idCol, textCol)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .join(knownFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"))
+      .select(col("keep_doc_id"), col("fp"))
+      .orderBy(col("keep_doc_id"))
+  }
+
   /** Path-based convenience used by queries and tests. */
   def neardupPairs(s: SparkSession, d: String, minJ: Double): DataFrame =
     jaccardPairs(Tables.documents(s, d), minJ)

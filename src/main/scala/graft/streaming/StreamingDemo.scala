@@ -37,6 +37,15 @@ object StreamingDemo {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"))
 
+  /** Streaming ingest dedup: drop events whose dedup key was already seen,
+    * keeping state only within the watermark horizon — the stream-side
+    * form of [[graft.queries.Dedup.exact]] for continuous corpus ingest
+    * (state is bounded by watermark expiry instead of growing forever). */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCols :+ "ts")
+
   /** Custom stateful sessionization via `flatMapGroupsWithState` with
     * event-time timeouts: events within `gapMinutes` of each other merge
     * into one session per key; a session is emitted once the watermark

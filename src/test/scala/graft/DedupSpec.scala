@@ -64,6 +64,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup keeps only unseen, batch-unique content") {
+    import spark.implicits._
+    val known = graft.queries.Dedup.queries("dedup_exact")(spark, dir)
+      .select($"fp")
+    val newDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and " +
+        "again while the cat watches the bird in the tall green tree today"),
+      (101L, "genuinely new content never seen before in this corpus"),
+      (102L, "genuinely new content never seen before in this corpus"))
+      .toDF("doc_id", "text")
+    val kept = graft.queries.Dedup.incremental(newDocs, known)
+      .collect().map(_.getLong(0)).toSeq
+    // 100 duplicates an existing doc (doc 0); 101/102 dedup to min id 101
+    assert(kept === Seq(101L))
+  }
+
   test("public API works on arbitrary DataFrames with custom column names") {
     import spark.implicits._
     val corpus = Seq(

@@ -33,6 +33,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys across batches within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.dedupedStream(in.toDF(), Seq("event_type"))
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamEvent(ts(1, 0), "click", 1.0),
+        StreamEvent(ts(1, 0), "click", 2.0)) // same (key, ts) in-batch dup
+      q.processAllAvailable()
+      in.addData(StreamEvent(ts(1, 0), "click", 3.0)) // cross-batch dup
+      q.processAllAvailable()
+      in.addData(StreamEvent(ts(1, 1), "view", 1.0)) // distinct key survives
+      q.processAllAvailable()
+      val rows = spark.table("dd_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(rows.length === 2)
+      assert(rows.map(_._2).sorted.toSeq === Seq("click", "view"))
+    } finally q.stop()
+  }
+
   test("late data behind the watermark is dropped from closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
