@@ -96,13 +96,19 @@ object Dedup {
 
   // ------------------------------------------------------------ public API
 
+  /** Normalized-content 128-bit fingerprint — THE cross-engine dedup
+    * identity (the DuckDB oracle replicates it bit-for-bit); null text
+    * fingerprints as empty text so the fp key is total and join-safe. */
+  private def fingerprint: Column =
+    md5(coalesce(regexp_replace(lower(col("text")), "\\s+", " "), lit(""))
+      .cast("binary"))
+
   /** Exact dedup: one row per distinct normalized content with its kept
     * representative (min id) and multiplicity. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     normalize(docs, idCol, textCol)
-      .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .select(col("doc_id"), fingerprint.as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_doc_id"), col("fp"), col("n_copies"))
@@ -288,9 +294,8 @@ object Dedup {
   def incremental(newDocs: DataFrame, knownFps: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text",
                   fpCol: String = "fp"): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     normalize(newDocs, idCol, textCol)
-      .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .select(col("doc_id"), fingerprint.as("fp"))
       .join(knownFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"))
@@ -397,7 +402,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_doc_id,
-        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        md5(coalesce(regexp_replace(lower(text), '\s+', ' ', 'g'), '')) AS fp,
         count(*) AS n_copies
       FROM documents
       GROUP BY fp

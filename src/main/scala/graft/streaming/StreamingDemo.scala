@@ -37,14 +37,27 @@ object StreamingDemo {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"))
 
-  /** Streaming ingest dedup: drop events whose dedup key was already seen,
+  /** Streaming ingest dedup: drop rows whose dedup key was already seen,
     * keeping state only within the watermark horizon — the stream-side
     * form of [[graft.queries.Dedup.exact]] for continuous corpus ingest
-    * (state is bounded by watermark expiry instead of growing forever). */
-  def dedupedStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    * (state is bounded by watermark expiry instead of growing forever).
+    * The event-time column is deliberately NOT part of the dedup subset:
+    * duplicates arrive at different times; `dropDuplicatesWithinWatermark`
+    * exists precisely to expire key state by event time while deduping on
+    * the key alone.
+    *
+    * @param events stream with an event-time column `eventTimeCol`
+    * @param keyCols the dedup key (must not include the event-time column)
+    */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+                    eventTimeCol: String = "ts",
+                    delay: String = "10 minutes"): DataFrame = {
+    require(!keyCols.contains(eventTimeCol),
+      "dedup key must not include the event-time column")
     events
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark(keyCols :+ "ts")
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
 
   /** Custom stateful sessionization via `flatMapGroupsWithState` with
     * event-time timeouts: events within `gapMinutes` of each other merge

@@ -42,9 +42,9 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       in.addData(StreamEvent(ts(1, 0), "click", 1.0),
-        StreamEvent(ts(1, 0), "click", 2.0)) // same (key, ts) in-batch dup
+        StreamEvent(ts(1, 2), "click", 2.0)) // in-batch dup, different ts
       q.processAllAvailable()
-      in.addData(StreamEvent(ts(1, 0), "click", 3.0)) // cross-batch dup
+      in.addData(StreamEvent(ts(1, 5), "click", 3.0)) // cross-batch dup
       q.processAllAvailable()
       in.addData(StreamEvent(ts(1, 1), "view", 1.0)) // distinct key survives
       q.processAllAvailable()
