@@ -181,16 +181,17 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     }),
 
-    // ---- explicit grouping sets (via SQL — exact set, no extra combos)
+    // ---- explicit grouping sets (exact set, no extra combos) — the
+    // native Dataset.groupingSets API, no temp-view side effects
     "q13_grouping_sets" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_q13_lineitem")
-      s.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_qty,
-               count(*) AS n
-        FROM graft_q13_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
     }),
 
     // ---- set operations: UNION (set), INTERSECT, EXCEPT
