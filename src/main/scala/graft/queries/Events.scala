@@ -69,6 +69,18 @@ object Events {
         .orderBy(col("event_type"))
     }),
 
+    // ---- MapType surface: JSON props parsed to map<string,long>, the map
+    // exploded to (key, value) rows, aggregated per (event_type, key)
+    "events_props_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("map<string,bigint>")).as("m"))
+        .select(col("event_type"), explode(col("m")))
+        .groupBy(col("event_type"), col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .orderBy(col("event_type"), col("key"))
+    }),
+
     // ---- timestamp parts + date_trunc: daily counts
     "events_daily" -> ((s, d) => {
       Tables.events(s, d)
@@ -187,6 +199,17 @@ object Events {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+
+    "events_props_map" -> """
+      WITH kv AS (
+        SELECT event_type, unnest(json_keys(props)) AS key, props
+        FROM events)
+      SELECT event_type, key, count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+          AS BIGINT) AS sum_v
+      FROM kv
+      GROUP BY event_type, key
+      ORDER BY event_type, key""",
 
     "events_daily" -> s"""
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
