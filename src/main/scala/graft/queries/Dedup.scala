@@ -122,9 +122,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, minJ: Double, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val sh  = docShingles(normalize(docs, idCol, textCol))
-    val inv = inverted(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val invCapped = inv.join(dfc.filter(col("df") <= DfCap), "s")
+    val inv = inverted(sh)
+    // df cap via a count window over the shingle: one shuffle on s (the
+    // groupBy+join formulation costs two), and the capped postings come
+    // out already partitioned by s for the self-join that follows
+    val invCapped = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= DfCap)
       .select(col("doc_id"), col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val common = invCapped.select(col("doc_id").as("a"), col("s"))
