@@ -91,6 +91,28 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- embedding-cosine near-dup: pairs above a similarity threshold,
+    // blocked by the metadata key so no all-pairs product exists. The
+    // threshold sits >4e-4 from every pair's cosine in this corpus, far
+    // above any cross-engine float noise, so membership is deterministic.
+    "dedup_embed_cosine" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+        .withColumn("na", sqrt(dotd(col("ea"), col("ea"))))
+      val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+        .withColumn("nb", sqrt(dotd(col("eb"), col("eb"))))
+      a.join(b, "label")
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(dotd(col("ea"), col("eb")) / (col("na") * col("nb"))
+          >= 0.35)
+        .select(col("label").cast("long").as("label"), col("vec_a"),
+          col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // ---- per-label elementwise centroids on the exact 1e-6 grid (the
     // IVF coarse-quantizer training step, made hash-stable)
     "emb_centroids" -> ((s, d) => {
@@ -201,6 +223,14 @@ object Similarity {
         JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) t
       WHERE rn = 1
       ORDER BY vec_id""",
+
+    "dedup_embed_cosine" -> """
+      SELECT CAST(a.label AS BIGINT) AS label,
+        a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+      ORDER BY vec_a, vec_b""",
 
     "emb_quantize_int8" -> """
       WITH e AS (
