@@ -35,9 +35,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  /** Lower-cased alpha tokens, in document order (duplicates kept). */
-  private def words(c: Column): Column =
-    filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
+  /** Lower-cased alpha tokens, in document order (duplicates kept) — the
+    * one shared tokenizer. */
+  private def words(c: Column): Column = TextOps.tokens(c)
 
   /** Distinct 3-word shingles of a *materialized* token-array column.
     * Built from `slice`+`zip_with` rather than `element_at` inside a

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** THE tokenizer (SURVEY.md §1 observable semantics): a word is a
+    * maximal run of [a-z] after lowercasing; any other byte delimits;
+    * empty tokens never surface. Shared by every text/dedup operator and
+    * pinned by TokenizerSpec. */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
+
   /** Flagship word-count + top-N as a reusable plan. */
   def wordcountTopN(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.documents(s, d)

@@ -24,8 +24,8 @@ class DeterminismSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(total(p, values)) ===
         java.lang.Double.doubleToLongBits(base))
     }
-    assert(java.lang.Double.doubleToLongBits(
-      total(7, scala.util.Random.shuffle(values))) ===
+    val shuffled = new scala.util.Random(7).shuffle(values)
+    assert(java.lang.Double.doubleToLongBits(total(7, shuffled)) ===
       java.lang.Double.doubleToLongBits(base))
   }
 

@@ -13,8 +13,7 @@ class GoldenWordcountSpec extends SparkSpec {
 
   test("flagship wordcount over input.txt matches the golden top-5") {
     val top5 = spark.read.text(inputTxt)
-      .select(explode(split(lower(col("value")), "[^a-z]+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(explode(graft.queries.TextOps.tokens(col("value"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(5)
@@ -27,8 +26,7 @@ class GoldenWordcountSpec extends SparkSpec {
 
   test("total and distinct word counts match the measured corpus stats") {
     val words = spark.read.text(inputTxt)
-      .select(explode(split(lower(col("value")), "[^a-z]+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(explode(graft.queries.TextOps.tokens(col("value"))).as("word"))
     assert(words.count() === 151715L)
     assert(words.distinct().count() === 13173L)
   }
@@ -36,8 +34,7 @@ class GoldenWordcountSpec extends SparkSpec {
   test("typed MapReduce top-k equals the declarative plan on input.txt") {
     import spark.implicits._
     val declarative = spark.read.text(inputTxt)
-      .select(explode(split(lower(col("value")), "[^a-z]+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(explode(graft.queries.TextOps.tokens(col("value"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(20)

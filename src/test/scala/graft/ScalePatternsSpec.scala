@@ -31,14 +31,21 @@ class ScalePatternsSpec extends SparkSpec {
       .saveAsTable("graft_bucketed_a")
     b.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
       .saveAsTable("graft_bucketed_b")
+    // disable auto-broadcast: small tables would otherwise plan a
+    // BroadcastHashJoin and pass vacuously with or without bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("graft_bucketed_a")
         .join(spark.table("graft_bucketed_b"), "id")
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() === 1000L)
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
     }

@@ -20,14 +20,14 @@ class SimilaritySpec extends SparkSpec {
   test("IVF top-k recovers most of brute-force top-k") {
     val brute = graft.queries.Similarity.queries("sim_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = graft.queries.Similarity.ivfTopK(spark, dir, k = 10, nprobe = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRows = graft.queries.Similarity
+      .ivfTopK(spark, dir, k = 10, nprobe = 3).collect()
+    val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall too low")
     // rank 1 (the vector itself) must always survive probing
-    val ivfTop1 = graft.queries.Similarity.ivfTopK(spark, dir, 10, 3)
-      .filter(col("rank") === 1).collect()
-    ivfTop1.foreach(r => assert(r.getLong(0) === r.getLong(2)))
+    ivfRows.filter(_.getLong(1) === 1L)
+      .foreach(r => assert(r.getLong(0) === r.getLong(2)))
   }
 
   test("nn_per_label is symmetric-free and within-label") {

@@ -41,8 +41,7 @@ class SourcesSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(dir, "in.txt"),
       "red green blue\nred GREEN\nred!\n")
     val counts = spark.read.text(dir)
-      .select(explode(split(lower(col("value")), "[^a-z]+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(explode(graft.queries.TextOps.tokens(col("value"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(counts === Map("red" -> 3L, "green" -> 2L, "blue" -> 1L))

@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
   * lowercase. */
 class TokenizerSpec extends SparkSpec {
 
+  // exercises the PRODUCTION tokenizer (TextOps.tokens), not a copy
   private def tokens(text: String): Seq[String] = {
     import spark.implicits._
     Seq(text).toDF("text")
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .select(explode(graft.queries.TextOps.tokens(col("text"))).as("word"))
       .as[String].collect().toSeq
   }
 
