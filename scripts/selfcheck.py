@@ -11,8 +11,9 @@ strictly as the driver:
 
   - column names: exact set (compared sorted-by-name, like the driver hash)
   - arrow dtypes: exact per column (string/large_string unified; timestamp
-    tz dropped — Spark writes tz=UTC instants, DuckDB naive UTC wall time,
-    both the same int64 micros)
+    tz INCLUDED — Spark TimestampType writes tz=UTC, DuckDB yields naive
+    timestamps, and the driver's gate fails on that difference, so query
+    outputs must be timestamp_ntz)
   - row count and ROW ORDER: exact
   - values: exact — floats compared bit-for-bit via struct packing, no
     rounding, no sorted-row fallback, decimals compared with scale
@@ -32,7 +33,11 @@ def canon_type(t: pa.DataType) -> str:
     if pa.types.is_large_string(t) or pa.types.is_string(t):
         return "string"
     if pa.types.is_timestamp(t):
-        return f"timestamp[{t.unit}]"  # tz dropped deliberately
+        # tz KEPT: the driver's gate distinguishes tz-aware (Spark
+        # TimestampType → isAdjustedToUTC=true) from naive (DuckDB /
+        # timestamp_ntz) — dropping it here masked 5 real failures in r2
+        return f"timestamp[{t.unit}, tz={t.tz}]" if t.tz else \
+            f"timestamp[{t.unit}]"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_large_list(t) or pa.types.is_list(t):

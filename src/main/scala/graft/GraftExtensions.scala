@@ -10,5 +10,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.GraftFunctions.dotInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.dotlInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.srpBandsInfo)
   }
 }

@@ -99,16 +99,34 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProductFloat(children(0), children(1)))
 
+  val dotlInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dotl"),
+    new ExpressionInfo(classOf[DotProductLong].getName, "graft_dotl"),
+    (children: Seq[Expression]) => DotProductLong(children(0), children(1)))
+
+  val srpBandsInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_srp_bands"),
+    new ExpressionInfo(classOf[SrpBands].getName, "graft_srp_bands"),
+    (children: Seq[Expression]) => SrpBands(children(0)))
+
+  private val all = Seq(dotInfo, dotlInfo, srpBandsInfo)
+
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(dotInfo._1)) {
-      reg.registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
+    all.foreach { info =>
+      if (!reg.functionExists(info._1)) {
+        reg.registerFunction(info._1, info._2, info._3)
+      }
     }
   }
 
-  /** Column-API wrapper (requires the function registered in the session
+  /** Column-API wrappers (require the functions registered in the session
     * that executes the plan). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
+  def srpBands(xg: Column): Column = call_function("graft_srp_bands", xg)
 }

@@ -235,13 +235,20 @@ object Dedup {
     *
     * Iterates only over nodes that appear in the pair graph (duplicates
     * are rare by definition — the label frontier is tiny relative to the
-    * corpus); singletons get their identity label in one final join. Each
-    * round references `labels` twice (union + join), so an eager
-    * localCheckpoint truncates the lineage — the plan stays one round deep
-    * instead of re-executing 2^k subtrees. The frontier is broadcast into
-    * the (persisted) edge join. At cluster scale the checkpoint would go
-    * to reliable storage and the broadcast hint dropped once the frontier
-    * outgrows the driver. */
+    * corpus); singletons get their identity label in one final join.
+    *
+    * Scale shape: labels keep their natural hash partitioning end to end —
+    * no stage funnels the frontier through one task — and every join is
+    * un-hinted, so AQE broadcasts the frontier while it is small and falls
+    * back to a shuffle join when it is not (nothing is forced through the
+    * driver). Each round references `labels` twice (union + self-join), so
+    * an eager localCheckpoint truncates the lineage — the plan stays one
+    * round deep instead of re-executing 2^k subtrees; at cluster scale the
+    * checkpoint would go to reliable storage. Convergence detection is
+    * folded into the round's aggregation ([[componentsStep]] carries the
+    * previous label through the min-agg), so checking it scans the
+    * already-materialized checkpoint instead of running a second job over
+    * the round's plan. */
   def components(ids: DataFrame, pairs: DataFrame): DataFrame = {
     // both edge directions from a single pass over the pair pipeline
     // (a union of two `pairs` references would execute it twice)
@@ -253,30 +260,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .coalesce(1).localCheckpoint(true)
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      val propagated = edges
-        .join(broadcast(labels.select(col("doc_id").as("src"),
-          col("component"))), "src")
-        .select(col("dst").as("doc_id"), col("component"))
-      // pointer doubling: also pull each node's label's label, so long
-      // chains converge in O(log diameter) rounds rather than O(diameter)
-      val doubled = labels
-        .join(broadcast(labels.select(col("doc_id").as("component"),
-          col("component").as("component2"))), "component")
-        .select(col("doc_id"), col("component2").as("component"))
-      val next = labels.union(propagated).union(doubled)
-        .groupBy(col("doc_id"))
-        .agg(min(col("component")).as("component"))
-        .coalesce(1).localCheckpoint(true)
-      converged = next
-        .join(broadcast(labels.withColumnRenamed("component", "prev")),
-          "doc_id")
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
-      labels = next
+      val next = componentsStep(edges, labels).localCheckpoint(true)
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("component"))
       rounds += 1
     }
     // an unconverged exit would silently split clusters (and diverge from
@@ -284,10 +274,36 @@ object Dedup {
     require(converged,
       s"components() did not converge within $rounds rounds")
     ids.toDF("doc_id")
-      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .orderBy(col("doc_id"))
+  }
+
+  /** One label-propagation round: each node takes the minimum of its own
+    * label, its neighbors' labels, and its label's label (pointer doubling
+    * — long chains converge in O(log diameter) rounds rather than
+    * O(diameter)). Returns (doc_id, component, prev) where `prev` is the
+    * node's label before the round, so convergence is read off the same
+    * materialized frame (`prev` is carried through the min-agg: exactly
+    * one input row per node has it set, and min skips nulls). Exposed for
+    * the plan audit: no stage here may be single-partition. */
+  private[graft] def componentsStep(edges: DataFrame,
+                                    labels: DataFrame): DataFrame = {
+    val nullPrev =
+      lit(null).cast(labels.schema("component").dataType).as("prev")
+    val propagated = edges
+      .join(labels.select(col("doc_id").as("src"), col("component")), "src")
+      .select(col("dst").as("doc_id"), col("component"), nullPrev)
+    val doubled = labels
+      .join(labels.select(col("doc_id").as("component"),
+        col("component").as("component2")), "component")
+      .select(col("doc_id"), col("component2").as("component"), nullPrev)
+    labels
+      .select(col("doc_id"), col("component"), col("component").as("prev"))
+      .union(propagated).union(doubled)
+      .groupBy(col("doc_id"))
+      .agg(min(col("component")).as("component"), min(col("prev")).as("prev"))
   }
 
   /** Incremental dedup for corpus ingest: of a batch of new documents,

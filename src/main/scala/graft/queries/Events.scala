@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * `session_window`, which plans gap-merging inside the aggregation —
   * no self-join, no driver-side state.
   *
-  * Output canonicalization: timestamps surface at microsecond precision
-  * (Verify writes TIMESTAMP_MICROS parquet), int-typed timestamp parts are
+  * Output canonicalization: timestamps surface as `timestamp_ntz` at
+  * microsecond precision — Spark then writes parquet with
+  * `isAdjustedToUTC=false`, the same naive-UTC representation the DuckDB
+  * oracle produces (a raw `TimestampType` would carry `tz=UTC` and fail
+  * the driver's arrow-schema compare). Int-typed timestamp parts are
   * cast to long, and value sums ride the exact cent grid
   * ([[graft.queries.gridSum]]) — so every column is double/long/string/
   * timestamp(us) in both engines.
@@ -31,8 +34,8 @@ object Events {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sumMoney(col("value")).as("sum_value"))
-        .select(col("w.start").as("wstart"), col("event_type"), col("n"),
-          col("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("wstart"), col("event_type"))
     }),
 
@@ -43,7 +46,8 @@ object Events {
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
         .agg(count(lit(1)).as("n"),
           sumMoney(col("value")).as("sum_value"))
-        .select(col("w.start").as("wstart"), col("n"), col("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+          col("n"), col("sum_value"))
         .orderBy(col("wstart"))
     }),
 
@@ -53,7 +57,8 @@ object Events {
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sumMoney(col("value")).as("sum_value"))
-        .select(col("user_id"), col("w.start").as("session_start"),
+        .select(col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
           col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))
     }),
@@ -84,7 +89,7 @@ object Events {
     // ---- timestamp parts + date_trunc: daily counts
     "events_daily" -> ((s, d) => {
       Tables.events(s, d)
-        .select(date_trunc("day", col("ts")).as("day"),
+        .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
           dayofmonth(col("ts")).cast("long").as("dom"),
           hour(col("ts")).as("hr"), col("value"))
         .groupBy(col("day"), col("dom"))
@@ -122,7 +127,8 @@ object Events {
         Tables.events(s, d), "user_id", "ts", "event_id",
         Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey")
         .select(col("id").as("event_id"), col("k").as("user_id"),
-          col("t").as("ts"), col("asof_value").as("asof_orderkey"))
+          col("t").cast("timestamp_ntz").as("ts"),
+          col("asof_value").as("asof_orderkey"))
         .orderBy(col("event_id"))
     }),
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,16 +280,15 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
-    // ---- approximate distinct counting (HyperLogLog++): the 100 TB-scale
-    // substitute for exact count_distinct (no Expand, one pass, fixed-size
-    // sketches merged map-side). Sketch estimates are engine-specific, so
-    // there is no SQL oracle (rows-only check); the test suite bounds the
-    // relative error against the exact count.
+    // ---- distinct counting, hash-gated exact column. The HLL++ companion
+    // ([[approxDistinct]]) is the 100 TB-scale substitute (no Expand, one
+    // pass, fixed-size sketches merged map-side), but sketch estimates are
+    // engine-specific, so the approximate column is exercised and
+    // error-bounded in ApproxDistinctSpec rather than oracle-hashed here.
     "q20_agg_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("n_exact"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -308,7 +307,25 @@ object Relational {
     })
   )
 
+  /** HLL++ approximate distinct next to the exact count — the scale path
+    * for q20 (fixed-size sketches, map-side merged, no Expand). Estimates
+    * are engine-specific, so this surface is exercised by
+    * ApproxDistinctSpec (relative error bounded against `n_exact`)
+    * instead of the DuckDB hash gate. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+      .orderBy(col("l_returnflag"))
+
   val oracles: Map[String, String] = Map(
+    "q20_agg_approx_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

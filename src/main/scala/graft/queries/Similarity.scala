@@ -150,8 +150,71 @@ object Similarity {
     // 3 centroids nearest each query, brute-force only within probed cells.
     // Approximate by construction → no SQL oracle (rows-only check); exact-
     // recall equivalence vs sim_topk is asserted in the test suite.
-    "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, k = 10, nprobe = 3))
+    "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, k = 10, nprobe = 3)),
+
+    // ---- SRP (random-hyperplane) LSH cosine near-dup: the second ANN
+    // family next to IVF — and unlike IVF it IS oracle-checkable, because
+    // every step is exact-integer: hyperplane signs are md5-derived
+    // (cross-engine reproducible), signature bits are sign-of-sum votes
+    // over the 1e-6 grid, band blocking bounds candidates, and the final
+    // cosine-threshold gate is evaluated in integer arithmetic
+    // (10000·dot² ≥ 1225·‖a‖²·‖b‖² over gridded vectors) — bit-identical
+    // in both engines at ANY margin. (The raw-float margin at 0.35 over
+    // cross-label pairs is ~1e-6 in this corpus — far too thin to hash;
+    // the integer gate makes the margin irrelevant.)
+    "dedup_embed_lsh" -> ((s, d) => {
+      srpCosinePairs(Tables.embeddings(s, d))
+    })
   )
+
+  /** SRP-LSH near-dup pairs at (gridded) cosine >= 0.35: 64 md5-derived
+    * Rademacher hyperplanes, 8 bands × 8 bits, verification on candidate
+    * pairs only.
+    *
+    * Scale shape: signature cost is O(N·d·P) rows, linear and hash-
+    * partitioned; the band self-join is bounded by the band width (at
+    * larger N widen the bands, bandBits ≈ log2 N + margin, exactly like
+    * the SimHash note); verification touches only band-colliding pairs.
+    * Recall at a 0.35 threshold (≈70° — close to random's 90°) is
+    * intrinsically modest for SRP; the operator's value grows with the
+    * tightness of the near-dup threshold. */
+  def srpCosinePairs(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val gf = graft.functions.GraftFunctions
+    // exact-integer representation: gridded elements, squared norm, and all
+    // 8 band values — ONE codegen'd projection over the corpus (the
+    // declarative explode-and-reaggregate form shuffled N·dims·planes rows
+    // and hashed an md5 per cell; the sign matrix only depends on
+    // (plane, dim), so graft_srp_bands bakes it in — see
+    // [[graft.functions.SrpBands]])
+    val g = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
+      .withColumn("n2", gf.dotl(col("xg"), col("xg")))
+      .withColumn("bands", gf.srpBands(col("xg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = g.select(col("vec_id"), posexplode(col("bands")))
+      .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
+    val cand = banded
+      .select(col("vec_id").as("a"), col("band_id"), col("band_val"))
+      .join(banded.select(col("vec_id").as("b"), col("band_id"),
+        col("band_val")), Seq("band_id", "band_val"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("bands_hit"))
+    val dec = DecimalType(38, 0)
+    cand
+      .join(g.select(col("vec_id").as("a"), col("xg").as("xa"),
+        col("n2").as("na2")), "a")
+      .join(g.select(col("vec_id").as("b"), col("xg").as("xb"),
+        col("n2").as("nb2")), "b")
+      .withColumn("dot", gf.dotl(col("xa"), col("xb")))
+      .filter(col("dot") > 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(10000) >=
+          col("na2").cast(dec) * col("nb2").cast(dec) * lit(1225))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("bands_hit"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** IVF probe path shared by the query above and the test suite. */
   def ivfTopK(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
@@ -243,6 +306,41 @@ object Similarity {
       FROM e JOIN s ON e.vec_id = s.vec_id
       WHERE s.m > 0
       ORDER BY e.vec_id, e.j""",
+
+    "dedup_embed_lsh" -> """
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      sgn AS (
+        SELECT vec_id, p.range AS p, j,
+          CASE WHEN CAST(('0x' || substr(md5('srp|' || p.range || '|' || j),
+                 1, 1)) AS INT) >= 8
+               THEN xg ELSE -xg END AS s
+        FROM e CROSS JOIN range(0, 64) p),
+      bits AS (SELECT vec_id, p,
+                 CASE WHEN sum(s) > 0 THEN 1 ELSE 0 END AS bit
+               FROM sgn GROUP BY vec_id, p),
+      bands AS (SELECT vec_id, p // 8 AS band_id,
+                  CAST(sum(bit << CAST(p % 8 AS INT)) AS BIGINT) AS band_val
+                FROM bits GROUP BY vec_id, p // 8),
+      cand AS (SELECT a.vec_id AS a, b.vec_id AS b, count(*) AS bands_hit
+               FROM bands a JOIN bands b ON a.band_id = b.band_id
+                 AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+               GROUP BY a.vec_id, b.vec_id),
+      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
+             FROM e GROUP BY vec_id),
+      dots AS (SELECT c.a, c.b, c.bands_hit,
+                 sum(CAST(ea.xg AS HUGEINT) * eb.xg) AS dot
+               FROM cand c
+               JOIN e ea ON ea.vec_id = c.a
+               JOIN e eb ON eb.vec_id = c.b AND eb.j = ea.j
+               GROUP BY c.a, c.b, c.bands_hit)
+      SELECT d.a AS vec_a, d.b AS vec_b, CAST(d.bands_hit AS BIGINT) AS bands_hit
+      FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
+      WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= 1225 * na.n2 * nb.n2
+      ORDER BY vec_a, vec_b""",
 
     "emb_centroids" -> """
       SELECT CAST(label AS BIGINT) AS label, j,

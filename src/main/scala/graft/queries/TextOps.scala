@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` corpus.
@@ -123,29 +123,48 @@ object TextOps {
     // ---- sequence packing for training batches: assign documents (in
     // doc_id order) to fixed token-budget batches — batch_id is the
     // running token count before the document, integer-divided by the
-    // budget. Implemented as a two-phase distributed prefix sum: per-shard
-    // window cumsums plus a tiny shard-offset window (shard count ~
-    // corpus/256 — the only global window runs over that small frame), so
-    // no single task ever sees the whole corpus.
+    // budget. A three-level distributed prefix sum, every level bounded
+    // and partitioned: per-shard window cumsums (≤256 docs/task), shard
+    // offsets within each super-shard (window partitioned by super, ≤256
+    // shards/task), and super-shard offsets via a broadcast triangular
+    // join over the super totals (corpus/65536 rows — each extra level
+    // divides the top frame by 256; add one when this outgrows broadcast).
+    // No window anywhere runs unpartitioned; no task sees the corpus.
     "docs_pack_batches" -> ((s, d) => {
       val budget = 512
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
-          expr("doc_id DIV 256").as("shard"))
+          expr("doc_id DIV 256").as("shard"),
+          expr("doc_id DIV 65536").as("super"))
       val wIn = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Long.MinValue, -1)
       val within = toks.withColumn("within_before",
         coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      val wSh = org.apache.spark.sql.expressions.Window
-        .orderBy(col("shard")).rowsBetween(Long.MinValue, -1)
-      val offsets = toks.groupBy(col("shard"))
+      val shardTots = toks.groupBy(col("super"), col("shard"))
         .agg(sum(col("n_tokens")).as("tot"))
-        .withColumn("offset", coalesce(sum(col("tot")).over(wSh), lit(0L)))
-        .select(col("shard"), col("offset"))
-      within.join(broadcast(offsets), "shard")
-        .withColumn("cum_before", col("offset") + col("within_before"))
+      val wSh = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("super")).orderBy(col("shard"))
+        .rowsBetween(Long.MinValue, -1)
+      // shard determines super, so downstream joins key on shard alone —
+      // `within` is already hash-partitioned by shard from its window, and
+      // AQE picks broadcast vs shuffle for the (corpus/256-row) offset side
+      val shardOffsets = shardTots
+        .withColumn("shard_off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
+        .select(col("shard"), col("super").as("ssuper"), col("shard_off"))
+      val superTots = shardTots.groupBy(col("super"))
+        .agg(sum(col("tot")).as("stot"))
+      val superOffsets = superTots.as("a")
+        .join(broadcast(superTots.as("b")),
+          col("b.super") < col("a.super"), "left_outer")
+        .groupBy(col("a.super").as("ssuper"))
+        .agg(coalesce(sum(col("b.stot")), lit(0L)).as("super_off"))
+      within.drop("super")
+        .join(shardOffsets, "shard")
+        .join(broadcast(superOffsets), "ssuper")
+        .withColumn("cum_before",
+          col("super_off") + col("shard_off") + col("within_before"))
         .select(col("doc_id"), col("n_tokens"),
           expr(s"cum_before DIV $budget").as("batch_id"))
         .orderBy(col("doc_id"))
@@ -155,26 +174,38 @@ object TextOps {
     // every 8-char gram, slide a 4-hash window, keep each window's minimum
     // — the classic local document fingerprint for plagiarism/near-dup
     // detection. Output is the distinct fingerprint set per document.
-    // Scale: one explode + one per-document window — partitioned by
-    // doc_id, no cross-document state.
+    //
+    // Entirely array-level per document: grams by doubling (chars → 2- →
+    // 4- → 8-grams, each a zip_with of two slices of the PREVIOUS level, so
+    // lambdas only touch their own arguments — an outer-column reference
+    // inside a lambda re-evaluates the upstream expression per element),
+    // window minima the same way (pairwise least, doubled). The r2 version
+    // exploded every char position through a per-doc window + a global
+    // distinct — three shuffles of O(total chars) rows; this has NO
+    // shuffle before the final sort, and per-doc dedup (`array_distinct`)
+    // replaces the global distinct. No cross-document state.
     "text_winnow_fingerprint" -> ((s, d) => {
-      val k = 8
-      val grams = Tables.documents(s, d)
+      // pairwise combine of x[i] and x[i+off]: out[i] = f(x[i], x[i+off]),
+      // length max(size-off, 0) — the doubling step for grams and minima
+      def dbl(x: Column, off: Int,
+              f: (Column, Column) => Column): Column = {
+        val n = greatest(size(x) - off, lit(0))
+        zip_with(slice(x, lit(1), n), slice(x, lit(off + 1), n), f)
+      }
+      Tables.documents(s, d)
         .select(col("doc_id"), lower(col("text")).as("t"))
-        .withColumn("n", length(col("t")))
-        .select(col("doc_id"), col("t"),
-          explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("doc_id"), col("i"),
-          expr(s"conv(substring(md5(cast(substring(t, i, $k) AS BINARY)), 1, 8), 16, 10)")
-            .cast("long").as("h"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("i"))
-        .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
-      grams
-        .withColumn("fp", min(col("h")).over(win))
-        .filter(col("i") >= 4)
-        .select(col("doc_id"), col("fp")).distinct()
+        // slice to exactly length(t) chars — split on the empty pattern
+        // may append a trailing empty string, which would shift grams
+        .select(col("doc_id"),
+          slice(split(col("t"), ""), lit(1), length(col("t"))).as("cs"))
+        .withColumn("g2", dbl(col("cs"), 1, concat(_, _)))
+        .withColumn("g4", dbl(col("g2"), 2, concat(_, _)))
+        .withColumn("g8", dbl(col("g4"), 4, concat(_, _)))
+        .withColumn("hs", transform(col("g8"), g =>
+          conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")))
+        .withColumn("m2", dbl(col("hs"), 1, least(_, _)))
+        .select(col("doc_id"),
+          explode(array_distinct(dbl(col("m2"), 2, least(_, _)))).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
     }),
 

@@ -1,11 +1,12 @@
 package graft
 
-/** The HLL++ sketch is engine-specific (hence no DuckDB oracle), so bound
-  * its relative error against the exact distinct count instead. */
+/** The HLL++ sketch is engine-specific (hence exercised here, not in the
+  * DuckDB oracle gate): bound its relative error against the exact
+  * distinct count. The hash-gated q20 query carries only `n_exact`. */
 class ApproxDistinctSpec extends SparkSpec {
 
   test("approx_count_distinct is within 5% of exact at sf0.01") {
-    val rows = SparkEntry.queries("q20_agg_approx_distinct")(
+    val rows = queries.Relational.approxDistinct(
       spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>

@@ -49,4 +49,29 @@ class PlanAuditSpec extends SparkSpec {
   test("similarity scoring runs the native codegen'd dot product") {
     assert(plan("sim_topk").contains("graft_dot"))
   }
+
+  test("components rounds have no single-partition stage") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "component")
+    val p = graft.queries.Dedup.componentsStep(edges, labels)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Coalesce"), "label frontier funneled through coalesce")
+    assert(!p.contains("SinglePartition"),
+      "a components round planned a single-partition exchange")
+  }
+
+  test("docs_pack_batches has no unpartitioned window") {
+    val p = plan("docs_pack_batches")
+    assert(!p.contains("SinglePartition"),
+      "prefix-sum level planned a single-partition exchange")
+    assert(!p.contains("Coalesce"))
+  }
+
+  test("winnow fingerprint is shuffle-free before the final sort") {
+    val p = plan("text_winnow_fingerprint")
+    assert(!p.contains("Window"), "char-level window shuffle reappeared")
+    assert(!p.contains("HashAggregate"), "global distinct reappeared")
+    assert(!p.contains("SinglePartition"))
+  }
 }

@@ -30,6 +30,40 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) === r.getLong(2)))
   }
 
+  test("SRP-LSH: identical vectors collide on every band and pass the gate") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => math.sin(i + 1.0).toFloat).toArray
+    val w = (0 until 64).map(i => math.cos(i * 2 + 1.0).toFloat).toArray
+    val emb = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val out = graft.queries.Similarity.srpCosinePairs(emb).collect()
+    // identical signatures agree on all 8 bands and cos=1 passes any gate;
+    // the near-orthogonal third vector must not pair with either
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(out.head.getLong(2) === 8L)
+  }
+
+  test("SRP-LSH fixture pairs satisfy the exact integer cosine gate") {
+    val sfDir = "/root/testdata/sf0.01"
+    val out = graft.queries.Similarity.queries("dedup_embed_lsh")(
+      spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1e6 + 0.5).toLong))
+      .toMap
+    out.foreach { r =>
+      val (a, b, hits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(hits >= 1 && hits <= 8)
+      val (xa, xb) = (emb(a), emb(b))
+      val dot = BigInt(xa.zip(xb).map { case (x, y) => x * y }.sum)
+      val na2 = BigInt(xa.map(x => x * x).sum)
+      val nb2 = BigInt(xb.map(x => x * x).sum)
+      assert(dot > 0 && dot * dot * 10000 >= na2 * nb2 * 1225,
+        s"pair ($a,$b) fails the 0.35 integer cosine gate")
+    }
+  }
+
   test("nn_per_label is symmetric-free and within-label") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
