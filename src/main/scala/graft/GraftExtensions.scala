@@ -12,5 +12,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.dotInfo)
     ext.injectFunction(graft.functions.GraftFunctions.dotlInfo)
     ext.injectFunction(graft.functions.GraftFunctions.srpBandsInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.shinglesInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.simhashInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.minhashSigInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.winnowInfo)
   }
 }

@@ -111,7 +111,32 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SrpBands].getName, "graft_srp_bands"),
     (children: Seq[Expression]) => SrpBands(children(0)))
 
-  private val all = Seq(dotInfo, dotlInfo, srpBandsInfo)
+  val shinglesInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
+    (children: Seq[Expression]) => GraftShingles(children(0)))
+
+  val simhashInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[GraftSimhash].getName, "graft_simhash"),
+    (children: Seq[Expression]) => GraftSimhash(children(0)))
+
+  val minhashSigInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_sig"),
+    new ExpressionInfo(classOf[GraftMinhashSig].getName, "graft_minhash_sig"),
+    (children: Seq[Expression]) => GraftMinhashSig(children(0)))
+
+  val winnowInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
+    (children: Seq[Expression]) => GraftWinnow(children(0)))
+
+  private val all = Seq(dotInfo, dotlInfo, srpBandsInfo, shinglesInfo,
+    simhashInfo, minhashSigInfo, winnowInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. */
@@ -129,4 +154,8 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
   def srpBands(xg: Column): Column = call_function("graft_srp_bands", xg)
+  def shingles(text: Column): Column = call_function("graft_shingles", text)
+  def simhash(text: Column): Column = call_function("graft_simhash", text)
+  def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
+  def winnow(text: Column): Column = call_function("graft_winnow", text)
 }

@@ -1,0 +1,295 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing kernels for the dedup/fingerprint family.
+  *
+  * Each expression here replaces a declarative formulation whose hot loop
+  * ran as *interpreted* higher-order functions (`filter`/`zip_with`/
+  * `transform` bind lambda variables per element) or as a row-exploding
+  * aggregation (SimHash's 60-bits-per-token explode, MinHash's
+  * posting-level groupBy). The semantics are bit-identical to the
+  * declarative forms — pinned by `TextHashSpec`, which evaluates both on
+  * the real corpus — so the DuckDB oracle SQL is unchanged; only the
+  * Spark-side plan gets cheaper (projection-local, whole-stage codegen,
+  * no shuffle/explode for per-document values).
+  *
+  * Shared tokenizer contract (same as `TextOps.tokens`, the reference's
+  * observable tokenization, `/root/reference/slave.cc:77-98`): a token is
+  * a maximal run of [a-z] after lowercasing; any other byte delimits. The
+  * kernels lowercase ASCII bytes only (A–Z → a–z) and treat every byte ≥
+  * 0x80 as a delimiter, which is exactly `split(lower(text), "[^a-z]+")`
+  * for ASCII text (the driver corpus is ASCII; asserted in spec). All md5
+  * primitives match the cross-engine recipe used everywhere else:
+  * `int(hex(md5(x))[i, n])` is the same value in Spark, DuckDB, and here.
+  */
+object TextHashKernels {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of a digest = first 15 hex chars parsed base-16. */
+  @inline private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Maximal [a-z] runs after ASCII lowercasing (see object doc). */
+  private def tokenize(b: Array[Byte]): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < b.length) {
+      var c = b(i) & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c >= 'a' && c <= 'z') sb.append(c.toChar)
+      else if (sb.length > 0) { out.add(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out.add(sb.toString)
+    out
+  }
+
+  /** Distinct space-joined 3-word shingles, first-occurrence order —
+    * `array_distinct(zip_with(zip_with(slice...)))` over the shared
+    * tokenizer, in one compiled pass. */
+  def shingles(s: UTF8String): ArrayData = {
+    val toks = tokenize(s.getBytes)
+    val n = toks.size
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit SimHash: per token h = first 60 bits of md5("99|" + token),
+    * output bit j set iff strictly more tokens have bit j set than clear
+    * (multiplicity counts). NULL when the document has no tokens — the
+    * aggregation form simply had no row for such documents. */
+  def simhash(s: UTF8String): java.lang.Long = {
+    val toks = tokenize(s.getBytes)
+    if (toks.isEmpty) return null
+    val counts = new Array[Int](60)
+    val digest = md5.get()
+    var i = 0
+    while (i < toks.size) {
+      digest.reset()
+      val h = top60(digest.digest(
+        ("99|" + toks.get(i)).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) r |= 1L << j; j += 1 }
+    java.lang.Long.valueOf(r)
+  }
+
+  /** MinHash signature of a shingle array: the classic linear family
+    * h_i = h1 + i*h2 with h1 = hex[1..15] and h2 = hex[16..23] of
+    * md5(shingle), minimized per permutation. NULL for an empty array —
+    * such documents had no postings and therefore no signature row. */
+  def minhashSig(a: ArrayData, numPerm: Int): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val digest = md5.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val d = digest.digest(a.getUTF8String(i).getBytes)
+      val h1 = top60(d)
+      // hex chars 16..23 (1-based): low nibble of byte 7 through high
+      // nibble of byte 11 — a 32-bit value, so i*h2 never overflows
+      val h2 = ((d(7) & 0x0fL) << 28) | ((d(8) & 0xffL) << 20) |
+        ((d(9) & 0xffL) << 12) | ((d(10) & 0xffL) << 4) |
+        ((d(11) & 0xf0L) >>> 4)
+      var p = 0
+      while (p < numPerm) {
+        val h = h1 + p * h2
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): ASCII-lower
+    * the text, hash every 8-byte gram (first 8 hex chars of md5 → long),
+    * take each 4-gram window's minimum, return the distinct minima in
+    * first-occurrence order. Empty array when the text is shorter than 11
+    * bytes (no complete window). */
+  def winnow(s: UTF8String): ArrayData = {
+    // getBytes may return the row's backing array — clone before the
+    // in-place lowercase below or the mutation corrupts the source column
+    val b = s.getBytes.clone()
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'A' && c <= 'Z') b(i) = (c + 32).toByte
+      i += 1
+    }
+    val nh = b.length - 7
+    if (nh < 4) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](nh)
+    val digest = md5.get()
+    i = 0
+    while (i < nh) {
+      digest.reset()
+      digest.update(b, i, 8)
+      val d = digest.digest()
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    i = 0
+    while (i + 3 < nh) {
+      var m = hs(i)
+      if (hs(i + 1) < m) m = hs(i + 1)
+      if (hs(i + 2) < m) m = hs(i + 2)
+      if (hs(i + 3) < m) m = hs(i + 3)
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_shingles(text)` → array<string>: distinct 3-word shingles. */
+case class GraftShingles(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHashKernels.shingles($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(text)` → long: 60-bit SimHash; NULL when no tokens. */
+case class GraftSimhash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = graft.functions.TextHashKernels.simhash($x);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_sig(shingles)` → array<long> of 16 permutation minima;
+  * NULL for an empty shingle array. */
+case class GraftMinhashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.minhashSig(input.asInstanceOf[ArrayData],
+      GraftMinhashSig.NumPerm)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.TextHashKernels.minhashSig(
+         |    $x, ${GraftMinhashSig.NumPerm});
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftMinhashSig {
+  /** 16 permutations, banded 4×4 by the LSH layer. */
+  val NumPerm = 16
+}
+
+/** `graft_winnow(text)` → array<long>: distinct winnowing fingerprints. */
+case class GraftWinnow(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.winnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHashKernels.winnow($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

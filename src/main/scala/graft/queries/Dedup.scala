@@ -35,30 +35,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  /** Lower-cased alpha tokens, in document order (duplicates kept) — the
-    * one shared tokenizer. */
-  private def words(c: Column): Column = TextOps.tokens(c)
-
-  /** Distinct 3-word shingles of a *materialized* token-array column.
-    * Built from `slice`+`zip_with` rather than `element_at` inside a
-    * lambda: a lambda body that references the outer array column defeats
-    * the optimizer's common-subexpression guard, so the upstream
-    * tokenization would be re-evaluated per element (measured 20×
-    * slower). Slices reference the array only outside lambdas. */
-  private def shingles(ws: Column): Column = {
-    val n = greatest(size(ws) - 2, lit(0))
-    array_distinct(zip_with(
-      zip_with(slice(ws, lit(1), n), slice(ws, lit(2), n),
-        (a, b) => concat_ws(" ", a, b)),
-      slice(ws, lit(3), n),
-      (ab, c) => concat_ws(" ", ab, c)))
-  }
-
-  /** Cross-engine 60-bit hash: first 15 hex chars of md5(seed || '|' || s). */
-  private def hash60(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed|"), c).cast("binary")), 1, 15),
-      16, 10).cast("long")
-
   private val NumPerm = 16
   private val Bands = 4 // 4 bands × 4 rows
   private val DfCap = 1000
@@ -68,18 +44,23 @@ object Dedup {
                         textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-  /** (doc_id, shingles); tokenization staged into its own projection so it
-    * is evaluated once per document. */
-  private def docShingles(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("ws", words(col("text")))
-      .select(col("doc_id"), shingles(col("ws")).as("shingles"))
+  /** (doc_id, shingles): distinct 3-word shingles over the shared
+    * tokenizer, via the native codegen'd kernel (the declarative
+    * `zip_with`-of-slices form runs interpreted per element; equivalence
+    * is pinned in TextHashSpec). */
+  private def docShingles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.shingles(col("text")).as("shingles"))
+  }
 
   /** Distinct (doc_id, s) inverted postings. */
   private def inverted(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), explode(col("shingles")).as("s"))
 
-  /** Join candidate pairs to sizes and keep those with Jaccard >= minJ. */
+  /** Join candidate pairs to sizes and keep those with Jaccard >= minJ.
+    * Unsorted — callers that surface the pairs add the total sort; graph
+    * consumers (components) skip it. */
   private def jaccardFilter(common: DataFrame, sh: DataFrame,
                             minJ: Double): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
@@ -91,7 +72,6 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
         col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ------------------------------------------------------------ public API
@@ -120,7 +100,16 @@ object Dedup {
     * self-join's aggregation — one shuffle join + one groupBy, never a
     * candidates×postings re-join. */
   def jaccardPairs(docs: DataFrame, minJ: Double, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    jaccardPairsUnsorted(docs, minJ, idCol, textCol)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[jaccardPairs]] without the final total sort — for graph consumers
+    * (components) whose edge builder doesn't need ordered pairs; skipping
+    * it saves a range-partition + sort stage. */
+  private[graft] def jaccardPairsUnsorted(docs: DataFrame, minJ: Double,
+                                          idCol: String = "doc_id",
+                                          textCol: String = "text"): DataFrame = {
     val sh  = docShingles(normalize(docs, idCol, textCol))
     val inv = inverted(sh)
     // df cap via a count window over the shingle: one shuffle on s (the
@@ -142,27 +131,27 @@ object Dedup {
 
   /** MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup pairs, verified
     * by exact Jaccard >= minJ. Permutations are the classic linear family
-    * h_i = h1 + i*h2 over ONE md5 per posting (h1: 60 bits, h2: 32 bits →
-    * no 64-bit overflow), so signature cost is one hash per posting. */
+    * h_i = h1 + i*h2 over ONE md5 per shingle (h1: 60 bits, h2: 32 bits →
+    * no 64-bit overflow), computed per document by the native
+    * `graft_minhash_sig` kernel — no posting explode, no signature
+    * groupBy: the only shuffles left are the tiny band self-join (4 rows
+    * per doc) and the candidate joins. Verification intersects the two
+    * persisted shingle arrays directly (`array_intersect` over distinct
+    * arrays == the posting-join count), so candidates never re-join the
+    * posting table. */
   def minhashLshPairs(docs: DataFrame, minJ: Double,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val sh  = docShingles(normalize(docs, idCol, textCol))
-    val inv = inverted(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    val hashed = inv.select(col("doc_id"),
-      conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
-        .cast("long").as("h1"),
-      conv(substring(md5(col("s").cast("binary")), 16, 8), 16, 10)
-        .cast("long").as("h2"))
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(min(col("h1") + lit(0) * col("h2")).as("m0"),
-        (1 until NumPerm).map(i =>
-          min(col("h1") + lit(i) * col("h2")).as(s"m$i")): _*)
+    val sh = docShingles(normalize(docs, idCol, textCol))
+      .filter(size(col("shingles")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhashSig(col("shingles")).as("ms"))
+    val rowsPerBand = NumPerm / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band_id"),
-        md5(concat_ws(",", (0 until NumPerm / Bands).map(r =>
-          col(s"m${b * (NumPerm / Bands) + r}").cast("string")): _*)
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("ms"), b * rowsPerBand + r + 1).cast("string")): _*)
           .cast("binary")).as("h"))
     }
     val bands = sig.select(col("doc_id"),
@@ -173,33 +162,32 @@ object Dedup {
         Seq("band_id", "h"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    // verification touches only candidate pairs: two hash joins against
-    // the (persisted) postings plus one count aggregation
-    val common = cand
-      .join(inv.select(col("doc_id").as("a"), col("s")), "a")
-      .join(inv.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"))
-    jaccardFilter(common, sh, minJ)
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("common") * lit(1.0) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 60-bit SimHash signature per document: bitwise majority vote of token
-    * hashes, token multiplicity = weight. */
+    * hashes (h = first 60 bits of md5("99|" || token)), token multiplicity
+    * = weight. Computed per document by the native `graft_simhash` kernel —
+    * a pure projection, where the aggregation form exploded every token
+    * ×60 bits through two shuffles. Documents with no tokens are absent
+    * (the kernel yields NULL), exactly as they had no aggregation rows. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val tok = normalize(docs, idCol, textCol)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .select(col("doc_id"), hash60(99, col("w")).as("h"))
-    tok
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"))
-        .as("sgn"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("sgn") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-        .cast("long").as("simhash"))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    normalize(docs, idCol, textCol)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup pairs at Hamming distance <= 3, found via 15-bit
@@ -341,7 +329,7 @@ object Dedup {
 
     "dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      val pairs = jaccardPairs(Tables.documents(s, d), 0.6)
+      val pairs = jaccardPairsUnsorted(Tables.documents(s, d), 0.6)
         .select(col("doc_a"), col("doc_b"))
       components(docs, pairs)
     }),

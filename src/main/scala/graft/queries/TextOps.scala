@@ -175,37 +175,17 @@ object TextOps {
     // — the classic local document fingerprint for plagiarism/near-dup
     // detection. Output is the distinct fingerprint set per document.
     //
-    // Entirely array-level per document: grams by doubling (chars → 2- →
-    // 4- → 8-grams, each a zip_with of two slices of the PREVIOUS level, so
-    // lambdas only touch their own arguments — an outer-column reference
-    // inside a lambda re-evaluates the upstream expression per element),
-    // window minima the same way (pairwise least, doubled). The r2 version
-    // exploded every char position through a per-doc window + a global
-    // distinct — three shuffles of O(total chars) rows; this has NO
-    // shuffle before the final sort, and per-doc dedup (`array_distinct`)
-    // replaces the global distinct. No cross-document state.
+    // One native codegen'd kernel per document (`graft_winnow`; the r2
+    // array-HOF doubling formulation ran interpreted per element, and the
+    // r1 char-explode + window form shuffled O(total chars) rows) — still
+    // no shuffle before the final sort and no cross-document state, but
+    // the gram-hash loop is compiled. Equivalence to the declarative form
+    // is pinned in TextHashSpec.
     "text_winnow_fingerprint" -> ((s, d) => {
-      // pairwise combine of x[i] and x[i+off]: out[i] = f(x[i], x[i+off]),
-      // length max(size-off, 0) — the doubling step for grams and minima
-      def dbl(x: Column, off: Int,
-              f: (Column, Column) => Column): Column = {
-        val n = greatest(size(x) - off, lit(0))
-        zip_with(slice(x, lit(1), n), slice(x, lit(off + 1), n), f)
-      }
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, d)
-        .select(col("doc_id"), lower(col("text")).as("t"))
-        // slice to exactly length(t) chars — split on the empty pattern
-        // may append a trailing empty string, which would shift grams
         .select(col("doc_id"),
-          slice(split(col("t"), ""), lit(1), length(col("t"))).as("cs"))
-        .withColumn("g2", dbl(col("cs"), 1, concat(_, _)))
-        .withColumn("g4", dbl(col("g2"), 2, concat(_, _)))
-        .withColumn("g8", dbl(col("g4"), 4, concat(_, _)))
-        .withColumn("hs", transform(col("g8"), g =>
-          conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")))
-        .withColumn("m2", dbl(col("hs"), 1, least(_, _)))
-        .select(col("doc_id"),
-          explode(array_distinct(dbl(col("m2"), 2, least(_, _)))).as("fp"))
+          explode(graft.functions.GraftFunctions.winnow(col("text"))).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
     }),
 

@@ -1,0 +1,176 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pins every native text-hash kernel (graft_shingles / graft_simhash /
+  * graft_minhash_sig / graft_winnow) to its declarative built-in-function
+  * formulation, row for row on the real corpus — the native expressions
+  * are pure performance rewrites, so ANY divergence from the declarative
+  * semantics (which the DuckDB oracles replicate independently) is a bug.
+  * Edge cases (empty text, no tokens, short text, nulls) are covered with
+  * literal rows.
+  */
+class TextHashSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private lazy val docs = {
+    GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, d).select(col("doc_id"), col("text"))
+  }
+
+  private lazy val edgeDocs = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""),                          // empty text
+      (3L, "12345 67890 !!!"),           // no alpha tokens
+      (4L, "one two"),                   // < 3 tokens -> no shingles
+      (5L, "UPPER lower MiXeD case runs"),
+      (6L, "short"),                     // < 11 chars -> no winnow window
+      (7L, "exactly11ch"),               // 11 chars -> one winnow window
+      (8L, "a b a b a b repeated bigram tokens a b"),
+      (9L, null.asInstanceOf[String])    // null text
+    ).toDF("doc_id", "text")
+  }
+
+  // ---- declarative reference formulations (the pre-kernel plans) ----
+
+  private def declWords(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
+
+  private def declShingles(ws: Column): Column = {
+    val n = greatest(size(ws) - 2, lit(0))
+    array_distinct(zip_with(
+      zip_with(slice(ws, lit(1), n), slice(ws, lit(2), n),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(ws, lit(3), n),
+      (ab, c) => concat_ws(" ", ab, c)))
+  }
+
+  private def declSimhash(df: DataFrame): DataFrame = {
+    val hash60 = (c: Column) =>
+      conv(substring(md5(concat(lit("99|"), c).cast("binary")), 1, 15),
+        16, 10).cast("long")
+    df.select(col("doc_id"), explode(declWords(col("text"))).as("w"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as("sgn"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sgn") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+        .cast("long").as("simhash"))
+  }
+
+  private def declMinhashSig(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        explode(declShingles(declWords(col("text")))).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h1"),
+        conv(substring(md5(col("s").cast("binary")), 16, 8), 16, 10)
+          .cast("long").as("h2"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h1")).as("m0"),
+        (1 until 16).map(i => min(col("h1") + lit(i) * col("h2"))
+          .as(s"m$i")): _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*)
+        .as("ms"))
+
+  private def declWinnow(df: DataFrame): DataFrame = {
+    def dbl(x: Column, off: Int, f: (Column, Column) => Column): Column = {
+      val n = greatest(size(x) - off, lit(0))
+      zip_with(slice(x, lit(1), n), slice(x, lit(off + 1), n), f)
+    }
+    df.filter(col("text").isNotNull)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        slice(split(col("t"), ""), lit(1), length(col("t"))).as("cs"))
+      .withColumn("g2", dbl(col("cs"), 1, concat(_, _)))
+      .withColumn("g4", dbl(col("g2"), 2, concat(_, _)))
+      .withColumn("g8", dbl(col("g4"), 4, concat(_, _)))
+      .withColumn("hs", transform(col("g8"), g =>
+        conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")))
+      .withColumn("m2", dbl(col("hs"), 1, least(_, _)))
+      .select(col("doc_id"),
+        array_distinct(dbl(col("m2"), 2, least(_, _))).as("fps"))
+  }
+
+  // ---- equivalence on corpus + edge rows ----
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val left = a.collect().toSeq
+    val right = b.collect().toSeq
+    assert(left == right)
+  }
+
+  test("corpus is ASCII — the kernels' byte-level contract holds") {
+    assert(docs.filter(col("text").rlike("[^\\x00-\\x7F]")).isEmpty)
+  }
+
+  for ((name, df) <- Seq(("corpus", () => docs), ("edge", () => edgeDocs))) {
+
+    test(s"graft_shingles == declarative shingles ($name)") {
+      assertSameRows(
+        df().select(col("doc_id"),
+          GraftFunctions.shingles(col("text")).as("sh"))
+          .orderBy(col("doc_id")),
+        df().select(col("doc_id"),
+          declShingles(declWords(col("text"))).as("sh"))
+          .orderBy(col("doc_id")))
+    }
+
+    test(s"graft_simhash == declarative simhash ($name)") {
+      assertSameRows(
+        df().select(col("doc_id"),
+          GraftFunctions.simhash(col("text")).as("simhash"))
+          .filter(col("simhash").isNotNull)
+          .orderBy(col("doc_id")),
+        declSimhash(df()).orderBy(col("doc_id")))
+    }
+
+    test(s"graft_minhash_sig == declarative signature ($name)") {
+      assertSameRows(
+        df().select(col("doc_id"),
+          GraftFunctions.minhashSig(
+            GraftFunctions.shingles(col("text"))).as("ms"))
+          .filter(col("ms").isNotNull)
+          .orderBy(col("doc_id")),
+        declMinhashSig(df()).orderBy(col("doc_id")))
+    }
+
+    test(s"graft_winnow == declarative winnow ($name)") {
+      assertSameRows(
+        df().filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            GraftFunctions.winnow(col("text")).as("fps"))
+          .orderBy(col("doc_id")),
+        declWinnow(df()).orderBy(col("doc_id")))
+    }
+  }
+
+  test("null text yields null shingles/simhash/winnow") {
+    val r = edgeDocs.filter(col("doc_id") === 9)
+      .select(GraftFunctions.shingles(col("text")).as("sh"),
+        GraftFunctions.simhash(col("text")).as("si"),
+        GraftFunctions.winnow(col("text")).as("wi"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("kernels run inside whole-stage codegen (non-interpreted path)") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val p = docs.select(GraftFunctions.shingles(col("text")),
+        GraftFunctions.simhash(col("text")),
+        GraftFunctions.winnow(col("text")))
+      .queryExecution.explainString(FormattedMode)
+    // FormattedMode tags every node inside a codegen stage with its id —
+    // the projection carrying the kernels must be in one
+    assert(p.contains("[codegen id :"), p)
+  }
+}
