@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Multimodal.queries ++
+      graft.queries.SqlSurface.queries ++
       graft.operators.MapReduce.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
       graft.queries.Multimodal.oracles ++
+      graft.queries.SqlSurface.oracles ++
       graft.operators.MapReduce.oracles
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL string entry point — the `spark.sql` surface of the engine.
+  *
+  * [[registerViews]] exposes every driver table as a temp view (through
+  * the [[graft.Tables]] loaders, so the events nanos handling applies)
+  * and registers the native graft_* functions, after which any ANSI SQL
+  * string runs against the corpus — including the engine's own Catalyst
+  * expressions (`graft_simhash(text)` straight from SQL).
+  *
+  * The queries below put that surface through the driver's DuckDB hash
+  * gate: one per SQL capability family (lateral explode + agg, the exact
+  * integer-grid aggregate convention, window functions over a join, and a
+  * native-function call), each the same plan Catalyst builds for the
+  * DataFrame formulation — SQL here is a parser frontend, not a second
+  * engine, so scans/pushdown/broadcasts are identical.
+  */
+object SqlSurface {
+
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Idempotently (re)bind all driver tables for `dir` as temp views +
+    * register native functions. Memoized per (session, dir): binding reads
+    * ten parquet footers for schema inference, which would otherwise be
+    * paid on every query call; a dir change re-binds. */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    if (dir == registeredDir.get(s)) return
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => Tables.table(s, dir, n).createOrReplaceTempView(n))
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    registeredDir.put(s, dir)
+  }
+
+  private def sql(q: String): Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(q)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- the flagship word count, as a SQL string (lateral explode +
+    // lambda filter + agg + top-N — Catalyst plans the same bounded heap)
+    "sql_wordcount_topn" -> sql("""
+      SELECT word, count(*) AS cnt FROM (
+        SELECT explode(filter(split(lower(text), '[^a-z]+'),
+                              w -> length(w) > 0)) AS word
+        FROM documents) t
+      GROUP BY word
+      ORDER BY cnt DESC, word ASC
+      LIMIT 20"""),
+
+    // ---- TPC-H Q1 shape in SQL, on the exact integer-grid convention
+    // (floor(x*scale + 0.5) summed as decimal(38,0), surfaced as DOUBLE —
+    // identical expression in the oracle, see queries/package.scala)
+    "sql_pricing_summary" -> sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_qty,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_base_price,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_charge,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+
+    // ---- window function over a broadcast join, in SQL: top-3 orders per
+    // market segment. The rank filter applies to the RAW row_number so the
+    // optimizer rewrites it to a WindowGroupLimit (per-group bounded heap);
+    // the BIGINT cast (row_number is int32 in Spark, int64 in DuckDB)
+    // happens outside, where it can't block that rewrite.
+    "sql_top_orders_per_segment" -> sql("""
+      SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey FROM (
+        SELECT c_mktsegment, o_orderkey,
+          row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rnk <= 3
+      ORDER BY c_mktsegment, rnk"""),
+
+    // ---- the engine's native Catalyst expression called from SQL text:
+    // same output as dedup_simhash (and the same DuckDB oracle)
+    "sql_simhash" -> sql("""
+      SELECT doc_id, simhash FROM (
+        SELECT doc_id, graft_simhash(text) AS simhash FROM documents) t
+      WHERE simhash IS NOT NULL
+      ORDER BY doc_id""")
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sql_wordcount_topn" -> TextOps.oracles("wordcount_topn"),
+    "sql_pricing_summary" -> Relational.oracles("q01_pricing_summary"),
+    "sql_top_orders_per_segment" -> """
+      SELECT c_mktsegment, rnk, o_orderkey FROM (
+        SELECT c_mktsegment, o_orderkey,
+          CAST(row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rnk <= 3
+      ORDER BY c_mktsegment, rnk""",
+    "sql_simhash" -> Dedup.oracles("dedup_simhash")
+  )
+}

@@ -50,6 +50,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("sim_topk").contains("graft_dot"))
   }
 
+  test("SQL frontend gets the same physical optimizations (group-limit, " +
+    "broadcast join)") {
+    val p = plan("sql_top_orders_per_segment")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("components rounds have no single-partition stage") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL string surface must agree with the DataFrame surface — same
+  * engine, two frontends. Each sql_* query is cross-checked against its
+  * DataFrame twin (where one exists) on the smallest fixture; the DuckDB
+  * oracle gate re-checks all of them independently at sf0.01. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, d).collect().toSeq
+
+  test("sql_wordcount_topn == wordcount_topn (DataFrame)") {
+    assert(rows("sql_wordcount_topn") == rows("wordcount_topn"))
+  }
+
+  test("sql_pricing_summary == q01_pricing_summary (DataFrame)") {
+    assert(rows("sql_pricing_summary") == rows("q01_pricing_summary"))
+  }
+
+  test("sql_simhash == dedup_simhash (DataFrame)") {
+    assert(rows("sql_simhash") == rows("dedup_simhash"))
+  }
+
+  test("sql_top_orders_per_segment: 3 per segment, schema long-typed") {
+    val df = SparkEntry.queries("sql_top_orders_per_segment")(spark, d)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val bySeg = out.groupBy(_.getString(0))
+    assert(bySeg.values.forall(_.length <= 3))
+    assert(df.schema("rnk").dataType.typeName == "long")
+  }
+
+  test("registered views + native functions answer ad-hoc SQL") {
+    graft.queries.SqlSurface.registerViews(spark, d)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    // events view carries the micros-truncated timestamp, not raw nanos
+    assert(spark.sql("SELECT ts FROM events").schema("ts")
+      .dataType.typeName.startsWith("timestamp"))
+  }
+
+  test("every sql_* query has an oracle") {
+    val sqlQueries = SparkEntry.queries.keySet.filter(_.startsWith("sql_"))
+    assert(sqlQueries.nonEmpty)
+    assert(sqlQueries.subsetOf(SparkEntry.oracleSql.keySet))
+  }
+}
