@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.SqlSurface.queries ++
+      graft.queries.Pipeline.queries ++
       graft.operators.MapReduce.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Similarity.oracles ++
       graft.queries.Multimodal.oracles ++
       graft.queries.SqlSurface.oracles ++
+      graft.queries.Pipeline.oracles ++
       graft.operators.MapReduce.oracles
 }

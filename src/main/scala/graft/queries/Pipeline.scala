@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-preparation operators for a training pipeline: deterministic
+  * splits, stratified sampling, TF-IDF term weighting, and the
+  * point-in-interval range join ([[graft.operators.RangeJoin]]).
+  *
+  * Everything rides the cross-engine md5 recipe or exact integer
+  * arithmetic (see `queries/package.scala`), so each query is hash-gated
+  * against the DuckDB oracle despite involving "random" assignment —
+  * hash-based splits are also the *right* tool at 100 TB: membership is a
+  * pure projection of the row key (no global state, no RNG sequencing,
+  * stable under re-partitioning and incremental ingest).
+  */
+object Pipeline {
+
+  /** Cross-engine 60-bit key hash (same recipe as the dedup family). */
+  private def keyHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // ---- deterministic train/val/test split: bucket = hash(doc_id) % 100
+    // → 90/5/5. A pure projection — the split of any row is decidable
+    // anywhere, which is what makes it work under incremental ingest.
+    "docs_split_train_val" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), (keyHash(col("doc_id")) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- stratified sample: 50 docs per language, chosen by hash rank —
+    // deterministic, uniform within stratum, one window per stratum
+    // (bounded groups; the 100 TB shape is rank-within-partition, never a
+    // global sort)
+    "docs_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), keyHash(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 50)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // ---- TF-IDF-weighted top terms per document, on an exact integer
+    // grid: score = (tf * 1e6) div df — the idf log is monotone-decreasing
+    // in df, so for ranking, tf/df ordering differences only reorder terms
+    // the log would too; the integer div keeps it bit-stable cross-engine
+    // (float log differs in final ulps between engines). One shuffle for
+    // tf, one broadcast-able df frame, one bounded per-doc window.
+    "text_tfidf_top" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("score", expr("(tf * 1000000) div df"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // ---- point-in-interval range join: events against 100 synthetic
+    // maintenance windows (3 h spacing, 1–5 h length — overlapping, so an
+    // event can land in several), bucketed on the hour — see
+    // [[graft.operators.RangeJoin]] for why this never plans a cartesian.
+    "events_range_join" -> ((s, d) => {
+      val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+      val wins = s.range(100).select(col("id").as("w_id"),
+          (lit(baseUs) + col("id") * lit(3L * 3600000000L)).as("start_us"))
+        .withColumn("end_us",
+          col("start_us") + (col("w_id") % 5 + 1) * lit(3600000000L))
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("pt_us"),
+          col("value"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "pt_us", wins, "start_us", "end_us",
+          bucketMicros = 3600000000L)
+        .groupBy(col("w_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sumMoney(col("value")).as("sum_value"))
+        .orderBy(col("w_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "docs_split_train_val" -> """
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 AS bucket,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 < 90 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id""",
+
+    "docs_stratified_sample" -> """
+      SELECT lang, rn, doc_id FROM (
+        SELECT lang, doc_id,
+          CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT), doc_id) AS BIGINT) AS rn
+        FROM documents) t
+      WHERE rn <= 50
+      ORDER BY lang, rn""",
+
+    "text_tfidf_top" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          (tf.tf * 1000000) // df.df AS score
+        FROM tf JOIN df ON tf.term = df.term),
+      ranked AS (
+        SELECT doc_id, term, tf, df, score,
+          CAST(row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS BIGINT) AS rn
+        FROM scored)
+      SELECT doc_id, rn, term, CAST(tf AS BIGINT) AS tf,
+        CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+      FROM ranked
+      WHERE rn <= 5
+      ORDER BY doc_id, rn""",
+
+    "events_range_join" -> """
+      WITH win AS (
+        SELECT r.range AS w_id,
+          1704067200000000 + r.range * 10800000000 AS start_us,
+          1704067200000000 + r.range * 10800000000
+            + ((r.range % 5) + 1) * 3600000000 AS end_us
+        FROM range(0, 100) r),
+      e AS (SELECT event_id, epoch_us(ts) AS pt_us, value FROM events)
+      SELECT w.w_id, count(*) AS n_events,
+        CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM win w
+      JOIN e ON e.pt_us >= w.start_us AND e.pt_us < w.end_us
+      GROUP BY w.w_id
+      ORDER BY w.w_id"""
+  )
+}
