@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.dotlInfo)
     ext.injectFunction(graft.functions.GraftFunctions.srpBandsInfo)
     ext.injectFunction(graft.functions.GraftFunctions.shinglesInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.shingleHashesInfo)
     ext.injectFunction(graft.functions.GraftFunctions.simhashInfo)
     ext.injectFunction(graft.functions.GraftFunctions.minhashSigInfo)
     ext.injectFunction(graft.functions.GraftFunctions.winnowInfo)

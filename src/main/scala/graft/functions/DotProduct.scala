@@ -117,6 +117,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
     (children: Seq[Expression]) => GraftShingles(children(0)))
 
+  val shingleHashesInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_hashes"),
+    new ExpressionInfo(classOf[GraftShingleHashes].getName,
+      "graft_shingle_hashes"),
+    (children: Seq[Expression]) => GraftShingleHashes(children(0)))
+
   val simhashInfo: (FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_simhash"),
@@ -136,7 +143,7 @@ object GraftFunctions {
     (children: Seq[Expression]) => GraftWinnow(children(0)))
 
   private val all = Seq(dotInfo, dotlInfo, srpBandsInfo, shinglesInfo,
-    simhashInfo, minhashSigInfo, winnowInfo)
+    shingleHashesInfo, simhashInfo, minhashSigInfo, winnowInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. */
@@ -155,6 +162,8 @@ object GraftFunctions {
   def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
   def srpBands(xg: Column): Column = call_function("graft_srp_bands", xg)
   def shingles(text: Column): Column = call_function("graft_shingles", text)
+  def shingleHashes(text: Column): Column =
+    call_function("graft_shingle_hashes", text)
   def simhash(text: Column): Column = call_function("graft_simhash", text)
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
   def winnow(text: Column): Column = call_function("graft_winnow", text)

@@ -80,6 +80,32 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct 60-bit shingle hashes (first 15 hex chars of md5(shingle)),
+    * first-occurrence order — the posting keys for the inverted-index
+    * near-dup join: an 8-byte join/shuffle key instead of a ~20-byte
+    * shingle string. Deduped AFTER hashing, so a (astronomically rare)
+    * in-document hash collision shrinks the set exactly as the oracle's
+    * count-distinct-over-hashes does. */
+  def shingleHashes(s: UTF8String): ArrayData = {
+    val toks = tokenize(s.getBytes)
+    val n = toks.size
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    val digest = md5.get()
+    var i = 0
+    while (i + 2 < n) {
+      val sh = toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2)
+      digest.reset()
+      seen.add(top60(digest.digest(
+        sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash: per token h = first 60 bits of md5("99|" + token),
     * output bit j set iff strictly more tokens have bit j set than clear
     * (multiplicity counts). NULL when the document has no tokens — the
@@ -200,6 +226,29 @@ case class GraftShingles(child: Expression) extends UnaryExpression {
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextHashKernels.shingles($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(text)` → array<long>: distinct 60-bit hashed
+  * 3-word shingles — the compact posting keys. */
+case class GraftShingleHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingleHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHashKernels.shingleHashes($x);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

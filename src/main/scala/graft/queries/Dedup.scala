@@ -54,16 +54,11 @@ object Dedup {
       graft.functions.GraftFunctions.shingles(col("text")).as("shingles"))
   }
 
-  /** Distinct (doc_id, s) inverted postings. */
-  private def inverted(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-
-  /** Join candidate pairs to sizes and keep those with Jaccard >= minJ.
-    * Unsorted — callers that surface the pairs add the total sort; graph
-    * consumers (components) skip it. */
-  private def jaccardFilter(common: DataFrame, sh: DataFrame,
-                            minJ: Double): DataFrame = {
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+  /** Join candidate pairs to per-doc set sizes (doc_id, n) and keep those
+    * with Jaccard >= minJ. Unsorted — callers that surface the pairs add
+    * the total sort; graph consumers (components) skip it. */
+  private def jaccardFilter(common: DataFrame, sizes: DataFrame,
+                            minJ: Double): DataFrame =
     common
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
@@ -72,7 +67,6 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
         col("jaccard"))
-  }
 
   // ------------------------------------------------------------ public API
 
@@ -106,27 +100,39 @@ object Dedup {
 
   /** [[jaccardPairs]] without the final total sort — for graph consumers
     * (components) whose edge builder doesn't need ordered pairs; skipping
-    * it saves a range-partition + sort stage. */
+    * it saves a range-partition + sort stage.
+    *
+    * Postings carry the 60-bit md5 shingle hash (`graft_shingle_hashes`),
+    * not the shingle string: the self-join's shuffle/join key drops from a
+    * ~20-byte string to 8 bytes, and set sizes / intersections are counted
+    * over the hashed sets in BOTH engines, so the (astronomically rare)
+    * collision shrinks them identically. Measured trade at sf0.1/local:
+    * the per-shingle md5 adds ~5% query time vs raw-string postings; the
+    * ~60% shuffle-byte reduction is what matters once the exchange is a
+    * real network shuffle. */
   private[graft] def jaccardPairsUnsorted(docs: DataFrame, minJ: Double,
                                           idCol: String = "doc_id",
                                           textCol: String = "text"): DataFrame = {
-    val sh  = docShingles(normalize(docs, idCol, textCol))
-    val inv = inverted(sh)
-    // df cap via a count window over the shingle: one shuffle on s (the
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sh = normalize(docs, idCol, textCol).select(col("doc_id"),
+      graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+    val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    // df cap via a count window over the hash: one shuffle on h (the
     // groupBy+join formulation costs two), and the capped postings come
-    // out already partitioned by s for the self-join that follows
+    // out already partitioned by h for the self-join that follows
     val invCapped = inv
       .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("df") <= DfCap)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val common = invCapped.select(col("doc_id").as("a"), col("s"))
-      .join(invCapped.select(col("doc_id").as("b"), col("s")), "s")
+    val common = invCapped.select(col("doc_id").as("a"), col("h"))
+      .join(invCapped.select(col("doc_id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
-    jaccardFilter(common, sh, minJ)
+    jaccardFilter(common,
+      sh.select(col("doc_id"), size(col("hs")).as("n")), minJ)
   }
 
   /** MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup pairs, verified
@@ -343,7 +349,9 @@ object Dedup {
 
   // ---------------------------------------------------------------- oracles
 
-  /** Shared oracle CTEs: tokens → shingles → postings (+ sizes). */
+  /** Shared oracle CTEs: tokens → shingles → string postings (+ sizes) —
+    * used by the MinHash oracle, whose signatures/verification are defined
+    * over the shingle strings. */
   private val shingleCtes = """
       w AS (SELECT doc_id,
               list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -355,6 +363,23 @@ object Dedup {
              FROM w),
       inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       sz AS (SELECT doc_id, len(shingles) AS n FROM sh)"""
+
+  /** Hashed-posting oracle CTEs replicating [[jaccardPairsUnsorted]]:
+    * postings and set sizes over the DISTINCT 60-bit md5 shingle hashes —
+    * bit-identical to `graft_shingle_hashes`. */
+  private val hashedShingleCtes = """
+      w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                          x -> len(x) > 0) AS w
+            FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS shingles
+             FROM w),
+      hinv AS (SELECT DISTINCT doc_id,
+                 CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) t),
+      hsz AS (SELECT doc_id, count(*) AS n FROM hinv GROUP BY doc_id)"""
 
   private def verifySql(minJ: String) = s"""
       common AS (
@@ -418,18 +443,18 @@ object Dedup {
       ORDER BY keep_doc_id""",
 
     "dedup_neardup_jaccard" -> s"""
-      WITH $shingleCtes,
-      df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
-      invc AS (SELECT inv.doc_id, inv.s FROM inv
-               JOIN df ON df.s = inv.s WHERE df.df <= 1000),
+      WITH $hashedShingleCtes,
+      df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
+      invc AS (SELECT hinv.doc_id, hinv.h FROM hinv
+               JOIN df ON df.h = hinv.h WHERE df.df <= 1000),
       common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-                 FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id
+                 FROM invc a JOIN invc b ON a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY a.doc_id, b.doc_id)
       SELECT c.a AS doc_a, c.b AS doc_b, CAST(c.common AS BIGINT) AS common,
         c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard
       FROM common c
-      JOIN sz sa ON sa.doc_id = c.a
-      JOIN sz sb ON sb.doc_id = c.b
+      JOIN hsz sa ON sa.doc_id = c.a
+      JOIN hsz sb ON sb.doc_id = c.b
       WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6
       ORDER BY doc_a, doc_b""",
 
@@ -445,16 +470,16 @@ object Dedup {
       ${verifySql("0.7")}""",
 
     "dedup_components" -> s"""
-      WITH RECURSIVE $shingleCtes,
-      df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
-      invc AS (SELECT inv.doc_id, inv.s FROM inv
-               JOIN df ON df.s = inv.s WHERE df.df <= 1000),
+      WITH RECURSIVE $hashedShingleCtes,
+      df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
+      invc AS (SELECT hinv.doc_id, hinv.h FROM hinv
+               JOIN df ON df.h = hinv.h WHERE df.df <= 1000),
       common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-                 FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id
+                 FROM invc a JOIN invc b ON a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY a.doc_id, b.doc_id),
       pairs AS (SELECT c.a, c.b FROM common c
-                JOIN sz sa ON sa.doc_id = c.a
-                JOIN sz sb ON sb.doc_id = c.b
+                JOIN hsz sa ON sa.doc_id = c.a
+                JOIN hsz sb ON sb.doc_id = c.b
                 WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6),
       sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
       reach(n, m) AS (

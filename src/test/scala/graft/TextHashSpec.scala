@@ -125,6 +125,19 @@ class TextHashSpec extends SparkSpec {
           .orderBy(col("doc_id")))
     }
 
+    test(s"graft_shingle_hashes == hashed declarative shingles ($name)") {
+      val hash60 = (c: Column) =>
+        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+      assertSameRows(
+        df().select(col("doc_id"),
+          GraftFunctions.shingleHashes(col("text")).as("hs"))
+          .orderBy(col("doc_id")),
+        df().select(col("doc_id"),
+          array_distinct(transform(declShingles(declWords(col("text"))),
+            s => hash60(s))).as("hs"))
+          .orderBy(col("doc_id")))
+    }
+
     test(s"graft_simhash == declarative simhash ($name)") {
       assertSameRows(
         df().select(col("doc_id"),
