@@ -117,6 +117,16 @@ object StreamingDemo {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the static dimension — stateless (no streaming state store), and the
+    * explicit broadcast means the dimension never forces a stream-side
+    * shuffle: the classic dimension-enrichment shape at any scale. Left
+    * outer, so events with no dimension row pass through un-enriched
+    * rather than silently dropping. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Custom stateful operator: running count per event type via
     * `mapGroupsWithState` — the arbitrary-state surface (the stream-side
     * analog of the reference's reducer accumulator,

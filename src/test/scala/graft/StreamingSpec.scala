@@ -122,6 +122,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches without dropping unmatched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "ui"), ("view", "ui"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.enrich(in.toDF(), dim, "event_type")
+      .select(col("event_type"), col("category"))
+      .writeStream.format("memory").queryName("en_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamEvent(ts(1, 0), "click", 1.0),
+        StreamEvent(ts(1, 1), "error", 2.0),
+        StreamEvent(ts(1, 2), "purchase", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("en_out").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows === Set(("click", Some("ui")), ("error", Some("ops")),
+        ("purchase", None)))
+    } finally q.stop()
+  }
+
+  test("streaming parquet sink: exactly the streamed rows land on disk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-ssink").toString
+    val in = MemoryStream[StreamEvent]
+    val q = in.toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamEvent(ts(1, 0), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(StreamEvent(ts(1, 5), "view", 2.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$out/data")
+        .collect().map(r => (r.getAs[Timestamp]("ts"),
+          r.getAs[String]("event_type"))).toSet
+      assert(back === Set((ts(1, 0), "click"), (ts(1, 5), "view")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
