@@ -142,6 +142,31 @@ object Events {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // ---- exact per-group median on the cent grid: row_number + per-group
+    // count in one window pass (same partition key → one shuffle), keep
+    // the middle row (odd n) or middle two (even n), average exactly as
+    // integers before one final double division. Ties in `v` don't matter:
+    // row_number among equal values is arbitrary but the VALUE at any rank
+    // is unique. Scale note: per-group sort is O(group log group) within
+    // its partition; at extreme group sizes switch to approx_percentile —
+    // this operator is the exact complement.
+    "events_median_value" -> ((s, d) => {
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val g = Tables.events(s, d)
+        // null measures are excluded on BOTH sides (engines disagree on
+        // default null sort position, so they must never reach the rank)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).cast("long").as("v"))
+        .withColumn("rn", row_number().over(byType.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(byType))
+      g.filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+        .groupBy(col("event_type"))
+        .agg((sum(col("v")).cast("double") / count(lit(1)) / lit(100.0))
+          .as("median_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- string-function surface over part names
     "part_strings" -> ((s, d) => {
       Tables.part(s, d)
@@ -203,6 +228,21 @@ object Events {
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "events_median_value" -> """
+      WITH g AS (SELECT event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM g)
+      SELECT event_type,
+        CAST(sum(v) AS DOUBLE) / count(*) / 100.0 AS median_value
+      FROM r
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       GROUP BY event_type
       ORDER BY event_type""",
 
