@@ -252,8 +252,14 @@ object Dedup {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // seed = min(self, neighbors): the same aggregation that extracts the
+    // node set performs the first propagation round for free (identical
+    // fixpoint — min-label propagation is monotone from any state between
+    // identity and the fixpoint)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mindst"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("mindst")).as("component"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0

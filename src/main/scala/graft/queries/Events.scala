@@ -142,6 +142,28 @@ object Events {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // ---- pivot (cross-tab): value buckets to columns, one count column
+    // per bucket. `Dataset.pivot` with EXPLICIT pivot values — the
+    // implicit form runs a distinct-collect job to discover them, which
+    // is a corpus scan a 100 TB query must not hide. Absent combinations
+    // pivot to NULL; coalesce to 0 to match the oracle's conditional
+    // counts.
+    "events_pivot_buckets" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          when(col("value") < 50.0, "low")
+            .when(col("value") < 150.0, "mid")
+            .otherwise("high").as("bucket"))
+        .groupBy(col("event_type"))
+        .pivot("bucket", Seq("low", "mid", "high"))
+        .agg(count(lit(1)))
+        .select(col("event_type"),
+          coalesce(col("low"), lit(0L)).as("low"),
+          coalesce(col("mid"), lit(0L)).as("mid"),
+          coalesce(col("high"), lit(0L)).as("high"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- exact per-group median on the cent grid: row_number + per-group
     // count in one window pass (same partition key → one shuffle), keep
     // the middle row (odd n) or middle two (even n), average exactly as
@@ -227,6 +249,15 @@ object Events {
         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "events_pivot_buckets" -> """
+      SELECT event_type,
+        count(CASE WHEN value < 50.0 THEN 1 END) AS low,
+        count(CASE WHEN value >= 50.0 AND value < 150.0 THEN 1 END) AS mid,
+        count(CASE WHEN value >= 150.0 THEN 1 END) AS high
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",

@@ -304,6 +304,22 @@ object Relational {
           (sum(cents(col("l_quantity"))).over(w).cast("double") / lit(100.0))
             .as("running_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- window: ntile quartiles per group (deterministic: the window
+    // order is total via the orderkey tie-break, and ntile's
+    // earlier-buckets-one-larger split is the same in every SQL engine)
+    "q23_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
     })
   )
 
@@ -507,6 +523,19 @@ object Relational {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
       FROM lineitem
       WHERE l_orderkey <= 2000
-      ORDER BY l_orderkey, l_linenumber"""
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q23_window_ntile" -> """
+      SELECT o_orderpriority, quartile, count(*) AS n,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM (
+        SELECT o_orderpriority, o_totalprice,
+          CAST(ntile(4) OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS quartile
+        FROM orders) t
+      GROUP BY o_orderpriority, quartile
+      ORDER BY o_orderpriority, quartile"""
   )
 }
