@@ -36,6 +36,40 @@ class SourcesSpec extends SparkSpec {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("orc round-trip preserves schema and values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25))
+      .toDF("id", "name", "score")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // nullability is not carried by the file format — names/types are
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions at read time") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // one directory per lang value on disk
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(parts.nonEmpty)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val p = q.queryExecution.explainString(FormattedMode)
+    // the lang predicate must prune directories, not filter rows post-scan
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter did not reach PartitionFilters:\n$p")
+    val expected = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en").count()
+    assert(q.count() === expected)
+  }
+
   test("text source feeds the flagship pipeline (line-aligned splits)") {
     val dir = Files.createTempDirectory("graft-text").toString
     Files.writeString(java.nio.file.Paths.get(dir, "in.txt"),
