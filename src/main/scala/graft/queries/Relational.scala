@@ -161,6 +161,40 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- exact-moment statistics: variance / stddev / correlation from
+    // integer-grid power sums. Each sum (Σx, Σx², Σxy, …) is EXACT — cent
+    // grid, decimal(38,0) carry (DuckDB mirrors with HUGEINT) — and the
+    // closed-form moment expressions cast to double exactly once, so both
+    // engines round the same integers the same way: bit-stable floats
+    // without surrendering to per-engine accumulation order (the built-in
+    // var_pop/corr stream doubles and are NOT cross-engine stable).
+    // Overflow bound: n·Σy² must fit 38 digits — holds to ~10^12 rows of
+    // 10^7-cent values; re-grid coarser beyond that.
+    "q24_agg_stats_exact" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          cents(col("l_quantity")).cast("long").as("x"),
+          cents(col("l_extendedprice")).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("CAST(n * sxx - sx * sx AS DOUBLE) / n / n / 10000.0")
+            .as("var_qty"),
+          expr("sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0")
+            .as("stddev_qty"),
+          expr("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+            "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+            "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- rollup: hierarchical subtotals + grand total
     "q11_agg_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -524,6 +558,26 @@ object Relational {
       FROM lineitem
       WHERE l_orderkey <= 2000
       ORDER BY l_orderkey, l_linenumber""",
+
+    "q24_agg_stats_exact" -> """
+      WITH g AS (
+        SELECT l_returnflag,
+          CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+          CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem),
+      s AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(x) AS sx, sum(y) AS sy,
+          sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM g GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(n * sxx - sx * sx AS DOUBLE) / n / n / 10000.0 AS var_qty,
+        sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0 AS stddev_qty,
+        CAST(n * sxy - sx * sy AS DOUBLE) /
+          (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+      FROM s
+      ORDER BY l_returnflag""",
 
     "q23_window_ntile" -> """
       SELECT o_orderpriority, quartile, count(*) AS n,
