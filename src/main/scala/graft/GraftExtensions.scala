@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.shingleHashesInfo)
     ext.injectFunction(graft.functions.GraftFunctions.simhashInfo)
     ext.injectFunction(graft.functions.GraftFunctions.minhashSigInfo)
+    ext.injectFunction(graft.functions.GraftFunctions.termCountsInfo)
     ext.injectFunction(graft.functions.GraftFunctions.winnowInfo)
   }
 }

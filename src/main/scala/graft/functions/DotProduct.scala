@@ -136,6 +136,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GraftMinhashSig].getName, "graft_minhash_sig"),
     (children: Seq[Expression]) => GraftMinhashSig(children(0)))
 
+  val termCountsInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_term_counts"),
+    new ExpressionInfo(classOf[GraftTermCounts].getName, "graft_term_counts"),
+    (children: Seq[Expression]) => GraftTermCounts(children(0)))
+
   val winnowInfo: (FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_winnow"),
@@ -143,7 +149,8 @@ object GraftFunctions {
     (children: Seq[Expression]) => GraftWinnow(children(0)))
 
   private val all = Seq(dotInfo, dotlInfo, srpBandsInfo, shinglesInfo,
-    shingleHashesInfo, simhashInfo, minhashSigInfo, winnowInfo)
+    shingleHashesInfo, simhashInfo, minhashSigInfo, termCountsInfo,
+    winnowInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. */
@@ -167,4 +174,6 @@ object GraftFunctions {
   def simhash(text: Column): Column = call_function("graft_simhash", text)
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
   def winnow(text: Column): Column = call_function("graft_winnow", text)
+  def termCounts(text: Column): Column =
+    call_function("graft_term_counts", text)
 }

@@ -163,6 +163,33 @@ object TextHashKernels {
     new GenericArrayData(mins)
   }
 
+  /** Per-document term frequencies over the shared tokenizer, as a map in
+    * first-occurrence order — `explode` + `groupBy(doc, term)` computed
+    * locally per row, removing that aggregation's shuffle entirely (term
+    * counting is per-document; only corpus-level statistics need the
+    * exchange). */
+  def termCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val toks = tokenize(s.getBytes)
+    val counts = new java.util.LinkedHashMap[String, Long]
+    var i = 0
+    while (i < toks.size) {
+      counts.merge(toks.get(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val keys = new Array[AnyRef](counts.size)
+    val vals = new Array[Long](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): ASCII-lower
     * the text, hash every 8-byte gram (first 8 hex chars of md5 → long),
     * take each 4-gram window's minimum, return the distinct minima in
@@ -319,6 +346,31 @@ case class GraftMinhashSig(child: Expression) extends UnaryExpression {
 object GraftMinhashSig {
   /** 16 permutations, banded 4×4 by the LSH layer. */
   val NumPerm = 16
+}
+
+/** `graft_term_counts(text)` → map<string,long>: per-document term
+  * frequencies over the shared tokenizer. */
+case class GraftTermCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_term_counts expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, LongType,
+      valueContainsNull = false)
+  override def prettyName: String = "graft_term_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.termCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHashKernels.termCounts($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `graft_winnow(text)` → array<long>: distinct winnowing fingerprints. */

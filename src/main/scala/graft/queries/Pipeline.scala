@@ -55,13 +55,16 @@ object Pipeline {
     // grid: score = (tf * 1e6) div df — the idf log is monotone-decreasing
     // in df, so for ranking, tf/df ordering differences only reorder terms
     // the log would too; the integer div keeps it bit-stable cross-engine
-    // (float log differs in final ulps between engines). One shuffle for
-    // tf, one broadcast-able df frame, one bounded per-doc window.
+    // (float log differs in final ulps between engines). Term counting is
+    // per-document, so it runs as a projection (native `graft_term_counts`
+    // kernel — no (doc, term) aggregation shuffle); only the corpus-level
+    // df aggregate and the bounded per-doc window exchange data.
     "text_tfidf_top" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "term", "tf")
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)

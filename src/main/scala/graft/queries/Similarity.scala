@@ -232,6 +232,10 @@ object Similarity {
       .select(col("label").as("cent_id"),
         transform(col("pc"), p => p.getField("c"))
           .cast("array<float>").as("cent"))
+    // cents is referenced by both the assignment and probe cross joins,
+    // but the two broadcast exchanges share an identical child plan, so
+    // ReuseExchange computes the aggregation once — measured: an explicit
+    // persist adds nothing
     // cell assignment: nearest centroid per corpus vector
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)

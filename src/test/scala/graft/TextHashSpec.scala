@@ -157,6 +157,20 @@ class TextHashSpec extends SparkSpec {
         declMinhashSig(df()).orderBy(col("doc_id")))
     }
 
+    test(s"graft_term_counts == explode+groupBy term frequencies ($name)") {
+      val native = df()
+        .select(col("doc_id"),
+          explode(GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "term", "tf")
+        .orderBy(col("doc_id"), col("term"))
+      val decl = df()
+        .select(col("doc_id"), explode(declWords(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("term"))
+      assertSameRows(native, decl)
+    }
+
     test(s"graft_winnow == declarative winnow ($name)") {
       assertSameRows(
         df().filter(col("text").isNotNull)
