@@ -69,7 +69,12 @@ object Similarity {
     }),
 
     // ---- nearest neighbor within each metadata block (label): the blocked
-    // similarity-join pattern — block size bounded, no all-pairs product
+    // similarity-join pattern — block size bounded, no all-pairs product.
+    // The per-vector argmax is a max(struct(cos, -nn, nn)) aggregation,
+    // NOT a row_number window: identical winner (struct order = cos desc,
+    // then nn_vec_id asc via the negation), but partially aggregable
+    // map-side — the block join's output never needs a sort, and only one
+    // row per vector reaches the exchange.
     "sim_nn_per_label" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, d)
@@ -78,16 +83,15 @@ object Similarity {
       val b = emb.select(col("label"), col("vec_id").as("nn_vec_id"),
         col("embedding").as("nn_e"))
         .withColumn("bnorm", sqrt(dotd(col("nn_e"), col("nn_e"))))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nn_vec_id").asc)
       a.join(b, "label")
         .filter(col("vec_id") =!= col("nn_vec_id"))
         .withColumn("cos",
           dotd(col("embedding"), col("nn_e")) / (col("anorm") * col("bnorm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("nn_vec_id")).as("neg_nn"),
+          col("nn_vec_id"))).as("best"))
         .select(col("label").cast("long").as("label"), col("vec_id"),
-          col("nn_vec_id"))
+          col("best.nn_vec_id").as("nn_vec_id"))
         .orderBy(col("vec_id"))
     }),
 
@@ -236,14 +240,17 @@ object Similarity {
     // but the two broadcast exchanges share an identical child plan, so
     // ReuseExchange computes the aggregation once — measured: an explicit
     // persist adds nothing
-    // cell assignment: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
+    // cell assignment: nearest centroid per corpus vector — argmax as a
+    // map-side-combinable max(struct) aggregation (same winner as the
+    // row_number form: cos desc, then cent_id asc via negation), so the
+    // N×k scored rows partially reduce before any exchange
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("embedding"), col("cent")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg_cent"),
+        col("cent_id"), col("embedding"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cent_id").as("cent_id"))
     // probe: nprobe nearest centroids per query
     val q = emb.filter(col("vec_id") <= 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
