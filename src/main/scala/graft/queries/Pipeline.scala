@@ -77,6 +77,31 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // ---- fuzzy entity matching by edit distance: nearest name within a
+    // (brand, last-word) block at levenshtein <= 3 — the blocked fuzzy-dup
+    // pattern (blocking bounds candidates; Σ block² stays linear-ish in
+    // the corpus), with the per-entity argmin as a map-side-combinable
+    // min(struct). Edit distance is integer and engine-identical.
+    "part_fuzzy_match" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"),
+        element_at(split(col("p_name"), " "), -1).as("noun"))
+      val b = p.select(col("p_brand"), col("noun"),
+        col("p_partkey").as("nn_partkey"), col("p_name").as("nn_name"))
+      p.join(b, Seq("p_brand", "noun"))
+        .filter(col("p_partkey") =!= col("nn_partkey"))
+        // threshold form runs the banded DP (O(len·k) not O(len²)) and
+        // returns -1 above the bound — same survivors as `dist <= 3`
+        .withColumn("dist",
+          levenshtein(col("p_name"), col("nn_name"), 3).cast("long"))
+        .filter(col("dist").between(0, 3))
+        .groupBy(col("p_partkey"))
+        .agg(min(struct(col("dist"), col("nn_partkey"))).as("best"))
+        .select(col("p_partkey"), col("best.nn_partkey").as("nn_partkey"),
+          col("best.dist").as("dist"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- point-in-interval range join: events against 100 synthetic
     // maintenance windows (3 h spacing, 1–5 h length — overlapping, so an
     // event can land in several), bucketed on the hour — see
@@ -147,6 +172,27 @@ object Pipeline {
       FROM ranked
       WHERE rn <= 5
       ORDER BY doc_id, rn""",
+
+    "part_fuzzy_match" -> """
+      WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+          (string_split(p_name, ' '))[-1] AS noun
+        FROM part),
+      d AS (
+        SELECT a.p_partkey, b.p_partkey AS nn_partkey,
+          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM p a
+        JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
+                AND a.p_partkey <> b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      r AS (
+        SELECT p_partkey, nn_partkey, dist,
+          row_number() OVER (PARTITION BY p_partkey
+                             ORDER BY dist, nn_partkey) AS rn
+        FROM d)
+      SELECT p_partkey, nn_partkey, dist FROM r
+      WHERE rn = 1
+      ORDER BY p_partkey""",
 
     "events_range_join" -> """
       WITH win AS (
