@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.minhashSigInfo)
     ext.injectFunction(graft.functions.GraftFunctions.termCountsInfo)
     ext.injectFunction(graft.functions.GraftFunctions.winnowInfo)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }

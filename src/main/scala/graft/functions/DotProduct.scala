@@ -153,13 +153,21 @@ object GraftFunctions {
     winnowInfo)
 
   /** Idempotent per-session registration — works on any session, including
-    * ones built without [[graft.GraftExtensions]]. */
+    * ones built without [[graft.GraftExtensions]]. Also attaches the
+    * engine's optimizer rules through the experimental hook (extension-
+    * built sessions get them via `injectOptimizerRule`; the rules are
+    * self-idempotent so double registration is harmless). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { info =>
       if (!reg.functionExists(info._1)) {
         reg.registerFunction(info._1, info._2, info._3)
       }
+    }
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.LevenshteinThresholdRule)) {
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.LevenshteinThresholdRule
     }
   }
 

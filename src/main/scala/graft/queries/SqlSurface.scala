@@ -85,6 +85,24 @@ object SqlSurface {
       WHERE rnk <= 3
       ORDER BY c_mktsegment, rnk"""),
 
+    // ---- the engine's optimizer rule working for SQL text: the natural
+    // predicate `levenshtein(a,b) <= 2` is rewritten by
+    // [[graft.plans.LevenshteinThresholdRule]] to the banded thresholded
+    // form — SQL users get the O(len·k) kernel without knowing it exists
+    // (plan-audited in OptimizerRuleSpec)
+    "sql_fuzzy_pair_count" -> sql("""
+      WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+          element_at(split(p_name, ' '), -1) AS noun
+        FROM part)
+      SELECT a.p_brand AS p_brand, count(*) AS n_fuzzy_pairs
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.noun = b.noun
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      GROUP BY a.p_brand
+      ORDER BY p_brand"""),
+
     // ---- the engine's native Catalyst expression called from SQL text:
     // same output as dedup_simhash (and the same DuckDB oracle)
     "sql_simhash" -> sql("""
@@ -106,6 +124,18 @@ object SqlSurface {
         FROM orders JOIN customer ON o_custkey = c_custkey) t
       WHERE rnk <= 3
       ORDER BY c_mktsegment, rnk""",
+    "sql_fuzzy_pair_count" -> """
+      WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+          (string_split(p_name, ' '))[-1] AS noun
+        FROM part)
+      SELECT a.p_brand AS p_brand, count(*) AS n_fuzzy_pairs
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.noun = b.noun
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      GROUP BY a.p_brand
+      ORDER BY p_brand""",
     "sql_simhash" -> Dedup.oracles("dedup_simhash")
   )
 }
