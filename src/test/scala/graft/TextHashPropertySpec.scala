@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.TextHashKernels
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Pure-JVM properties of the text-hash kernels over arbitrary printable
+  * ASCII: each kernel is checked against an independent hex-string
+  * reference implementation (the kernels use direct byte/nibble
+  * arithmetic for the md5 prefixes — the references parse the hex digest
+  * text, the same recipe the DuckDB oracles execute), so a shared bug in
+  * the fast path cannot self-confirm. No SparkSession needed. */
+object TextHashPropertySpec extends Properties("TextHashKernels") {
+
+  private val genText: Gen[String] =
+    Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaChar,
+        2 -> Gen.const(' '),
+        1 -> Gen.numChar,
+        1 -> Gen.oneOf('.', ',', '!', '-', '\'', '"', '\n', '\t')))
+        .map(_.mkString))
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private def refTokens(s: String): List[String] =
+    s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toList
+
+  private def refShingles(s: String): List[String] = {
+    val w = refTokens(s)
+    w.lazyZip(w.drop(1)).lazyZip(w.drop(2))
+      .map((a, b, c) => s"$a $b $c").toList.distinct
+  }
+
+  private def longs(a: ArrayData): List[Long] = a.toLongArray().toList
+  private def strings(a: ArrayData): List[String] =
+    (0 until a.numElements()).map(a.getUTF8String(_).toString).toList
+
+  property("shingles == regex-tokenized distinct triples") =
+    Prop.forAll(genText) { s =>
+      strings(TextHashKernels.shingles(UTF8String.fromString(s))) ==
+        refShingles(s)
+    }
+
+  property("shingleHashes == hex-parsed md5 prefixes of shingles") =
+    Prop.forAll(genText) { s =>
+      longs(TextHashKernels.shingleHashes(UTF8String.fromString(s))) ==
+        refShingles(s)
+          .map(sh => java.lang.Long.parseLong(md5hex(sh).take(15), 16))
+          .distinct
+    }
+
+  property("simhash == hex-parsed per-bit majority vote") =
+    Prop.forAll(genText) { s =>
+      val toks = refTokens(s)
+      val expected: Option[Long] =
+        if (toks.isEmpty) None
+        else {
+          val hs = toks.map(w =>
+            java.lang.Long.parseLong(md5hex("99|" + w).take(15), 16))
+          Some((0 until 60).map { j =>
+            val votes = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+            if (votes > 0) 1L << j else 0L
+          }.sum)
+        }
+      Option(TextHashKernels.simhash(UTF8String.fromString(s)))
+        .map(_.longValue()) == expected
+    }
+
+  property("minhashSig == hex-parsed linear-family minima") =
+    Prop.forAll(genText) { s =>
+      val sh = refShingles(s)
+      val expected: Option[List[Long]] =
+        if (sh.isEmpty) None
+        else Some((0 until 16).map { p =>
+          sh.map { x =>
+            val hex = md5hex(x)
+            val h1 = java.lang.Long.parseLong(hex.take(15), 16)
+            val h2 = java.lang.Long.parseLong(hex.slice(15, 23), 16)
+            h1 + p * h2
+          }.min
+        }.toList)
+      val arr = TextHashKernels.minhashSig(
+        TextHashKernels.shingles(UTF8String.fromString(s))
+          .asInstanceOf[ArrayData], 16)
+      Option(arr).map(longs) == expected
+    }
+
+  property("winnow == hex-parsed 8-gram window-of-4 minima") =
+    Prop.forAll(genText) { s =>
+      val t = s.toLowerCase
+      val hs = (0 to t.length - 8)
+        .map(i => java.lang.Long.parseLong(
+          md5hex(t.substring(i, i + 8)).take(8), 16))
+      val expected = (0 to hs.length - 4)
+        .map(i => hs.slice(i, i + 4).min).distinct.toList
+      longs(TextHashKernels.winnow(UTF8String.fromString(s))) == expected
+    }
+
+  property("termCounts == regex-tokenized frequency map") =
+    Prop.forAll(genText) { s =>
+      val m = TextHashKernels.termCounts(UTF8String.fromString(s))
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString ->
+          m.valueArray().getLong(i)).toMap
+      got == refTokens(s).groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap
+    }
+}
