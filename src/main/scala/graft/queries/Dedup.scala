@@ -72,8 +72,9 @@ object Dedup {
 
   /** Normalized-content 128-bit fingerprint — THE cross-engine dedup
     * identity (the DuckDB oracle replicates it bit-for-bit); null text
-    * fingerprints as empty text so the fp key is total and join-safe. */
-  private def fingerprint: Column =
+    * fingerprints as empty text so the fp key is total and join-safe.
+    * `private[graft]`: the corpus-cleaning pipeline composes on it. */
+  private[graft] def fingerprint: Column =
     md5(coalesce(regexp_replace(lower(col("text")), "\\s+", " "), lit(""))
       .cast("binary"))
 

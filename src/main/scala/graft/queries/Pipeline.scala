@@ -77,6 +77,29 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // ---- the cleaning pipeline MATERIALIZED: compose exact dedup
+    // (keep the min doc per content fingerprint) with the quality gate
+    // (>= 20 words, stopword ratio < 0.4) and emit the surviving corpus —
+    // the query a training-data pipeline actually ships. One fingerprint
+    // groupBy + one join + per-row quality projections; no operator here
+    // is new, which is the point: the primitives compose.
+    "docs_clean_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = docs
+        .select(col("doc_id"), Dedup.fingerprint.as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs.join(keep, "doc_id")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_stop", size(filter(col("ws"),
+          w => w === "the" || w === "a" || w === "of")).cast("long"))
+        .filter(col("n_words") >= 20 &&
+          col("n_stop").cast("double") / col("n_words") < 0.4)
+        .select(col("doc_id"), col("lang"), col("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fuzzy entity matching by edit distance: nearest name within a
     // (brand, last-word) block at levenshtein <= 3 — the blocked fuzzy-dup
     // pattern (blocking bounds candidates; Σ block² stays linear-ish in
@@ -172,6 +195,24 @@ object Pipeline {
       FROM ranked
       WHERE rn <= 5
       ORDER BY doc_id, rn""",
+
+    "docs_clean_corpus" -> """
+      WITH keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(coalesce(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                              ''))),
+      q AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                          w -> len(w) > 0)) AS n_words,
+          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                          w -> w = 'the' OR w = 'a' OR w = 'of')) AS n_stop
+        FROM documents)
+      SELECT q.doc_id, q.lang, CAST(q.n_words AS BIGINT) AS n_words
+      FROM q JOIN keep ON keep.doc_id = q.doc_id
+      WHERE q.n_words >= 20 AND CAST(q.n_stop AS DOUBLE) / q.n_words < 0.4
+      ORDER BY q.doc_id""",
 
     "part_fuzzy_match" -> """
       WITH p AS (
