@@ -38,4 +38,20 @@ class DeterminismSpec extends SparkSpec {
       assert(r.getLong(1) === math.floor(r.getDouble(0) * 100.0 + 0.5).toLong)
     }
   }
+
+  test("every query is run-to-run deterministic (row-for-row, bit-for-bit)") {
+    // the driver hash gate re-runs queries across rounds — any tie an
+    // ordering doesn't break, or nondeterministic aggregation, shows up
+    // as a hash flap there; catch it here first. Binary cells compare by
+    // content (Array[Byte].equals is reference equality).
+    val d = "/root/testdata/sf0.001"
+    def canon(name: String): Seq[Seq[Any]] =
+      SparkEntry.queries(name)(spark, d).collect().toSeq.map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      })
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      assert(canon(name) == canon(name), s"$name differs between runs")
+    }
+  }
 }
