@@ -164,6 +164,16 @@ object Events {
         .orderBy(col("event_type"))
     }),
 
+    // ---- unpivot (melt): the cross-tab back to long form — the inverse
+    // reshape, via the native Dataset.unpivot operator (one Expand node,
+    // no join)
+    "events_unpivot_buckets" -> ((s, d) => {
+      queries("events_pivot_buckets")(s, d)
+        .unpivot(Array(col("event_type")),
+          Array(col("low"), col("mid"), col("high")), "bucket", "n")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // ---- exact per-group median on the cent grid: row_number + per-group
     // count in one window pass (same partition key → one shuffle), keep
     // the middle row (odd n) or middle two (even n), average exactly as
@@ -261,6 +271,20 @@ object Events {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+
+    "events_unpivot_buckets" -> """
+      WITH c AS (
+        SELECT event_type,
+          count(CASE WHEN value < 50.0 THEN 1 END) AS low,
+          count(CASE WHEN value >= 50.0 AND value < 150.0 THEN 1 END) AS mid,
+          count(CASE WHEN value >= 150.0 THEN 1 END) AS high
+        FROM events
+        GROUP BY event_type)
+      SELECT event_type, bucket, n FROM (
+        SELECT event_type, 'low' AS bucket, low AS n FROM c
+        UNION ALL SELECT event_type, 'mid' AS bucket, mid AS n FROM c
+        UNION ALL SELECT event_type, 'high' AS bucket, high AS n FROM c) u
+      ORDER BY event_type, bucket""",
 
     "events_median_value" -> """
       WITH g AS (SELECT event_type,
