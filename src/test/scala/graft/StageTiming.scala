@@ -37,6 +37,19 @@ object StageTiming {
       tok.select(sum(size(col("ws")))).collect()(0).getLong(0)
     }
 
+    // components = pairs pipeline + label-propagation rounds; time the
+    // iteration alone over pre-materialized pairs
+    val pairsCached = graft.queries.Dedup
+      .jaccardPairs(docs, 0.6)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    pairsCached.count()
+    val t0 = System.nanoTime()
+    val n0 = graft.queries.Dedup
+      .components(docs.select(col("doc_id")), pairsCached).count()
+    println(f"[stage] components iteration only          ${(System.nanoTime() - t0) / 1e9}%8.3f s  (rows=$n0)")
+    pairsCached.unpersist()
+
     for (round <- 1 to 2) {
       time(s"r$round dedup_exact") {
         graft.queries.Dedup.queries("dedup_exact")(spark, sfDir).count()
