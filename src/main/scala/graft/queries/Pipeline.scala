@@ -77,6 +77,21 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // ---- context-length truncation: keep each document's first 128
+    // whitespace tokens (single-space rejoined — both engines normalize
+    // separators identically, so the strings are bit-equal). A pure
+    // projection: the standard pre-tokenization length cap before
+    // training batches are packed.
+    "docs_truncate_tokens" -> ((s, d) => {
+      val ws = split(col("text"), "\\s+")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(slice(ws, 1, 128), " ").as("text_trunc"),
+          least(size(ws), lit(128)).cast("long").as("n_tokens_kept"),
+          (size(ws) > 128).as("truncated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the cleaning pipeline MATERIALIZED: compose exact dedup
     // (keep the min doc per content fingerprint) with the quality gate
     // (>= 20 words, stopword ratio < 0.4) and emit the surviving corpus —
@@ -195,6 +210,16 @@ object Pipeline {
       FROM ranked
       WHERE rn <= 5
       ORDER BY doc_id, rn""",
+
+    "docs_truncate_tokens" -> """
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                 FROM documents)
+      SELECT doc_id,
+        array_to_string(ws[1:128], ' ') AS text_trunc,
+        CAST(least(len(ws), 128) AS BIGINT) AS n_tokens_kept,
+        len(ws) > 128 AS truncated
+      FROM t
+      ORDER BY doc_id""",
 
     "docs_clean_corpus" -> """
       WITH keep AS (
