@@ -189,6 +189,39 @@ object TextOps {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // ---- bigram-LM quality score (the perplexity-filter shape): each
+    // document scored by its bigrams' corpus-level conditional frequency,
+    // P(w2|w1) ≈ count(w1 w2)/count(w1), on the exact integer grid
+    // (count*1e6 div count — sums of integer divisions are bit-stable
+    // cross-engine where float log-likelihoods are not). Corpus statistics
+    // are two small aggregates joined back (broadcast-sized here; at real
+    // vocab scale they hash-join by token, still linear); per-doc scoring
+    // is one groupBy.
+    "docs_lm_bigram_score" -> ((s, d) => {
+      val ws = col("ws")
+      val n1 = greatest(size(ws) - 1, lit(0))
+      val docBigrams = Tables.documents(s, d)
+        .withColumn("ws", tokens(col("text")))
+        .select(col("doc_id"), explode(zip_with(
+          slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val uni = docBigrams.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val bi = docBigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      docBigrams
+        .join(bi, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .withColumn("p_grid", expr("(c2 * 1000000) div c1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p_grid")).as("score_sum"))
+        .withColumn("score_avg",
+          col("score_sum").cast("double") / col("n_bigrams") / lit(1000000.0))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- document fingerprinting: md5 + sha256 over normalized text
     "text_fingerprint" -> ((s, d) => {
       val norm = regexp_replace(lower(col("text")), "\\s+", " ")
@@ -314,6 +347,25 @@ object TextOps {
         FROM g)
       SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4
       ORDER BY doc_id, fp""",
+
+    "docs_lm_bigram_score" -> """
+      WITH w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                          x -> len(x) > 0) AS w
+            FROM documents),
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             FROM w, unnest(range(1, len(w))) u(i)),
+      uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2)
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+        CAST(sum((bi.c2 * 1000000) // uni.c1) AS BIGINT) AS score_sum,
+        CAST(sum((bi.c2 * 1000000) // uni.c1) AS DOUBLE) / count(*)
+          / 1000000.0 AS score_avg
+      FROM bg
+      JOIN bi ON bi.w1 = bg.w1 AND bi.w2 = bg.w2
+      JOIN uni ON uni.w1 = bg.w1
+      GROUP BY bg.doc_id
+      ORDER BY bg.doc_id""",
 
     "text_fingerprint" -> """
       SELECT doc_id,
