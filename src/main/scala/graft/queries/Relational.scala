@@ -340,6 +340,34 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ---- full outer join: per-nation counts of rich customers vs
+    // suppliers — the rich-customer filter leaves nations with only one
+    // side populated, so genuine NULL-extended rows survive to the output
+    "q25_join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_acctbal") >= 9900.0)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rich_cust"))
+      val sup = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("nationkey"),
+          col("n_rich_cust"), col("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- bag-semantics set op: EXCEPT ALL (multiset difference) — one
+    // copy of a customer key is removed per urgent order, not all copies
+    "q26_set_except_all" -> ((s, d) => {
+      val all = Tables.orders(s, d).select(col("o_custkey"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      all.exceptAll(urgent).orderBy(col("o_custkey"))
+    }),
+
     // ---- window: ntile quartiles per group (deterministic: the window
     // order is total via the orderkey tie-break, and ntile's
     // earlier-buckets-one-larger split is the same in every SQL engine)
@@ -558,6 +586,26 @@ object Relational {
       FROM lineitem
       WHERE l_orderkey <= 2000
       ORDER BY l_orderkey, l_linenumber""",
+
+    "q25_join_full_outer" -> """
+      WITH c AS (
+        SELECT c_nationkey, count(*) AS n_rich_cust
+        FROM customer WHERE c_acctbal >= 9900.0
+        GROUP BY c_nationkey),
+      s AS (
+        SELECT s_nationkey, count(*) AS n_supp
+        FROM supplier GROUP BY s_nationkey)
+      SELECT CAST(coalesce(c.c_nationkey, s.s_nationkey) AS BIGINT)
+          AS nationkey,
+        c.n_rich_cust, s.n_supp
+      FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+      ORDER BY nationkey""",
+
+    "q26_set_except_all" -> """
+      SELECT o_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_custkey""",
 
     "q24_agg_stats_exact" -> """
       WITH g AS (
