@@ -377,7 +377,7 @@ object Dedup {
   /** Hashed-posting oracle CTEs replicating [[jaccardPairsUnsorted]]:
     * postings and set sizes over the DISTINCT 60-bit md5 shingle hashes —
     * bit-identical to `graft_shingle_hashes`. */
-  private val hashedShingleCtes = """
+  private[queries] val hashedShingleCtes = """
       w AS (SELECT doc_id,
               list_filter(string_split_regex(lower(text), '[^a-z]+'),
                           x -> len(x) > 0) AS w

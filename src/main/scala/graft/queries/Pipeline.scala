@@ -140,6 +140,29 @@ object Pipeline {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- benchmark decontamination: flag corpus documents sharing any
+    // 3-word shingle with a held-out benchmark set (doc_id % 20 == 0 here;
+    // in production, the eval suites). The scale shape is the point: the
+    // benchmark's distinct shingle-hash set is tiny relative to a 100 TB
+    // corpus, so it BROADCASTS and the corpus postings are never
+    // shuffled — the semi-join is map-side; only the matched postings
+    // (rare) reach the per-doc count.
+    "docs_decontaminate" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      def postings(pred: org.apache.spark.sql.Column) =
+        Tables.documents(s, d).filter(pred)
+          .select(col("doc_id"), explode(
+            graft.functions.GraftFunctions.shingleHashes(col("text")))
+            .as("h"))
+      val bench = postings(col("doc_id") % 20 === 0)
+        .select(col("h")).distinct()
+      postings(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- point-in-interval range join: events against 100 synthetic
     // maintenance windows (3 h spacing, 1–5 h length — overlapping, so an
     // event can land in several), bucketed on the hour — see
@@ -259,6 +282,15 @@ object Pipeline {
       SELECT p_partkey, nn_partkey, dist FROM r
       WHERE rn = 1
       ORDER BY p_partkey""",
+
+    "docs_decontaminate" -> s"""
+      WITH ${Dedup.hashedShingleCtes},
+      bench AS (SELECT DISTINCT h FROM hinv WHERE doc_id % 20 = 0)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM hinv JOIN bench USING (h)
+      WHERE doc_id % 20 <> 0
+      GROUP BY doc_id
+      ORDER BY doc_id""",
 
     "events_range_join" -> """
       WITH win AS (

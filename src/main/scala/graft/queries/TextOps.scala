@@ -232,6 +232,33 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- repetition-ratio quality signal (the Gopher-style "fraction of
+    // bigrams taken by the most frequent bigram" filter): high ratios mark
+    // boilerplate / TOC-like documents. Per-doc bigram counting partitions
+    // by doc_id — no cross-document state, so the shape is two partial-agg
+    // shuffles over doc-local keys at any corpus size. The ratio is one
+    // long/long → double division (correctly rounded, engine-identical);
+    // the top bigram tie-breaks by the lexicographically largest string
+    // via max(struct) — an argmax aggregation, not a rank window.
+    "docs_repetition" -> ((s, d) => {
+      val n1 = greatest(size(col("ws")) - 1, lit(0))
+      Tables.documents(s, d)
+        .withColumn("ws", tokens(col("text")))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          max(struct(col("cnt"), col("bigram"))).as("top"))
+        .select(col("doc_id"), col("top.bigram").as("top_bigram"),
+          col("top.cnt").as("top_cnt"), col("n_bigrams"),
+          (col("top.cnt").cast("double") /
+            col("n_bigrams").cast("double")).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus-level bigram statistics (n-gram generation via zip_with —
     // no shuffle until the final count-by-bigram). The tokenization is
     // materialized once per row (`withColumn`) so the regex split isn't
@@ -372,6 +399,29 @@ object TextOps {
         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
         sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_sha256
       FROM documents
+      ORDER BY doc_id""",
+
+    "docs_repetition" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> len(x) > 0) AS w
+        FROM documents),
+      bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        FROM tok, unnest(range(1, len(w))) u(i)),
+      c AS (SELECT doc_id, bigram, count(*) AS cnt
+            FROM bg GROUP BY doc_id, bigram),
+      r AS (
+        SELECT doc_id, bigram, cnt,
+          row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, bigram DESC) AS rn,
+          CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams
+        FROM c)
+      SELECT doc_id, bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_cnt,
+        n_bigrams,
+        CAST(cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_ratio
+      FROM r
+      WHERE rn = 1
       ORDER BY doc_id""",
 
     "text_bigrams_top" -> """

@@ -57,6 +57,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("decontamination broadcasts the benchmark set (semi-join, corpus " +
+    "postings never shuffled by key)") {
+    val p = plan("docs_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark set not broadcast")
+    assert(p.contains("LeftSemi"), "contamination probe is not a semi-join")
+    // the only Exchanges allowed: the benchmark-distinct (tiny), the
+    // broadcast itself, and the final per-doc agg/sort — never a
+    // sort-merge join over the corpus postings
+    assert(!p.contains("SortMergeJoin"),
+      "corpus postings shuffled for a merge join")
+  }
+
   test("components rounds have no single-partition stage") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
