@@ -63,6 +63,26 @@ object Events {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- time-series resample with gap fill: hourly counts/sums left
+    // joined onto the full 720-slot hour grid (Jan 2024), empty hours
+    // filled with zero — the standard regularization step before any
+    // windowed model sees the series. Scale shape: the raw events reduce
+    // FIRST (map-side-combined hash agg to one row per hour), and the
+    // tiny aggregate side is broadcast against the generated grid — the
+    // fact table is aggregated, never joined row-wise.
+    "events_resample" -> ((s, d) => {
+      val grid = s.range(720).select(timestamp_micros(
+        lit(1704067200000000L) + col("id") * lit(3600000000L)).as("hour_ts"))
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sv"))
+      grid.join(broadcast(hourly), Seq("hour_ts"), "left_outer")
+        .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"))
+        .orderBy(col("hour_ts"))
+    }),
+
     // ---- JSON extraction from the props column + aggregation
     "events_json" -> ((s, d) => {
       Tables.events(s, d)
@@ -253,6 +273,24 @@ object Events {
       FROM sessions
       GROUP BY user_id, session_id
       ORDER BY user_id, session_start""",
+
+    "events_resample" -> """
+      WITH grid AS (
+        SELECT g.ts AS hour_ts
+        FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-30 23:00:00',
+                             INTERVAL 1 HOUR) g(ts)),
+      h AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sv
+        FROM events GROUP BY 1)
+      SELECT g.hour_ts,
+        coalesce(h.n, 0) AS n_events,
+        coalesce(h.sv, 0.0) AS sum_value
+      FROM grid g LEFT JOIN h ON g.hour_ts = h.hour_ts
+      ORDER BY g.hour_ts""",
 
     "events_json" -> """
       SELECT event_type, count(*) AS n,

@@ -140,6 +140,24 @@ object Pipeline {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- hashing-trick feature vectorizer: terms hashed into 64 buckets
+    // (the classic fixed-width featurization that needs no vocabulary
+    // pass — the property that matters at 100 TB: no global dictionary,
+    // no second scan). Term counting is the native per-doc kernel
+    // (projection); the only exchange is the doc-local (doc_id, bucket)
+    // partial agg. Sparse output: (doc_id, bucket, weight), zero buckets
+    // absent.
+    "docs_feature_hash" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "term", "tf")
+        .groupBy(col("doc_id"), (keyHash(col("term")) % 64).as("bucket"))
+        .agg(sum(col("tf")).as("weight"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // ---- benchmark decontamination: flag corpus documents sharing any
     // 3-word shingle with a held-out benchmark set (doc_id % 20 == 0 here;
     // in production, the eval suites). The scale shape is the point: the
@@ -282,6 +300,20 @@ object Pipeline {
       SELECT p_partkey, nn_partkey, dist FROM r
       WHERE rn = 1
       ORDER BY p_partkey""",
+
+    "docs_feature_hash" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term)
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket,
+        CAST(sum(tf) AS BIGINT) AS weight
+      FROM tf
+      GROUP BY doc_id, bucket
+      ORDER BY doc_id, bucket""",
 
     "docs_decontaminate" -> s"""
       WITH ${Dedup.hashedShingleCtes},
