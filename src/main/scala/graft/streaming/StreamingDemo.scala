@@ -127,6 +127,28 @@ object StreamingDemo {
              key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Stream-stream interval join (the attribution shape): each click
+    * joins the impression with the same key that happened at most
+    * `windowMinutes` before it. BOTH sides are watermarked and the join
+    * condition bounds event time on both — that is what lets Spark expire
+    * buffered rows from the join state store instead of holding either
+    * stream forever; state is partitioned by the join key, the standard
+    * stream-join scale-out. */
+  def attribute(impressions: DataFrame, clicks: DataFrame,
+                key: String = "event_type",
+                windowMinutes: Int = 30): DataFrame = {
+    val imp = impressions.withWatermark("ts", "10 minutes")
+      .select(col(key).as("imp_key"), col("ts").as("imp_ts"))
+    val clk = clicks.withWatermark("ts", "10 minutes")
+      .select(col(key).as("clk_key"), col("ts").as("click_ts"))
+    imp.join(clk,
+      col("imp_key") === col("clk_key") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") < col("imp_ts") +
+          expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("imp_key").as("key"), col("imp_ts"), col("click_ts"))
+  }
+
   /** Custom stateful operator: running count per event type via
     * `mapGroupsWithState` — the arbitrary-state surface (the stream-side
     * analog of the reference's reducer accumulator,

@@ -145,6 +145,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[StreamEvent]
+    val clks = MemoryStream[StreamEvent]
+    val q = StreamingDemo.attribute(imps.toDF(), clks.toDF(),
+      windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(StreamEvent(ts(1, 0), "banner", 1.0),
+        StreamEvent(ts(1, 0), "popup", 1.0))
+      clks.addData(
+        StreamEvent(ts(1, 10), "banner", 1.0), // within 30m → matches
+        StreamEvent(ts(1, 45), "banner", 1.0), // outside 30m → dropped
+        StreamEvent(ts(1, 5), "sidebar", 1.0)) // no impression → dropped
+      q.processAllAvailable()
+      // push both watermarks far ahead so inner-join state flushes
+      imps.addData(StreamEvent(ts(9, 0), "other", 1.0))
+      clks.addData(StreamEvent(ts(9, 0), "other2", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      assert(rows === Set(("banner", ts(1, 0), ts(1, 10))))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink: exactly the streamed rows land on disk") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
