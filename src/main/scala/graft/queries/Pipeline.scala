@@ -127,14 +127,24 @@ object Pipeline {
       val b = p.select(col("p_brand"), col("noun"),
         col("p_partkey").as("nn_partkey"), col("p_name").as("nn_name"))
       p.join(b, Seq("p_brand", "noun"))
-        .filter(col("p_partkey") =!= col("nn_partkey"))
+        // edit distance is symmetric and the (brand, noun) block is the
+        // same for both orientations, so run the DP once per unordered
+        // pair and mirror the surviving (rare) edges with an explode —
+        // one pass, no self-referencing DAG branch to re-execute. The
         // threshold form runs the banded DP (O(len·k) not O(len²)) and
-        // returns -1 above the bound — same survivors as `dist <= 3`
+        // returns -1 above the bound — same survivors as `dist <= 3`.
+        .filter(col("p_partkey") < col("nn_partkey"))
         .withColumn("dist",
           levenshtein(col("p_name"), col("nn_name"), 3).cast("long"))
         .filter(col("dist").between(0, 3))
-        .groupBy(col("p_partkey"))
-        .agg(min(struct(col("dist"), col("nn_partkey"))).as("best"))
+        .select(explode(array(
+          struct(col("p_partkey").as("k"), col("nn_partkey").as("nn"),
+            col("dist")),
+          struct(col("nn_partkey").as("k"), col("p_partkey").as("nn"),
+            col("dist")))).as("e"))
+        .groupBy(col("e.k").as("p_partkey"))
+        .agg(min(struct(col("e.dist").as("dist"),
+          col("e.nn").as("nn_partkey"))).as("best"))
         .select(col("p_partkey"), col("best.nn_partkey").as("nn_partkey"),
           col("best.dist").as("dist"))
         .orderBy(col("p_partkey"))
