@@ -193,30 +193,36 @@ object TextOps {
     // document scored by its bigrams' corpus-level conditional frequency,
     // P(w2|w1) ≈ count(w1 w2)/count(w1), on the exact integer grid
     // (count*1e6 div count — sums of integer divisions are bit-stable
-    // cross-engine where float log-likelihoods are not). Corpus statistics
-    // are two small aggregates joined back (broadcast-sized here; at real
-    // vocab scale they hash-join by token, still linear); per-doc scoring
-    // is one groupBy.
+    // cross-engine where float log-likelihoods are not). The exploded
+    // bigram stream collapses FIRST to per-doc (w1, w2, n) counts — one
+    // partial-agg shuffle, persisted because both corpus LM tables derive
+    // from it (a bare DataFrame branch would re-tokenize the corpus per
+    // reference); the unigram table folds from the bigram table (c1 =
+    // Σ_w2 c2), and per-instance scoring becomes n·p over the collapsed
+    // rows. The probability table is broadcast here (toy vocab); at
+    // open-vocab scale drop the hint and the identical plan hash-joins by
+    // (w1, w2) — still linear, never a second corpus pass.
     "docs_lm_bigram_score" -> ((s, d) => {
       val ws = col("ws")
       val n1 = greatest(size(ws) - 1, lit(0))
-      val docBigrams = Tables.documents(s, d)
+      val dtf = Tables.documents(s, d)
         .withColumn("ws", tokens(col("text")))
         .select(col("doc_id"), explode(zip_with(
           slice(ws, lit(1), n1), slice(ws, lit(2), n1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      val uni = docBigrams.groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"))
-      val bi = docBigrams.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2"))
-      docBigrams
-        .join(bi, Seq("w1", "w2"))
-        .join(uni, Seq("w1"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bi = dtf.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("n")).as("c2"))
+      val uni = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val p = bi.join(uni, Seq("w1"))
         .withColumn("p_grid", expr("(c2 * 1000000) div c1"))
+      dtf.join(broadcast(p), Seq("w1", "w2"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("p_grid")).as("score_sum"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("p_grid")).as("score_sum"))
         .withColumn("score_avg",
           col("score_sum").cast("double") / col("n_bigrams") / lit(1000000.0))
         .orderBy(col("doc_id"))
