@@ -191,6 +191,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- data-mixing by source: each source gets a deterministic
+    // sampling rate (a pure hash of the source name standing in for the
+    // mixture weights a data recipe assigns), and a document survives iff
+    // hash(doc_id) % 100 < rate — Bernoulli-by-hash, the only sampling
+    // scheme that is exactly reproducible, partition-independent, and
+    // incremental-ingest-stable at 100 TB (no RNG state, no global pass).
+    // Distinct from `docs_stratified_sample` (top-k rank per stratum):
+    // this is rate-based thinning, one aggregate, no window.
+    "docs_mixture_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          (lit(25) + keyHash(col("source")) % 51).as("rate_pct"),
+          (keyHash(col("doc_id")) % 100).as("hb"))
+        .groupBy(col("source"), col("rate_pct"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("hb") < col("rate_pct"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // ---- point-in-interval range join: events against 100 synthetic
     // maintenance windows (3 h spacing, 1–5 h length — overlapping, so an
     // event can land in several), bucketed on the hour — see
@@ -333,6 +353,21 @@ object Pipeline {
       WHERE doc_id % 20 <> 0
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    "docs_mixture_sample" -> """
+      WITH t AS (
+        SELECT source,
+          25 + CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 51
+            AS rate_pct,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 100 AS hb
+        FROM documents)
+      SELECT source, rate_pct, count(*) AS n_total,
+        CAST(sum(CASE WHEN hb < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept
+      FROM t
+      GROUP BY source, rate_pct
+      ORDER BY source""",
 
     "events_range_join" -> """
       WITH win AS (

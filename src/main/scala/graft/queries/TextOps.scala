@@ -265,6 +265,59 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Gopher-style quality filter rules (Rae et al. 2021, "Scaling
+    // Language Models", table A1): word-count bounds, mean word length
+    // 3–10, symbol-to-word ratio < 0.1, ≥80% words alphabetic, ≥2
+    // stopwords. Every measure lives on the exact integer grid (×100 div)
+    // so the rule outcomes hash bit-equal cross-engine; the whole thing
+    // is a per-row projection — no shuffle before the final sort, which
+    // is exactly why this filter family is tractable on a 100 TB corpus.
+    "docs_gopher_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws", filter(split(col("text"), "\\s+"),
+          w => length(w) > 0))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_chars_nospace",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .withColumn("n_alpha_words",
+          size(filter(col("ws"), w => w.rlike("[a-zA-Z]"))).cast("long"))
+        .withColumn("n_symbol",
+          regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+        .withColumn("n_stop", size(filter(tokens(col("text")),
+          w => w === "the" || w === "a" || w === "of")).cast("long"))
+        .withColumn("mean_word_len_grid",
+          expr("(n_chars_nospace * 100) div greatest(n_words, 1)"))
+        .withColumn("alpha_word_pct",
+          expr("(n_alpha_words * 100) div greatest(n_words, 1)"))
+        .withColumn("symbol_word_pct",
+          expr("(n_symbol * 100) div greatest(n_words, 1)"))
+        .withColumn("pass",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len_grid").between(300, 1000) &&
+            col("alpha_word_pct") >= 80 &&
+            col("symbol_word_pct") < 10 &&
+            col("n_stop") >= 2)
+        .select(col("doc_id"), col("n_words"), col("n_chars_nospace"),
+          col("mean_word_len_grid"), col("alpha_word_pct"),
+          col("symbol_word_pct"), col("n_stop"), col("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- blocklist term scrubbing (the redaction/PII-masking shape:
+    // same regexp machinery a real pipeline points at emails/phones/IPs;
+    // the synthetic corpus has no PII, so the blocklist is domain terms
+    // with observable hit counts). Pure projection — replacement and
+    // match-count are per-row, codegen'd, shuffle-free; `\b` word
+    // boundaries behave identically in Java regex and RE2.
+    "docs_redact_terms" -> ((s, d) => {
+      val pat = "\\b(customer|supplier|order|value)\\b"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
+          regexp_replace(col("text"), pat, "[REDACTED]").as("text_redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus-level bigram statistics (n-gram generation via zip_with —
     // no shuffle until the final count-by-bigram). The tokenization is
     // materialized once per row (`withColumn`) so the regex split isn't
@@ -428,6 +481,52 @@ object TextOps {
         CAST(cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_ratio
       FROM r
       WHERE rn = 1
+      ORDER BY doc_id""",
+
+    "docs_gopher_quality" -> """
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'),
+                      w -> len(w) > 0) AS ws,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+            AS n_chars_nospace,
+          CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+            AS n_symbol,
+          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+            w -> w = 'the' OR w = 'a' OR w = 'of')) AS BIGINT) AS n_stop
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+            AS BIGINT) AS n_alpha_words,
+          n_chars_nospace, n_symbol, n_stop
+        FROM t),
+      g AS (
+        SELECT doc_id, n_words, n_chars_nospace,
+          (n_chars_nospace * 100) // greatest(n_words, 1)
+            AS mean_word_len_grid,
+          (n_alpha_words * 100) // greatest(n_words, 1) AS alpha_word_pct,
+          (n_symbol * 100) // greatest(n_words, 1) AS symbol_word_pct,
+          n_stop
+        FROM m)
+      SELECT doc_id, n_words, n_chars_nospace, mean_word_len_grid,
+        alpha_word_pct, symbol_word_pct, n_stop,
+        (n_words BETWEEN 50 AND 100000
+         AND mean_word_len_grid BETWEEN 300 AND 1000
+         AND alpha_word_pct >= 80
+         AND symbol_word_pct < 10
+         AND n_stop >= 2) AS pass
+      FROM g
+      ORDER BY doc_id""",
+
+    "docs_redact_terms" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '\b(customer|supplier|order|value)\b')) AS BIGINT) AS n_redacted,
+        regexp_replace(text, '\b(customer|supplier|order|value)\b',
+          '[REDACTED]', 'g') AS text_redacted
+      FROM documents
       ORDER BY doc_id""",
 
     "text_bigrams_top" -> """
