@@ -148,9 +148,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
     (children: Seq[Expression]) => GraftWinnow(children(0)))
 
+  val bigramCountsInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bigram_counts"),
+    new ExpressionInfo(classOf[GraftBigramCounts].getName,
+      "graft_bigram_counts"),
+    (children: Seq[Expression]) => GraftBigramCounts(children(0)))
+
   private val all = Seq(dotInfo, dotlInfo, srpBandsInfo, shinglesInfo,
     shingleHashesInfo, simhashInfo, minhashSigInfo, termCountsInfo,
-    winnowInfo)
+    winnowInfo, bigramCountsInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. Also attaches the
@@ -184,4 +191,6 @@ object GraftFunctions {
   def winnow(text: Column): Column = call_function("graft_winnow", text)
   def termCounts(text: Column): Column =
     call_function("graft_term_counts", text)
+  def bigramCounts(text: Column): Column =
+    call_function("graft_bigram_counts", text)
 }

@@ -176,6 +176,27 @@ object TextHashKernels {
       counts.merge(toks.get(i), 1L, (a, b) => a + b)
       i += 1
     }
+    packMap(counts)
+  }
+
+  /** Per-document bigram frequencies ("w1 w2" → count) over the shared
+    * tokenizer, first-occurrence order — the bigram-instance `explode` +
+    * `groupBy(doc, w1, w2)` computed locally per row, removing that
+    * aggregation's shuffle (bigram counting is per-document; only
+    * corpus-level LM statistics need the exchange). */
+  def bigramCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val toks = tokenize(s.getBytes)
+    val counts = new java.util.LinkedHashMap[String, Long]
+    var i = 0
+    while (i + 1 < toks.size) {
+      counts.merge(toks.get(i) + " " + toks.get(i + 1), 1L, (a, b) => a + b)
+      i += 1
+    }
+    packMap(counts)
+  }
+
+  private def packMap(counts: java.util.LinkedHashMap[String, Long])
+      : org.apache.spark.sql.catalyst.util.MapData = {
     val keys = new Array[AnyRef](counts.size)
     val vals = new Array[Long](counts.size)
     val it = counts.entrySet().iterator()
@@ -368,6 +389,31 @@ case class GraftTermCounts(child: Expression) extends UnaryExpression {
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextHashKernels.termCounts($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_bigram_counts(text)` → map<string,long>: per-document bigram
+  * ("w1 w2") frequencies over the shared tokenizer. */
+case class GraftBigramCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_counts expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, LongType,
+      valueContainsNull = false)
+  override def prettyName: String = "graft_bigram_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.bigramCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHashKernels.bigramCounts($x);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

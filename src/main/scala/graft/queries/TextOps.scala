@@ -193,33 +193,30 @@ object TextOps {
     // document scored by its bigrams' corpus-level conditional frequency,
     // P(w2|w1) ≈ count(w1 w2)/count(w1), on the exact integer grid
     // (count*1e6 div count — sums of integer divisions are bit-stable
-    // cross-engine where float log-likelihoods are not). The exploded
-    // bigram stream collapses FIRST to per-doc (w1, w2, n) counts — one
-    // partial-agg shuffle, persisted because both corpus LM tables derive
-    // from it (a bare DataFrame branch would re-tokenize the corpus per
-    // reference); the unigram table folds from the bigram table (c1 =
-    // Σ_w2 c2), and per-instance scoring becomes n·p over the collapsed
+    // cross-engine where float log-likelihoods are not). Per-doc bigram
+    // counts come from the native `graft_bigram_counts` kernel — a pure
+    // projection, so the bigram-instance explode + groupBy shuffle never
+    // happens; the collapsed (doc, bigram, n) rows are persisted because
+    // both corpus LM tables derive from them (a bare branch would
+    // re-tokenize the corpus per reference). The unigram table folds from
+    // the bigram table (c1 = Σ_w2 c2) and scoring is n·p over collapsed
     // rows. The probability table is broadcast here (toy vocab); at
     // open-vocab scale drop the hint and the identical plan hash-joins by
-    // (w1, w2) — still linear, never a second corpus pass.
+    // bigram — still linear, never a second corpus pass.
     "docs_lm_bigram_score" -> ((s, d) => {
-      val ws = col("ws")
-      val n1 = greatest(size(ws) - 1, lit(0))
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val dtf = Tables.documents(s, d)
-        .withColumn("ws", tokens(col("text")))
-        .select(col("doc_id"), explode(zip_with(
-          slice(ws, lit(1), n1), slice(ws, lit(2), n1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-        .groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n"))
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.bigramCounts(col("text"))))
+        .toDF("doc_id", "bigram", "n")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bi = dtf.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("n")).as("c2"))
+      val bi = dtf.groupBy(col("bigram")).agg(sum(col("n")).as("c2"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
       val uni = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val p = bi.join(uni, Seq("w1"))
         .withColumn("p_grid", expr("(c2 * 1000000) div c1"))
-      dtf.join(broadcast(p), Seq("w1", "w2"))
+        .select(col("bigram"), col("p_grid"))
+      dtf.join(broadcast(p), Seq("bigram"))
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).as("n_bigrams"),
           sum(col("n") * col("p_grid")).as("score_sum"))
@@ -240,21 +237,19 @@ object TextOps {
 
     // ---- repetition-ratio quality signal (the Gopher-style "fraction of
     // bigrams taken by the most frequent bigram" filter): high ratios mark
-    // boilerplate / TOC-like documents. Per-doc bigram counting partitions
-    // by doc_id — no cross-document state, so the shape is two partial-agg
-    // shuffles over doc-local keys at any corpus size. The ratio is one
-    // long/long → double division (correctly rounded, engine-identical);
-    // the top bigram tie-breaks by the lexicographically largest string
-    // via max(struct) — an argmax aggregation, not a rank window.
+    // boilerplate / TOC-like documents. Per-doc bigram counting is the
+    // native `graft_bigram_counts` kernel — a projection, so the only
+    // shuffle left is the per-doc argmax aggregate (map-side combinable).
+    // The ratio is one long/long → double division (correctly rounded,
+    // engine-identical); the top bigram tie-breaks by the
+    // lexicographically largest string via max(struct) — an argmax
+    // aggregation, not a rank window.
     "docs_repetition" -> ((s, d) => {
-      val n1 = greatest(size(col("ws")) - 1, lit(0))
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, d)
-        .withColumn("ws", tokens(col("text")))
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
-        .groupBy(col("doc_id"), col("bigram"))
-        .agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.bigramCounts(col("text"))))
+        .toDF("doc_id", "bigram", "cnt")
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_bigrams"),
           max(struct(col("cnt"), col("bigram"))).as("top"))
@@ -318,20 +313,18 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- corpus-level bigram statistics (n-gram generation via zip_with —
-    // no shuffle until the final count-by-bigram). The tokenization is
-    // materialized once per row (`withColumn`) so the regex split isn't
-    // re-evaluated per `slice`/`size` reference across the Generate boundary.
+    // ---- corpus-level bigram statistics: per-doc counts from the native
+    // `graft_bigram_counts` kernel (projection — the shuffle input is
+    // per-doc-distinct bigram partials, not raw instances), summed in one
+    // count-by-bigram exchange, top-30 via TakeOrderedAndProject.
     "text_bigrams_top" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, d)
-        .withColumn("ws", filter(split(lower(col("text")), "[^a-z]+"),
-          w => length(w) > 0))
-        .select(explode(zip_with(
-          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
-          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .select(explode(
+          graft.functions.GraftFunctions.bigramCounts(col("text"))))
+        .toDF("bigram", "n")
         .groupBy(col("bigram"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(30)
     })

@@ -111,4 +111,17 @@ object TextHashPropertySpec extends Properties("TextHashKernels") {
       got == refTokens(s).groupBy(identity).view.mapValues(_.size.toLong)
         .toMap
     }
+
+  property("bigramCounts == regex-tokenized bigram frequency map") =
+    Prop.forAll(genText) { s =>
+      val m = TextHashKernels.bigramCounts(UTF8String.fromString(s))
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString ->
+          m.valueArray().getLong(i)).toMap
+      val toks = refTokens(s)
+      val expected = toks.zip(toks.drop(1))
+        .map { case (a, b) => a + " " + b }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got == expected
+    }
 }

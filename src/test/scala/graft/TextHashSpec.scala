@@ -171,6 +171,24 @@ class TextHashSpec extends SparkSpec {
       assertSameRows(native, decl)
     }
 
+    test(s"graft_bigram_counts == explode+groupBy bigram frequencies ($name)") {
+      val native = df()
+        .select(col("doc_id"),
+          explode(GraftFunctions.bigramCounts(col("text"))))
+        .toDF("doc_id", "bigram", "n")
+        .orderBy(col("doc_id"), col("bigram"))
+      val ws = declWords(col("text"))
+      val n1 = greatest(size(ws) - 1, lit(0))
+      val decl = df()
+        .select(col("doc_id"), explode(zip_with(
+          slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bigram"))
+      assertSameRows(native, decl)
+    }
+
     test(s"graft_winnow == declarative winnow ($name)") {
       assertSameRows(
         df().filter(col("text").isNotNull)
