@@ -19,7 +19,7 @@ object Bench {
     val warmDir = SparkEntry.smokeDir
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
       // drop warm-up persist/checkpoint residue so the timed phase runs
       // with full storage memory
@@ -36,7 +36,7 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // a failed query reports -1 so breakage can't read as a speed-up
-        try { fn(spark, sfDir).count()
+        try { materialize(fn(spark, sfDir))
           name -> (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => name -> -1.0 }
     }
@@ -48,7 +48,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the recorder keeps only an output TAIL, which truncates the long
+    // per-query line from the front and loses the leading total — repeat a
+    // compact total line LAST so it always survives, and persist the full
+    // record to a file the end-of-round snapshot commits
+    try {
+      val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Fully materialize a result for timing. `.count()` lets Catalyst's
+    * `ColumnPruning`/`EliminateSorts` delete projected columns and final
+    * sorts under the count aggregate — projection-heavy queries would be
+    * timed as a bare row count. The noop sink consumes every row with all
+    * columns computed, so the timed work is the declared work. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
 }
