@@ -155,7 +155,13 @@ object GraftFunctions {
       "graft_bigram_counts"),
     (children: Seq[Expression]) => GraftBigramCounts(children(0)))
 
-  private val all = Seq(dotInfo, dotlInfo, srpBandsInfo, shinglesInfo,
+  val cosKeyInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cos_key"),
+    new ExpressionInfo(classOf[CosRatioKey].getName, "graft_cos_key"),
+    (children: Seq[Expression]) => CosRatioKey(children(0), children(1)))
+
+  private val all = Seq(dotInfo, dotlInfo, cosKeyInfo, srpBandsInfo, shinglesInfo,
     shingleHashesInfo, simhashInfo, minhashSigInfo, termCountsInfo,
     winnowInfo, bigramCountsInfo)
 
@@ -182,6 +188,8 @@ object GraftFunctions {
     * that executes the plan). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def dotl(a: Column, b: Column): Column = call_function("graft_dotl", a, b)
+  def cosKey(d: Column, n: Column): Column =
+    call_function("graft_cos_key", d, n)
   def srpBands(xg: Column): Column = call_function("graft_srp_bands", xg)
   def shingles(text: Column): Column = call_function("graft_shingles", text)
   def shingleHashes(text: Column): Column =

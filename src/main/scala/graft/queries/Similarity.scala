@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.DecimalType
   *  - the blocked NN join partitions by a metadata key (label) so each
   *    block is bounded — the generic blocked-similarity-join pattern;
   *  - the IVF path (centroid assignment + probe) bounds the scanned
-  *    fraction to nprobe/k of the corpus — the standard ANN scale-out;
-  *    it is approximate, hence exercised by tests rather than the oracle.
+  *    fraction to nprobe/k of the corpus — the standard ANN scale-out; it
+  *    is approximate as a neighbor algorithm but deterministic as a
+  *    computation: every cosine comparison runs on the exact integer grid
+  *    ([[graft.functions.CosRatioKey]]), so the oracle replays it exactly.
   */
 object Similarity {
 
@@ -152,8 +154,11 @@ object Similarity {
 
     // ---- IVF-style ANN top-k: assign corpus to nearest centroid, probe the
     // 3 centroids nearest each query, brute-force only within probed cells.
-    // Approximate by construction → no SQL oracle (rows-only check); exact-
-    // recall equivalence vs sim_topk is asserted in the test suite.
+    // Approximate as a NEIGHBOR ALGORITHM, yet fully oracle-checkable: the
+    // whole path (centroids, assignment, probing, final ranking) runs in
+    // exact integer arithmetic — gridded vectors, integer rounded-average
+    // centroids, and the floorDiv(d·|d|·10⁶, ‖·‖²) cosine ranking key
+    // ([[graft.functions.CosRatioKey]]) — so DuckDB replays it bit-for-bit.
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, k = 10, nprobe = 3)),
 
     // ---- SRP (random-hyperplane) LSH cosine near-dup: the second ANN
@@ -220,52 +225,78 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** IVF probe path shared by the query above and the test suite. */
+  /** IVF probe path shared by the query above and the test suite.
+    *
+    * Exact-integer formulation (the same discipline as [[srpCosinePairs]]):
+    * vectors ride the 1e-6 grid; each label's centroid is the elementwise
+    * ROUNDED-AVERAGE integer vector `floorDiv(2·Σxg + m, 2m)` (cosine is
+    * scale-invariant, so snapping the centroid to the grid only perturbs
+    * its direction — identically in both engines); every cosine comparison
+    * is the [[graft.functions.CosRatioKey]] integer key, so assignment,
+    * probing, and the final ranking are bit-reproducible in DuckDB.
+    *
+    * Scale shape: centroids are a broadcast table (k cells), assignment is
+    * one pass with a map-side-combinable max(struct) argmax, and the probe
+    * join scans only nprobe/k of the corpus — the standard ANN scale-out.
+    * Centroid elements stay grid-bounded (≤ max|x|·10⁶) regardless of
+    * cluster size, so the int64 dot products never grow with N. */
   def ivfTopK(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val emb = Tables.embeddings(s, d)
-    // coarse quantizer: per-label gridded centroids as array<double>
-    val cents = emb
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos"), col("col").cast("double").as("x"))
+    val gf = graft.functions.GraftFunctions
+    val g = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
+      .withColumn("n2", gf.dotl(col("xg"), col("xg")))
+    // coarse quantizer: per-label rounded-average integer centroid.
+    // floorDiv via the pmod trick (the numerator becomes exactly divisible,
+    // so `div`'s truncation semantics don't matter) — same recipe as the
+    // DuckDB oracle, exact for any sign of the sum.
+    val cents = g.select(col("label"), posexplode(col("xg")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(grid(col("x"), 1000000.0).cast(DecimalType(38, 0)))
-        .cast("double") / lit(1000000.0) / count(lit(1))).as("c"))
+      .agg(sum(col("col")).as("sj"), count(lit(1)).as("m"))
+      .withColumn("cj",
+        expr("(2*sj + m - pmod(2*sj + m, 2*m)) div (2*m)"))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label").as("cent_id"),
-        transform(col("pc"), p => p.getField("c"))
-          .cast("array<float>").as("cent"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cj")))).as("pc"))
+      .select(col("label").cast("long").as("cent_id"),
+        transform(col("pc"), p => p.getField("cj")).as("cent"))
+      .withColumn("nc2", gf.dotl(col("cent"), col("cent")))
+      .filter(col("nc2") > 0)
     // cents is referenced by both the assignment and probe cross joins,
     // but the two broadcast exchanges share an identical child plan, so
     // ReuseExchange computes the aggregation once — measured: an explicit
     // persist adds nothing
     // cell assignment: nearest centroid per corpus vector — argmax as a
     // map-side-combinable max(struct) aggregation (same winner as the
-    // row_number form: cos desc, then cent_id asc via negation), so the
+    // row_number form: key desc, then cent_id asc via negation), so the
     // N×k scored rows partially reduce before any exchange
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine(col("embedding"), col("cent")))
+    val assigned = g.crossJoin(broadcast(cents))
+      .withColumn("ckey",
+        gf.cosKey(gf.dotl(col("xg"), col("cent")), col("nc2")))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg_cent"),
-        col("cent_id"), col("embedding"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cent_id").as("cent_id"))
+      .agg(max(struct(col("ckey"), (-col("cent_id")).as("neg_cent"),
+        col("cent_id"), col("xg"), col("n2"))).as("best"))
+      .select(col("vec_id"), col("best.xg").as("xg"),
+        col("best.n2").as("n2"), col("best.cent_id").as("cent_id"))
     // probe: nprobe nearest centroids per query
-    val q = emb.filter(col("vec_id") <= 4)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val q = g.filter(col("vec_id") <= 4)
+      .select(col("vec_id").as("qid"), col("xg").as("qg"))
     val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("qcos").desc, col("cent_id").asc)
+      .orderBy(col("qkey").desc, col("cent_id").asc)
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("qcos", cosine(col("qe"), col("cent")))
+      .withColumn("qkey",
+        gf.cosKey(gf.dotl(col("qg"), col("cent")), col("nc2")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cent_id"))
-    // search only probed cells
+      .select(col("qid"), col("qg"), col("cent_id"))
+    // search only probed cells; rank by the exact key (zero-norm corpus
+    // vectors have no cosine — filtered identically in the oracle)
     val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), "cent_id")
-      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .orderBy(col("fkey").desc, col("vec_id").asc)
+    assigned.filter(col("n2") > 0)
+      .join(broadcast(probes), "cent_id")
+      .withColumn("fkey", gf.cosKey(gf.dotl(col("qg"), col("xg")), col("n2")))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"))
@@ -352,6 +383,64 @@ object Similarity {
       FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
       WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= 1225 * na.n2 * nb.n2
       ORDER BY vec_a, vec_b""",
+
+    // replays the integer IVF path step for step: gridded vectors, rounded-
+    // average integer centroids (floorDiv via the pmod trick), and the
+    // floorDiv(d·|d|·1e6, n) cosine key — every value bit-equal to Spark's,
+    // so even though IVF is an approximate ANN algorithm the oracle check
+    // is an exact hash compare
+    "sim_ivf_topk" -> """
+      WITH e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
+             FROM e GROUP BY vec_id),
+      c AS (SELECT label, j,
+              (2*sum(xg) + count(*)
+                 - (((2*sum(xg) + count(*)) % (2*count(*)) + 2*count(*))
+                    % (2*count(*)))) // (2*count(*)) AS cj
+            FROM e GROUP BY label, j),
+      nc2 AS (SELECT label, sum(CAST(cj AS HUGEINT) * cj) AS nc2
+              FROM c GROUP BY label
+              HAVING sum(CAST(cj AS HUGEINT) * cj) > 0),
+      ad AS (SELECT e.vec_id, c.label,
+               sum(CAST(e.xg AS HUGEINT) * c.cj) AS d
+             FROM e JOIN c ON e.j = c.j
+             GROUP BY e.vec_id, c.label),
+      akey AS (SELECT ad.vec_id, ad.label,
+                 (ad.d * abs(ad.d) * 1000000
+                    - ((ad.d * abs(ad.d) * 1000000) % nc2.nc2 + nc2.nc2)
+                      % nc2.nc2) // nc2.nc2 AS key
+               FROM ad JOIN nc2 ON ad.label = nc2.label),
+      assign AS (SELECT vec_id, label FROM (
+                   SELECT vec_id, label, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY key DESC, label ASC) AS rn
+                   FROM akey) t WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, label FROM (
+                   SELECT vec_id, label, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY key DESC, label ASC) AS rn
+                   FROM akey WHERE vec_id <= 4) t WHERE rn <= 3),
+      fd AS (SELECT p.qid, a.vec_id,
+               sum(CAST(eq.xg AS HUGEINT) * ec.xg) AS d
+             FROM probes p
+             JOIN assign a ON a.label = p.label
+             JOIN e eq ON eq.vec_id = p.qid
+             JOIN e ec ON ec.vec_id = a.vec_id AND ec.j = eq.j
+             GROUP BY p.qid, a.vec_id),
+      fkey AS (SELECT fd.qid, fd.vec_id,
+                 (fd.d * abs(fd.d) * 1000000
+                    - ((fd.d * abs(fd.d) * 1000000) % n2.n2 + n2.n2)
+                      % n2.n2) // n2.n2 AS key
+               FROM fd JOIN n2 ON n2.vec_id = fd.vec_id
+               WHERE n2.n2 > 0)
+      SELECT qid, rank, vec_id FROM (
+        SELECT qid, vec_id, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY key DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM fkey) t
+      WHERE rank <= 10
+      ORDER BY qid, rank""",
 
     "emb_centroids" -> """
       SELECT CAST(label AS BIGINT) AS label, j,

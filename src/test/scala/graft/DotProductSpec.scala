@@ -71,6 +71,31 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("graft_cos_key is exact floor division of d·|d|·1e6 by n") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val cases = Seq( // (d, n) incl. negative dots and non-dividing n
+      (7L, 3L), (-7L, 3L), (0L, 5L), (123456789L, 1L),
+      (-123456789L, 987654321L), (64000000000000L, 7L),
+      (-64000000000000L, 64000000000000L))
+    val df = cases.toDF("d", "n")
+    val out = df.select(col("d"), col("n"),
+      GraftFunctions.cosKey(col("d"), col("n")).as("k")).collect()
+    out.foreach { r =>
+      val (d, n) = (r.getLong(0), r.getLong(1))
+      val num = BigInt(d) * BigInt(d).abs * BigInt(1000000)
+      // reference: mathematical floor of the exact rational num/n
+      val expect = if (num.sign >= 0 || num % n == 0) num / n
+                   else num / n - 1
+      assert(BigInt(r.getDecimal(2).toBigInteger) === expect,
+        s"d=$d n=$n")
+    }
+    // n <= 0 (undefined cosine) yields NULL
+    val nulls = Seq((5L, 0L), (5L, -3L)).toDF("d", "n")
+      .select(GraftFunctions.cosKey(col("d"), col("n"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("ragged or null-element inputs yield NULL like the HOF fold") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
