@@ -85,12 +85,30 @@ object MapReduce {
       .orderBy(col("cnt").desc, col("word").asc)
   }
 
-  val queries: Map[String, Q] = Map(
-    "wordcount_typed" -> ((s, d) => wordcountTyped(s, d, 20))
-  )
+  /** The same pipeline on the low-level RDD API — the classic
+    * `flatMap → reduceByKey → takeOrdered` wordcount. `reduceByKey` does
+    * map-side combining (the reference's combiner), and `takeOrdered` keeps
+    * a size-n bounded heap per partition and merges the heaps at the
+    * driver — algorithmically identical to the reference master's
+    * `priority_queue` drain (`/root/reference/master.cc:630-637`). The
+    * driver only ever sees n rows (n=20), so this is NOT an unbounded
+    * collect. Exists to demonstrate the RDD surface next to the typed
+    * Dataset and declarative forms; hot paths should prefer those (codegen,
+    * Catalyst). */
+  def wordcountRdd(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val top = Tables.documents(spark, dir)
+      .select(col("text")).as[String].rdd
+      .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)) // user map
+      .map(w => (w, 1L))
+      .reduceByKey(_ + _) // user reduce, map-side combined
+      .map { case (w, c) => WordCount(w, c) }
+      .takeOrdered(n)(better.reverse) // bounded heaps, best-first merge
+    spark.createDataFrame(top.toIndexedSeq)
+      .orderBy(col("cnt").desc, col("word").asc)
+  }
 
-  val oracles: Map[String, String] = Map(
-    "wordcount_typed" -> """
+  private val wordcountSql = """
       SELECT word, count(*) AS cnt FROM (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
         FROM documents) t
@@ -98,5 +116,16 @@ object MapReduce {
       GROUP BY word
       ORDER BY cnt DESC, word ASC
       LIMIT 20"""
+
+  val queries: Map[String, Q] = Map(
+    "wordcount_typed" -> ((s, d) => wordcountTyped(s, d, 20)),
+    "wordcount_rdd" -> ((s, d) => wordcountRdd(s, d, 20))
+  )
+
+  // both forms are bit-identical to the declarative flagship, so they share
+  // its oracle SQL
+  val oracles: Map[String, String] = Map(
+    "wordcount_typed" -> wordcountSql,
+    "wordcount_rdd" -> wordcountSql
   )
 }

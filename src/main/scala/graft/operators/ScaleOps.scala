@@ -17,15 +17,18 @@ object ScaleOps {
     * the re-grouping changes the floating-point addition order, so use the
     * grid first if bit-stable output is required.
     *
-    * The salt derives from `monotonically_increasing_id`, so rows of the
-    * same key land in different buckets regardless of their partitioning
-    * (bucket assignment — not the exact-sum result — varies with partition
-    * layout).
+    * The salt is `pmod(xxhash64(<all row columns>, seed), buckets)` — a
+    * pure function of row CONTENT, so bucket assignment is stable under
+    * repartitioning and task retry (a `monotonically_increasing_id` salt
+    * depends on partition layout and changes when a task re-runs mid-
+    * pipeline). Duplicate rows hash to the same bucket, which is harmless
+    * for sums; a hot key spreads as long as its rows differ anywhere.
     */
   def saltedSum(df: DataFrame, key: String, value: Column,
-                buckets: Int): DataFrame = {
+                buckets: Int, seed: Long = 42L): DataFrame = {
     require(buckets > 0)
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
+    val rowHash = xxhash64(df.columns.map(col) :+ lit(seed): _*)
+    df.withColumn("__salt", pmod(rowHash, lit(buckets.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(col(key))

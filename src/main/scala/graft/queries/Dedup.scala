@@ -240,14 +240,26 @@ object Dedup {
     * un-hinted, so AQE broadcasts the frontier while it is small and falls
     * back to a shuffle join when it is not (nothing is forced through the
     * driver). Each round references `labels` twice (union + self-join), so
-    * an eager localCheckpoint truncates the lineage — the plan stays one
-    * round deep instead of re-executing 2^k subtrees; at cluster scale the
-    * checkpoint would go to reliable storage. Convergence detection is
-    * folded into the round's aggregation ([[componentsStep]] carries the
-    * previous label through the min-agg), so checking it scans the
-    * already-materialized checkpoint instead of running a second job over
-    * the round's plan. */
-  def components(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    * an eager checkpoint truncates the lineage — the plan stays one
+    * round deep instead of re-executing 2^k subtrees. Pass `checkpointDir`
+    * to snapshot each round to reliable storage (`df.checkpoint`) so a lost
+    * executor replays from the last round, not from the raw edges — the
+    * cluster-scale setting; the default `localCheckpoint` keeps round
+    * state in executor block storage (fine single-node / test-scale).
+    * Convergence detection is folded into the round's aggregation
+    * ([[componentsStep]] carries the previous label through the min-agg),
+    * so checking it scans the already-materialized checkpoint instead of
+    * running a second job over the round's plan. */
+  def components(ids: DataFrame, pairs: DataFrame,
+                 checkpointDir: Option[String] = None): DataFrame =
+    componentsWithRounds(ids, pairs, checkpointDir)._1
+
+  /** [[components]] plus the number of propagation rounds executed —
+    * exposed so the pointer-doubling claim (rounds = O(log diameter)) is a
+    * pinned, testable property rather than a comment. */
+  private[graft] def componentsWithRounds(
+      ids: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // both edge directions from a single pass over the pair pipeline
     // (a union of two `pairs` references would execute it twice)
     val edges = pairs.toDF("a", "b")
@@ -256,19 +268,24 @@ object Dedup {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val snap: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     // seed = min(self, neighbors): the same aggregation that extracts the
     // node set performs the first propagation round for free (identical
     // fixpoint — min-label propagation is monotone from any state between
     // identity and the fixpoint)
-    var labels = edges.groupBy(col("src"))
+    var labels = snap(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mindst"))
       .select(col("src").as("doc_id"),
-        least(col("src"), col("mindst")).as("component"))
-      .localCheckpoint(true)
+        least(col("src"), col("mindst")).as("component")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      val next = componentsStep(edges, labels).localCheckpoint(true)
+      val next = snap(componentsStep(edges, labels))
       converged = next.filter(col("component") =!= col("prev")).isEmpty
       labels = next.select(col("doc_id"), col("component"))
       rounds += 1
@@ -277,11 +294,12 @@ object Dedup {
     // the fixpoint the oracle computes) — fail loudly instead
     require(converged,
       s"components() did not converge within $rounds rounds")
-    ids.toDF("doc_id")
+    val out = ids.toDF("doc_id")
       .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .orderBy(col("doc_id"))
+    (out, rounds)
   }
 
   /** One label-propagation round: each node takes the minimum of its own

@@ -126,6 +126,40 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet === Set(0L)) // one cluster, min representative
   }
 
+  test("pointer doubling bounds rounds at O(log diameter) on a chain") {
+    import spark.implicits._
+    // pure chain 0-1-2-...-96: diameter 96. Linear propagation would need
+    // ~96 rounds (and trip the 32-round guard); pointer doubling must close
+    // it within ceil(log2 96) + 2 = 9.
+    val n = 97
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val (out, rounds) =
+      graft.queries.Dedup.componentsWithRounds(ids, pairs)
+    val comp = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp.size === n && comp.values.toSet === Set(0L))
+    val bound = math.ceil(math.log(n - 1.0) / math.log(2.0)).toInt + 2
+    assert(rounds <= bound, s"$rounds rounds > bound $bound")
+  }
+
+  test("components with a reliable checkpoint dir matches localCheckpoint") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val ids = (0 until 20).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until 19).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val viaDir = graft.queries.Dedup
+      .components(ids, pairs, checkpointDir = Some(tmp))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaLocal = graft.queries.Dedup.components(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDir === viaLocal)
+    // the rounds really went to reliable storage
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+    assert(wrote)
+  }
+
   test("simhash of identical docs is identical; hamming pairs include dups") {
     val sims = graft.queries.Dedup.queries("dedup_simhash")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

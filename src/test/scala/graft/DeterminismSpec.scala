@@ -39,19 +39,44 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  private def canon(name: String, d: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(spark, d).collect().toSeq.map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    })
+
   test("every query is run-to-run deterministic (row-for-row, bit-for-bit)") {
     // the driver hash gate re-runs queries across rounds — any tie an
     // ordering doesn't break, or nondeterministic aggregation, shows up
     // as a hash flap there; catch it here first. Binary cells compare by
     // content (Array[Byte].equals is reference equality).
     val d = "/root/testdata/sf0.001"
-    def canon(name: String): Seq[Seq[Any]] =
-      SparkEntry.queries(name)(spark, d).collect().toSeq.map(_.toSeq.map {
-        case b: Array[Byte] => b.toSeq
-        case x => x
-      })
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      assert(canon(name) == canon(name), s"$name differs between runs")
+      assert(canon(name, d) == canon(name, d), s"$name differs between runs")
+    }
+  }
+
+  test("every query is invariant to shuffle partition count (4 vs 32)") {
+    // the strongest cheap evidence that no result depends on physical
+    // layout: a different partition count changes every exchange's row
+    // routing, per-partition order, and partial-agg grouping — outputs
+    // must not move. Cache is cleared between runs so internal persists
+    // can't serve one layout's blocks to the other.
+    val d = "/root/testdata/sf0.001"
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def canonAt(parts: Int, name: String): Seq[Seq[Any]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.catalog.clearCache()
+      canon(name, d)
+    }
+    try {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        assert(canonAt(4, name) == canonAt(32, name),
+          s"$name differs between 4 and 32 shuffle partitions")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      spark.catalog.clearCache()
     }
   }
 }

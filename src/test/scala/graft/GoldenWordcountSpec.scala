@@ -50,4 +50,14 @@ class GoldenWordcountSpec extends SparkSpec {
       .map(wc => (wc.word, wc.cnt)).collect().toSeq
     assert(typed === declarative)
   }
+
+  test("RDD wordcount equals the declarative flagship on the corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val declarative = graft.queries.TextOps.wordcountTopN(spark, dir, 20)
+      .as[(String, Long)].collect().toSeq
+    val viaRdd = graft.operators.MapReduce.wordcountRdd(spark, dir, 20)
+      .as[(String, Long)].collect().toSeq
+    assert(viaRdd === declarative)
+  }
 }

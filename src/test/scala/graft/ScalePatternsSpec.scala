@@ -20,6 +20,22 @@ class ScalePatternsSpec extends SparkSpec {
     val salted = ScaleOps.saltedSum(df, "k", col("v"), buckets = 16)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(salted === direct)
+    // content-derived salt: bucket assignment (not just the sum) is
+    // invariant under physical layout — the per-(key,salt) partials match
+    // across different partitionings
+    val partials = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("__salt",
+          pmod(xxhash64(col("k"), col("v"), lit(42L)), lit(16L)))
+        .groupBy("k", "__salt").agg(sum("v").as("p"))
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+    val p3 = partials(df.repartition(3))
+    assert(p3 === partials(df.repartition(17)))
+    // and the hot key actually spreads over many buckets
+    assert(p3.keys.count(_._1 == "hotkey") >= 12)
+    val spread = ScaleOps.saltedSum(df.repartition(5), "k", col("v"), 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(spread === direct)
   }
 
   test("bucketed tables sort-merge join without shuffle exchanges") {
