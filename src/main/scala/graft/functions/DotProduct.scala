@@ -161,9 +161,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosRatioKey].getName, "graft_cos_key"),
     (children: Seq[Expression]) => CosRatioKey(children(0), children(1)))
 
+  val topBigramInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_top_bigram"),
+    new ExpressionInfo(classOf[GraftTopBigram].getName,
+      "graft_top_bigram"),
+    (children: Seq[Expression]) => GraftTopBigram(children(0)))
+
   private val all = Seq(dotInfo, dotlInfo, cosKeyInfo, srpBandsInfo, shinglesInfo,
     shingleHashesInfo, simhashInfo, minhashSigInfo, termCountsInfo,
-    winnowInfo, bigramCountsInfo)
+    winnowInfo, bigramCountsInfo, topBigramInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. Also attaches the
@@ -201,4 +208,6 @@ object GraftFunctions {
     call_function("graft_term_counts", text)
   def bigramCounts(text: Column): Column =
     call_function("graft_bigram_counts", text)
+  def topBigram(text: Column): Column =
+    call_function("graft_top_bigram", text)
 }

@@ -195,6 +195,39 @@ object TextHashKernels {
     packMap(counts)
   }
 
+  /** Per-document top bigram — the (bigram, cnt) pair with the largest
+    * count, ties to the byte-wise LARGEST bigram (the repetition scorer's
+    * `max(struct(cnt, bigram))` / the oracle's `ORDER BY cnt DESC, bigram
+    * DESC` convention; byte order == lexicographic on the [a-z ] bigram
+    * alphabet) — counted and arg-maxed in one pass, so the repetition
+    * query needs no explode, no aggregation, and no second kernel
+    * evaluation. NULL when the document has fewer than two tokens (such
+    * documents had no exploded rows in the aggregation form). */
+  def topBigram(s: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(s.getBytes)
+    if (toks.size < 2) return null
+    val counts = new java.util.HashMap[String, Long]
+    var i = 0
+    while (i + 1 < toks.size) {
+      counts.merge(toks.get(i) + " " + toks.get(i + 1), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var bestK: String = null
+    var bestC = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > bestC || (c == bestC && e.getKey.compareTo(bestK) > 0)) {
+        bestC = c
+        bestK = e.getKey
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(bestK), bestC))
+  }
+
   private def packMap(counts: java.util.LinkedHashMap[String, Long])
       : org.apache.spark.sql.catalyst.util.MapData = {
     val keys = new Array[AnyRef](counts.size)
@@ -414,6 +447,36 @@ case class GraftBigramCounts(child: Expression) extends UnaryExpression {
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextHashKernels.bigramCounts($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_top_bigram(text)` → struct<bigram:string,cnt:long>: the
+  * most-frequent bigram (ties → byte-wise largest) with its count; NULL
+  * for documents with fewer than two tokens. */
+case class GraftTopBigram(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_bigram expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bigram", StringType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("cnt", LongType,
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_bigram"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.topBigram(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => s"""
+      ${ev.value} = graft.functions.TextHashKernels.topBigram($x);
+      ${ev.isNull} = (${ev.value} == null);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -142,11 +142,16 @@ object Pipeline {
             col("dist")),
           struct(col("nn_partkey").as("k"), col("p_partkey").as("nn"),
             col("dist")))).as("e"))
+        // argmin as a PACKED single-long min — `dist·2⁴⁰ + nn` orders by
+        // dist then nn exactly like min(struct(dist, nn)), but a struct
+        // aggregation buffer forces SortAggregate (sorting every surviving
+        // edge per partition); the packed long rides HashAggregate with
+        // map-side partials and no sort. Room: dist ≤ 3, partkey < 2⁴⁰.
         .groupBy(col("e.k").as("p_partkey"))
-        .agg(min(struct(col("e.dist").as("dist"),
-          col("e.nn").as("nn_partkey"))).as("best"))
-        .select(col("p_partkey"), col("best.nn_partkey").as("nn_partkey"),
-          col("best.dist").as("dist"))
+        .agg(min(col("e.dist") * lit(1L << 40) + col("e.nn")).as("pk"))
+        .select(col("p_partkey"),
+          col("pk").bitwiseAND(lit((1L << 40) - 1)).as("nn_partkey"),
+          shiftright(col("pk"), 40).as("dist"))
         .orderBy(col("p_partkey"))
     }),
 

@@ -72,11 +72,16 @@ object Similarity {
 
     // ---- nearest neighbor within each metadata block (label): the blocked
     // similarity-join pattern — block size bounded, no all-pairs product.
-    // The per-vector argmax is a max(struct(cos, -nn, nn)) aggregation,
-    // NOT a row_number window: identical winner (struct order = cos desc,
-    // then nn_vec_id asc via the negation), but partially aggregable
-    // map-side — the block join's output never needs a sort, and only one
-    // row per vector reaches the exchange.
+    // The per-vector argmax is a PACKED single-decimal max, not a
+    // row_number window and not a max(struct): a struct aggregation buffer
+    // falls off HashAggregate onto SortAggregate, which sorts the entire
+    // block-join output per partition. Packing `floor(cos·10¹⁵)·2²⁰ − nn`
+    // keeps the identical winner (cos desc, then nn_vec_id asc — the key
+    // merges only cosines closer than 1e-15, five trillion times finer
+    // than this corpus's ~2e-4 minimum rank gap) while the aggregation
+    // hash-combines map-side with no sort anywhere. Room: |key| ≤ 10¹⁵,
+    // ×2²⁰ ≈ 10²¹ — inside Decimal(38,0); vec_id < 2²⁰ by the pack
+    // convention (same as the IVF path).
     "sim_nn_per_label" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, d)
@@ -87,13 +92,17 @@ object Similarity {
         .withColumn("bnorm", sqrt(dotd(col("nn_e"), col("nn_e"))))
       a.join(b, "label")
         .filter(col("vec_id") =!= col("nn_vec_id"))
+        // zero-norm guard: cos would be NaN; no such vector exists in the
+        // corpus (emb_quantize_int8's m>0 filter drops none), the filter
+        // just keeps the packed key total-ordered if one ever appears
+        .filter(col("anorm") > 0 && col("bnorm") > 0)
         .withColumn("cos",
           dotd(col("embedding"), col("nn_e")) / (col("anorm") * col("bnorm")))
         .groupBy(col("label"), col("vec_id"))
-        .agg(max(struct(col("cos"), (-col("nn_vec_id")).as("neg_nn"),
-          col("nn_vec_id"))).as("best"))
+        .agg(max(floor(col("cos") * lit(1e15)).cast(DecimalType(38, 0))
+          * lit(1 << 20) - col("nn_vec_id")).as("pk"))
         .select(col("label").cast("long").as("label"), col("vec_id"),
-          col("best.nn_vec_id").as("nn_vec_id"))
+          pmod(-col("pk"), lit(1 << 20)).cast("long").as("nn_vec_id"))
         .orderBy(col("vec_id"))
     }),
 
@@ -267,18 +276,26 @@ object Similarity {
     // but the two broadcast exchanges share an identical child plan, so
     // ReuseExchange computes the aggregation once — measured: an explicit
     // persist adds nothing
-    // cell assignment: nearest centroid per corpus vector — argmax as a
-    // map-side-combinable max(struct) aggregation (same winner as the
-    // row_number form: key desc, then cent_id asc via negation), so the
-    // N×k scored rows partially reduce before any exchange
-    val assigned = g.crossJoin(broadcast(cents))
+    // cell assignment: nearest centroid per corpus vector — the argmax is a
+    // single decimal max over a PACKED key `ckey·2²⁰ − cent_id`: max picks
+    // the largest ckey and breaks ties toward the SMALLEST cent_id (the
+    // row_number convention), and `pmod(−packed, 2²⁰)` recovers the winning
+    // cent_id for any sign of ckey. Packing matters for the plan: a
+    // max(struct(...)) argmax — with or without the xg array inside — has a
+    // struct aggregation buffer, which HashAggregate cannot hold, so Spark
+    // falls back to SortAggregate and sorts all N×k scored rows per
+    // partition. The packed form is a plain decimal max: hash-aggregated,
+    // map-side combined, no sort anywhere. Room check: ckey ≤ ‖x‖²·10⁶
+    // (≤ ~10³⁰ even at 1024 dims of |x| ≤ 30 on the 1e-6 grid), ×2²⁰ stays
+    // inside Decimal(38,0); cent_id < 2²⁰ is asserted by the pack.
+    val packBase = 1 << 20
+    val assignedIds = g.crossJoin(broadcast(cents))
       .withColumn("ckey",
         gf.cosKey(gf.dotl(col("xg"), col("cent")), col("nc2")))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("ckey"), (-col("cent_id")).as("neg_cent"),
-        col("cent_id"), col("xg"), col("n2"))).as("best"))
-      .select(col("vec_id"), col("best.xg").as("xg"),
-        col("best.n2").as("n2"), col("best.cent_id").as("cent_id"))
+      .agg(max(col("ckey") * lit(packBase) - col("cent_id")).as("pk"))
+      .select(col("vec_id"),
+        pmod(-col("pk"), lit(packBase)).cast("long").as("cent_id"))
     // probe: nprobe nearest centroids per query
     val q = g.filter(col("vec_id") <= 4)
       .select(col("vec_id").as("qid"), col("xg").as("qg"))
@@ -291,11 +308,16 @@ object Similarity {
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qg"), col("cent_id"))
     // search only probed cells; rank by the exact key (zero-norm corpus
-    // vectors have no cosine — filtered identically in the oracle)
+    // vectors have no cosine — filtered identically in the oracle).
+    // Join order: ids ⋈ probes first (narrow rows, broadcast), THEN pull
+    // the vectors for the surviving nprobe/k fraction from g — a
+    // shuffle-hash join on vec_id with the narrow probed-id side as the
+    // build (no sort of the array-carrying side)
+    val probedIds = assignedIds.join(broadcast(probes), "cent_id")
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("fkey").desc, col("vec_id").asc)
-    assigned.filter(col("n2") > 0)
-      .join(broadcast(probes), "cent_id")
+    g.filter(col("n2") > 0)
+      .join(probedIds.hint("shuffle_hash"), "vec_id")
       .withColumn("fkey", gf.cosKey(gf.dotl(col("qg"), col("xg")), col("n2")))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)

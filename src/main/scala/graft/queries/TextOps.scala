@@ -246,13 +246,24 @@ object TextOps {
     // aggregation, not a rank window.
     "docs_repetition" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
+      // the argmax is PER-DOCUMENT, so no explode+groupBy is needed at
+      // all: the graft_top_bigram kernel counts bigrams AND arg-maxes them
+      // (max count, ties → byte-wise largest bigram — the oracle's
+      // `ORDER BY cnt DESC, bigram DESC`) in one compiled pass per row.
+      // The old explode+max(struct) form shuffled every distinct bigram
+      // and fell onto SortAggregate (struct buffers don't hash-aggregate);
+      // this is a pure projection — the 100 TB shape. The bigram-instance
+      // total is just tokens−1 (every adjacent pair counts once — exactly
+      // the oracle's sum over grouped counts), so the filter and the
+      // denominator ride the cheap codegen'd tokenizer and the kernel runs
+      // once, after the filter. Docs with no bigrams had no exploded rows
+      // before — the filter reproduces that.
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.bigramCounts(col("text"))))
-        .toDF("doc_id", "bigram", "cnt")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_bigrams"),
-          max(struct(col("cnt"), col("bigram"))).as("top"))
+        .withColumn("n_bigrams",
+          (size(tokens(col("text"))) - 1).cast("long"))
+        .filter(col("n_bigrams") >= 1)
+        .withColumn("top",
+          graft.functions.GraftFunctions.topBigram(col("text")))
         .select(col("doc_id"), col("top.bigram").as("top_bigram"),
           col("top.cnt").as("top_cnt"), col("n_bigrams"),
           (col("top.cnt").cast("double") /

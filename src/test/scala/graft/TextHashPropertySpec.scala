@@ -124,4 +124,18 @@ object TextHashPropertySpec extends Properties("TextHashKernels") {
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       got == expected
     }
+
+  property("topBigram == (max cnt, then max bigram) over the frequency map") =
+    Prop.forAll(genText) { s =>
+      val r = TextHashKernels.topBigram(UTF8String.fromString(s))
+      val toks = refTokens(s)
+      val freq = toks.zip(toks.drop(1))
+        .map { case (a, b) => a + " " + b }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (freq.isEmpty) r == null
+      else {
+        val (bg, c) = freq.maxBy { case (k, v) => (v, k) }
+        r != null && r.getUTF8String(0).toString == bg && r.getLong(1) == c
+      }
+    }
 }

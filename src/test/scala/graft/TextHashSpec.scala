@@ -189,6 +189,30 @@ class TextHashSpec extends SparkSpec {
       assertSameRows(native, decl)
     }
 
+    test(s"graft_top_bigram == explode+argmax over bigrams ($name)") {
+      val native = df()
+        .select(col("doc_id"),
+          GraftFunctions.topBigram(col("text")).as("top"))
+        .filter(col("top").isNotNull)
+        .select(col("doc_id"), col("top.bigram").as("bigram"),
+          col("top.cnt").as("cnt"))
+        .orderBy(col("doc_id"))
+      val ws = declWords(col("text"))
+      val n1 = greatest(size(ws) - 1, lit(0))
+      val decl = df()
+        .select(col("doc_id"), explode(zip_with(
+          slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("cnt"), col("bigram"))).as("b"))
+        .select(col("doc_id"), col("b.bigram").as("bigram"),
+          col("b.cnt").as("cnt"))
+        .orderBy(col("doc_id"))
+      assertSameRows(native, decl)
+    }
+
     test(s"graft_winnow == declarative winnow ($name)") {
       assertSameRows(
         df().filter(col("text").isNotNull)
