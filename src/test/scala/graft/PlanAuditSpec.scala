@@ -87,6 +87,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Coalesce"))
   }
 
+  test("argmax/argmin aggregations stay on the hash path (no " +
+    "SortAggregate from struct buffers)") {
+    // a max/min(struct(...)) argmax carries a struct aggregation buffer,
+    // which HashAggregate cannot hold — Spark silently falls back to
+    // SortAggregate and sorts the full candidate set per partition. These
+    // queries pack (key, tie-break) into one long/decimal (or push the
+    // argmax into a per-row kernel) precisely to stay hash-aggregated;
+    // a SortAggregate reappearing means the packing regressed.
+    for (name <- Seq("sim_ivf_topk", "sim_nn_per_label", "part_fuzzy_match",
+        "docs_repetition")) {
+      assert(!plan(name).contains("SortAggregate"),
+        s"$name fell back to SortAggregate")
+    }
+  }
+
+  test("docs_repetition is a pure projection before the final sort") {
+    val p = plan("docs_repetition")
+    assert(!p.contains("Generate"), "bigram explode reappeared")
+    assert(!p.contains("HashAggregate"), "per-doc aggregation reappeared")
+  }
+
   test("winnow fingerprint is shuffle-free before the final sort") {
     val p = plan("text_winnow_fingerprint")
     assert(!p.contains("Window"), "char-level window shuffle reappeared")
