@@ -135,6 +135,27 @@ object Events {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ---- burst dedup (debounce): drop an event when the same
+    // (user, event_type) key emitted another event in the preceding 30
+    // minutes — the log-dedup / retry-collapse step that runs before
+    // sessionization in an ingest pipeline. One lag window partitioned by
+    // the key; (ts, event_id) is a total order, so the kept set is
+    // deterministic even under timestamp ties. Gap arithmetic rides exact
+    // integer epoch-micros in both engines. Scale shape: one hash exchange
+    // on the key, per-key sort bounded by key cardinality — no self-join.
+    "events_debounce" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- as-of join: each event picks the user's most recent order at or
     // before the event time. Implemented as the scalable union+window
     // formulation: tag both streams, union, and take the running last
@@ -370,6 +391,17 @@ object Events {
       FROM events
       GROUP BY 1, 2
       ORDER BY event_type, bucket""",
+
+    "events_debounce" -> """
+      WITH x AS (
+        SELECT event_id, user_id, event_type, ts,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS gap_us
+        FROM events)
+      SELECT event_id, user_id, event_type, ts
+      FROM x WHERE gap_us IS NULL OR gap_us > 1800000000
+      ORDER BY event_id""",
 
     "events_asof_order" -> """
       WITH u AS (

@@ -170,6 +170,51 @@ object Similarity {
     // ([[graft.functions.CosRatioKey]]) — so DuckDB replays it bit-for-bit.
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, k = 10, nprobe = 3)),
 
+    // ---- Lloyd's k-means over the embedding corpus — the unsupervised
+    // companion to the label-keyed `emb_centroids` (data-curation clustering:
+    // SemDeDup cells, domain discovery, diversity sampling). Two unrolled
+    // assignment rounds on the exact integer grid: init = the k smallest
+    // vec_ids' gridded vectors, squared-L2 distances in int64, rounded-
+    // average integer centroid update — every step replayed bit-for-bit by
+    // the DuckDB oracle, so an ITERATIVE ML loop rides the same hash gate
+    // as the relational queries.
+    "emb_kmeans" -> ((s, d) => {
+      val (asg, _) = kmeansAssign(s, d, k = 8)
+      asg.select(col("vec_id"), col("cluster"), col("dist2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- SemDeDup-style semantic dedup: cluster with k-means (above),
+    // then drop any vector with a more-senior (smaller vec_id) neighbor in
+    // the SAME cell at gridded cosine >= 0.35 — the integer gate proven in
+    // dedup_embed_lsh, so membership is exact. Keep-list output: every
+    // vector with its cell and keep flag. Scale shape: the candidate join
+    // is blocked by the k-means cell (k grows with N, cells stay bounded —
+    // the SemDeDup recipe), never all-pairs; the keep flag is one anti-join.
+    "dedup_semantic" -> ((s, d) => {
+      val (asg, g) = kmeansAssign(s, d, k = 8)
+      val dec = DecimalType(38, 0)
+      val gv = g.join(asg.select(col("vec_id"), col("cluster")), "vec_id")
+      val a = gv.select(col("cluster"), col("vec_id").as("a"),
+        col("xg").as("xa"), col("n2").as("na2"))
+      val b = gv.select(col("cluster"), col("vec_id").as("b"),
+        col("xg").as("xb"), col("n2").as("nb2"))
+      val gf = graft.functions.GraftFunctions
+      val dropped = a.join(b, "cluster")
+        .filter(col("a") < col("b"))
+        .withColumn("dot", gf.dotl(col("xa"), col("xb")))
+        .filter(col("dot") > 0 &&
+          col("dot").cast(dec) * col("dot").cast(dec) * lit(10000) >=
+            col("na2").cast(dec) * col("nb2").cast(dec) * lit(1225))
+        .select(col("b").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1L))
+      asg.select(col("vec_id"), col("cluster"))
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cluster"),
+          when(col("is_dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- SRP (random-hyperplane) LSH cosine near-dup: the second ANN
     // family next to IVF — and unlike IVF it IS oracle-checkable, because
     // every step is exact-integer: hyperplane signs are md5-derived
@@ -325,7 +370,138 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Two Lloyd assignment rounds over the gridded corpus, exact-integer
+    * end to end. Returns (assignments, gridded corpus): assignments carry
+    * (vec_id, cluster, dist2) from the SECOND assignment — i.e. against the
+    * centroids produced by one full assign+update round — and the gridded
+    * frame is persisted because assignment, update, and the caller's reuse
+    * all re-read it.
+    *
+    * Determinism: init centroids are the k smallest vec_ids' gridded
+    * vectors; squared L2 `‖x‖² + ‖c‖² − 2·x·c` is int64-exact (bound
+    * ~4·‖x‖²_max ≈ 10¹⁴ on this corpus — re-grid coarser past ~10¹⁷);
+    * the argmin is a single hash-aggregated decimal min over the packed key
+    * `dist2·2²⁰ + cent_id` (ties → smallest cent_id, the row_number
+    * convention; dist2 ≥ 0 so the pack needs no sign handling), and the
+    * update is the rounded-average integer centroid from the IVF recipe.
+    * Empty cells simply vanish (both engines aggregate over members).
+    *
+    * Scale shape: centroids are always a broadcast table (k rows); each
+    * round is one corpus pass with a map-side-combinable argmin plus one
+    * posexplode aggregation, so rounds cost O(N·k) with no corpus shuffle
+    * by value — the standard distributed-Lloyd layout. */
+  private[graft] def kmeansAssign(s: SparkSession, d: String,
+                                  k: Int): (DataFrame, DataFrame) =
+    kmeansAssignOf(Tables.embeddings(s, d), k)
+
+  /** [[kmeansAssign]] over any (vec_id, embedding: array<float>) frame —
+    * the unit-testable core. */
+  private[graft] def kmeansAssignOf(emb: DataFrame,
+                                    k: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val gf = graft.functions.GraftFunctions
+    val dec = DecimalType(38, 0)
+    val packBase = 1 << 20
+    val g = emb
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
+      .withColumn("n2", gf.dotl(col("xg"), col("xg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: DataFrame): DataFrame =
+      g.crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          col("n2") + col("nc2") - lit(2L) * gf.dotl(col("xg"), col("cent")))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dist2").cast(dec) * lit(packBase) + col("cent_id"))
+          .as("pk"))
+        .select(col("vec_id"),
+          pmod(col("pk"), lit(packBase)).cast("long").as("cluster"),
+          ((col("pk") - pmod(col("pk"), lit(packBase))) / lit(packBase))
+            .cast("long").as("dist2"))
+    def update(asg: DataFrame): DataFrame =
+      g.join(asg.select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("cluster"), posexplode(col("xg")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("sj"), count(lit(1)).as("m"))
+        .withColumn("cj",
+          expr("(2*sj + m - pmod(2*sj + m, 2*m)) div (2*m)"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cj")))).as("pc"))
+        .select(col("cluster").as("cent_id"),
+          transform(col("pc"), p => p.getField("cj")).as("cent"))
+        .withColumn("nc2", gf.dotl(col("cent"), col("cent")))
+    val init = g.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("xg").as("cent"),
+        col("n2").as("nc2"))
+    (assign(update(assign(init))), g)
+  }
+
+  /** Shared oracle CTEs replaying [[kmeansAssign]] step for step: gridded
+    * elements, init centroids = k smallest vec_ids, exact-int squared-L2
+    * argmin (ties → smallest cent_id), rounded-average integer centroid
+    * update (pmod trick), second assignment with its exact dist2. */
+  private val kmeansCtes = """
+      e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
+             FROM e GROUP BY vec_id),
+      c0 AS (SELECT vec_id AS cent_id, j, xg AS cj FROM e WHERE vec_id < 8),
+      nc0 AS (SELECT cent_id, sum(CAST(cj AS HUGEINT) * cj) AS nc2
+              FROM c0 GROUP BY cent_id),
+      d1 AS (SELECT e.vec_id, c.cent_id, sum(CAST(e.xg AS HUGEINT) * c.cj) AS dot
+             FROM e JOIN c0 c ON c.j = e.j GROUP BY e.vec_id, c.cent_id),
+      a1 AS (SELECT vec_id, cent_id AS cluster FROM (
+               SELECT d.vec_id, d.cent_id, row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY n2.n2 + nc0.nc2 - 2*d.dot ASC, d.cent_id ASC) AS rn
+               FROM d1 d JOIN n2 ON n2.vec_id = d.vec_id
+               JOIN nc0 ON nc0.cent_id = d.cent_id) t WHERE rn = 1),
+      c1 AS (SELECT a1.cluster AS cent_id, e.j,
+               (2*sum(e.xg) + count(*)
+                  - (((2*sum(e.xg) + count(*)) % (2*count(*)) + 2*count(*))
+                     % (2*count(*)))) // (2*count(*)) AS cj
+             FROM e JOIN a1 ON a1.vec_id = e.vec_id GROUP BY a1.cluster, e.j),
+      nc1 AS (SELECT cent_id, sum(CAST(cj AS HUGEINT) * cj) AS nc2
+              FROM c1 GROUP BY cent_id),
+      d2 AS (SELECT e.vec_id, c.cent_id, sum(CAST(e.xg AS HUGEINT) * c.cj) AS dot
+             FROM e JOIN c1 c ON c.j = e.j GROUP BY e.vec_id, c.cent_id),
+      a2 AS (SELECT vec_id, cent_id AS cluster, dist2 FROM (
+               SELECT d.vec_id, d.cent_id, n2.n2 + nc1.nc2 - 2*d.dot AS dist2,
+                 row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY n2.n2 + nc1.nc2 - 2*d.dot ASC, d.cent_id ASC) AS rn
+               FROM d2 d JOIN n2 ON n2.vec_id = d.vec_id
+               JOIN nc1 ON nc1.cent_id = d.cent_id) t WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
+    "emb_kmeans" -> s"""
+      WITH $kmeansCtes
+      SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+        CAST(dist2 AS BIGINT) AS dist2
+      FROM a2 ORDER BY vec_id""",
+
+    "dedup_semantic" -> s"""
+      WITH $kmeansCtes,
+      pdot AS (SELECT ga.vec_id AS a, gb.vec_id AS b,
+                 sum(CAST(ea.xg AS HUGEINT) * eb.xg) AS dot
+               FROM a2 ga JOIN a2 gb ON ga.cluster = gb.cluster
+                 AND ga.vec_id < gb.vec_id
+               JOIN e ea ON ea.vec_id = ga.vec_id
+               JOIN e eb ON eb.vec_id = gb.vec_id AND eb.j = ea.j
+               GROUP BY ga.vec_id, gb.vec_id),
+      dropped AS (SELECT DISTINCT p.b AS vec_id FROM pdot p
+                  JOIN n2 na ON na.vec_id = p.a
+                  JOIN n2 nb ON nb.vec_id = p.b
+                  WHERE p.dot > 0
+                    AND 10000 * p.dot * p.dot >= 1225 * na.n2 * nb.n2)
+      SELECT a2.vec_id, CAST(a2.cluster AS BIGINT) AS cluster,
+        CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM a2 LEFT JOIN dropped dr ON dr.vec_id = a2.vec_id
+      ORDER BY a2.vec_id""",
+
     "sim_topk" -> """
       SELECT qid, rank, vec_id FROM (
         SELECT q.vec_id AS qid, e.vec_id,

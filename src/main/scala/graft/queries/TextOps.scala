@@ -324,6 +324,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus-boilerplate fraction: the share of each document's
+    // distinct 3-gram shingles that are corpus-common (document frequency
+    // >= 4) — the CCNet/RefinedWeb-style boilerplate signal that feeds
+    // span-removal or doc-level filtering decisions. Inverted-index shape:
+    // one hash exchange on the 60-bit shingle hash (the same df window as
+    // the near-dup candidate cap — postings stay partitioned by h), one
+    // per-doc aggregation; no pair join anywhere, so cost is linear in
+    // postings at any corpus size.
+    "docs_boilerplate_ngrams" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val hinv = Tables.documents(s, d).select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.shingleHashes(col("text")))
+          .as("h"))
+      hinv
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 4, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          col("n_boiler") * lit(1.0) / col("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus-level bigram statistics: per-doc counts from the native
     // `graft_bigram_counts` kernel (projection — the shuffle input is
     // per-doc-distinct bigram partials, not raw instances), summed in one
@@ -352,6 +376,18 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "wordcount_topn" -> wcOracle(20),
+
+    "docs_boilerplate_ngrams" -> s"""
+      WITH ${Dedup.hashedShingleCtes},
+      df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h)
+      SELECT i.doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN d.df >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_boiler,
+        sum(CASE WHEN d.df >= 4 THEN 1 ELSE 0 END) * 1.0 / count(*)
+          AS boiler_frac
+      FROM hinv i JOIN df d ON d.h = i.h
+      GROUP BY i.doc_id
+      ORDER BY i.doc_id""",
 
     "wordcount_full" -> """
       SELECT word, count(*) AS cnt FROM (
