@@ -192,7 +192,11 @@ object Similarity {
     // is blocked by the k-means cell (k grows with N, cells stay bounded —
     // the SemDeDup recipe), never all-pairs; the keep flag is one anti-join.
     "dedup_semantic" -> ((s, d) => {
-      val (asg, g) = kmeansAssign(s, d, k = 8)
+      val (asg0, g) = kmeansAssign(s, d, k = 8)
+      // the assignment feeds BOTH the candidate join and the final
+      // keep-list join — persist it (N narrow rows) so the two-round
+      // k-means plan executes once, not twice
+      val asg = asg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dec = DecimalType(38, 0)
       val gv = g.join(asg.select(col("vec_id"), col("cluster")), "vec_id")
       val a = gv.select(col("cluster"), col("vec_id").as("a"),
