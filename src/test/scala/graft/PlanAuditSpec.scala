@@ -102,6 +102,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("k-means rounds broadcast the centroids and keep the packed " +
+    "argmin on the hash path") {
+    for (name <- Seq("emb_kmeans", "dedup_semantic")) {
+      val p = plan(name)
+      // centroid tables ride broadcast nested-loop joins (k rows); the
+      // corpus is never shuffled to meet them
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name does not broadcast the centroid table")
+      // the packed-decimal argmin must hash-aggregate; SortAggregate
+      // means a struct buffer crept back in
+      assert(!p.contains("SortAggregate"),
+        s"$name fell back to SortAggregate")
+    }
+  }
+
+  test("boilerplate fraction and debounce plans stay partitioned " +
+    "(no single-partition stage, no merge join)") {
+    for (name <- Seq("docs_boilerplate_ngrams", "events_debounce")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"),
+        s"$name planned a single-partition exchange")
+    }
+    assert(!plan("docs_boilerplate_ngrams").contains("SortMergeJoin"),
+      "boilerplate df-join shuffled postings for a merge join")
+  }
+
   test("docs_repetition is a pure projection before the final sort") {
     val p = plan("docs_repetition")
     assert(!p.contains("Generate"), "bigram explode reappeared")
