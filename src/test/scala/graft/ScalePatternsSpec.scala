@@ -38,6 +38,42 @@ class ScalePatternsSpec extends SparkSpec {
     assert(spread === direct)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-join path)") {
+    import spark.implicits._
+    // one hot join key carrying ~all the probe rows vs a flat build side:
+    // with thresholds tuned down, AQE must recognize the skewed shuffle
+    // partition and mark the join skew-handled — the runtime half of the
+    // skew story (the static half is the salted aggregation above)
+    val hot = (1 to 200000).map(i =>
+      (if (i % 100 == 0) i.toLong % 97 else 7L, i.toLong)).toDF("k", "v")
+    val dim = (0L until 97L).map(k => (k, s"d$k")).toDF("k", "name")
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = hot.join(dim, "k")
+      // execute THIS dataset's QueryExecution (count() would spawn its
+      // own), so the AdaptiveSparkPlan below is the finalized one
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew="),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join without shuffle exchanges") {
     import spark.implicits._
     // warehouse dir is a temp dir set at session build time (SparkSpec)
