@@ -219,6 +219,45 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- k-NN label propagation (weak supervision): each held-out query
+    // vector (vec_id < 50) takes the majority label of its 10 nearest
+    // TRAIN neighbors (vec_id >= 50) — nearest by the exact integer cosine
+    // key, majority by a packed-decimal argmax (ties -> smallest label),
+    // so the whole classifier replays bit-for-bit in DuckDB. Scale shape:
+    // the query set broadcasts over the corpus (one pass, corpus never
+    // shuffled by value), the per-query top-k is a bounded rank window on
+    // qid, and the vote argmax hash-aggregates map-side.
+    "sim_knn_label" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val gf = graft.functions.GraftFunctions
+      val dec = DecimalType(38, 0)
+      val packBase = 1 << 20
+      val g = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(col("embedding"),
+            x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
+        .withColumn("n2", gf.dotl(col("xg"), col("xg")))
+      val q = g.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("xg").as("qg"))
+      val train = g.filter(col("vec_id") >= 50 && col("n2") > 0)
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("key").desc, col("vec_id").asc)
+      train.crossJoin(broadcast(q))
+        .withColumn("key", gf.cosKey(gf.dotl(col("qg"), col("xg")), col("n2")))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 10)
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("qid"))
+        .agg(max(col("votes").cast(dec) * lit(packBase) - col("label"))
+          .as("pk"))
+        .select(col("qid"),
+          pmod(-col("pk"), lit(packBase)).cast("long").as("pred_label"),
+          ((col("pk") + pmod(-col("pk"), lit(packBase))) / lit(packBase))
+            .cast("long").as("votes"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- SRP (random-hyperplane) LSH cosine near-dup: the second ANN
     // family next to IVF — and unlike IVF it IS oracle-checkable, because
     // every step is exact-integer: hyperplane signs are md5-derived
@@ -481,6 +520,38 @@ object Similarity {
                JOIN nc1 ON nc1.cent_id = d.cent_id) t WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_label" -> """
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
+             FROM e GROUP BY vec_id),
+      d AS (SELECT eq.vec_id AS qid, et.vec_id AS vec_id,
+              sum(CAST(eq.xg AS HUGEINT) * et.xg) AS dot
+            FROM e eq JOIN e et ON et.j = eq.j
+            WHERE eq.vec_id < 50 AND et.vec_id >= 50
+            GROUP BY eq.vec_id, et.vec_id),
+      k AS (SELECT d.qid, d.vec_id,
+              (d.dot * abs(d.dot) * 1000000
+                 - ((d.dot * abs(d.dot) * 1000000) % n2.n2 + n2.n2) % n2.n2)
+                // n2.n2 AS key
+            FROM d JOIN n2 ON n2.vec_id = d.vec_id WHERE n2.n2 > 0),
+      nn AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                 ORDER BY key DESC, vec_id ASC) AS rn
+               FROM k) t WHERE rn <= 10),
+      votes AS (SELECT nn.qid, l.label, count(*) AS votes
+                FROM nn JOIN lab l ON l.vec_id = nn.vec_id
+                GROUP BY nn.qid, l.label)
+      SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes FROM (
+        SELECT qid, label, votes, row_number() OVER (PARTITION BY qid
+          ORDER BY votes DESC, label ASC) AS rn
+        FROM votes) t WHERE rn = 1
+      ORDER BY qid""",
+
     "emb_kmeans" -> s"""
       WITH $kmeansCtes
       SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,

@@ -78,6 +78,37 @@ class CurationSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) > 0))
   }
 
+  test("sim_knn_label matches an exact reimplementation of the " +
+    "10-NN majority vote") {
+    val out = graft.queries.Similarity.queries("sim_knn_label")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.length === 50)
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => math.floor(x * 1e6 + 0.5).toLong)))
+    val train = all.filter(t => t._1 >= 50 &&
+      t._3.map(x => BigInt(x) * BigInt(x)).sum > 0)
+    val expected = all.filter(_._1 < 50).sortBy(_._1).map {
+      case (qid, _, qg) =>
+        val key = train.map { case (vid, lab, xg) =>
+          val dot = qg.zip(xg).map { case (a, b) => BigInt(a) * b }.sum
+          val n2 = xg.map(x => BigInt(x) * BigInt(x)).sum
+          val num = dot * dot.abs * 1000000
+          // floorDiv for any sign of num
+          val q = (num - (num.mod(n2))) / n2
+          (vid, lab, q)
+        }
+        val nn = key.sortBy { case (vid, _, k) => (-k, vid) }.take(10)
+        val (lab, votes) = nn.groupBy(_._2).view.mapValues(_.length).toSeq
+          .minBy { case (l, v) => (-v, l) }
+        (qid, lab, votes.toLong)
+    }
+    assert(out.toSeq === expected.toSeq)
+  }
+
   test("events_debounce matches an exact reimplementation of the rule") {
     val kept = graft.queries.Events.queries("events_debounce")(spark, dir)
       .select(col("event_id")).collect().map(_.getLong(0)).toSet
