@@ -22,17 +22,23 @@ object Bench {
         try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
       // drop warm-up persist/checkpoint residue so the timed phase runs
-      // with full storage memory
+      // with full storage memory (releaseAll also empties the tracked-
+      // persist registry so it cannot grow across the sweeps)
+      Caching.releaseAll()
       spark.catalog.clearCache()
     } else {
       System.err.println(s"[bench] warm-up skipped: $warmDir not found")
     }
-    // two full timed sweeps, report each query's best — one-off scheduler /
-    // GC / page-cache spikes shouldn't be recorded as the engine's speed
+    // three full timed sweeps, report each query's MEDIAN — robust to
+    // one-off scheduler / GC / page-cache spikes in either direction
+    // (best-of-N, used through round 5, is the optimistic estimator;
+    // BASELINE.md's anchor note records the expected small upward drift
+    // from this estimator change)
     def sweep(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         // isolate queries: internal persists must not let one timed query
         // read another's cached subplan (CacheManager matches by plan)
+        Caching.releaseAll()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // a failed query reports -1 so breakage can't read as a speed-up
@@ -40,10 +46,10 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => name -> -1.0 }
     }
-    val (s1, s2) = (sweep(), sweep())
-    val results = s1.map { case (name, v1) =>
-      val v2 = s2(name)
-      name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
+    val sweeps = Seq(sweep(), sweep(), sweep())
+    val results = sweeps.head.map { case (name, _) =>
+      val vs = sweeps.map(_(name))
+      name -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -27,7 +27,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may persist shared subplans internally; drop them so no
-      // storage accumulates across the 50+ query run
+      // storage accumulates across the 50+ query run (releaseAll keeps
+      // the tracked-persist registry from growing as well)
+      Caching.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

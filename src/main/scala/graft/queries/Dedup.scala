@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators — the LLM-training-pipeline surface
   * (SURVEY.md §2.12): exact dedup, n-gram-Jaccard near-dup, MinHash+LSH
@@ -124,12 +123,11 @@ object Dedup {
     // (A collect_list + local-pair-expansion formulation also needs just
     // one shuffle and skips WindowExec's sort, but its per-shingle pair
     // loop runs as interpreted HOFs — measured 35% slower at sf0.1.)
-    val invCapped = inv
+    val invCapped = graft.Caching.persistTracked(inv
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("df") <= DfCap)
-      .select(col("doc_id"), col("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("h")))
     val common = invCapped.select(col("doc_id").as("a"), col("h"))
       .join(invCapped.select(col("doc_id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
@@ -152,9 +150,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, minJ: Double,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val sh = docShingles(normalize(docs, idCol, textCol))
-      .filter(size(col("shingles")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Caching.persistTracked(
+      docShingles(normalize(docs, idCol, textCol))
+        .filter(size(col("shingles")) > 0))
     val sig = sh.select(col("doc_id"),
       graft.functions.GraftFunctions.minhashSig(col("shingles")).as("ms"))
     val rowsPerBand = NumPerm / Bands
@@ -262,12 +260,11 @@ object Dedup {
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // both edge directions from a single pass over the pair pipeline
     // (a union of two `pairs` references would execute it twice)
-    val edges = pairs.toDF("a", "b")
+    val edges = graft.Caching.persistTracked(pairs.toDF("a", "b")
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val snap: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)

@@ -135,14 +135,18 @@ object Events {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
-    // ---- burst dedup (debounce): drop an event when the same
-    // (user, event_type) key emitted another event in the preceding 30
-    // minutes — the log-dedup / retry-collapse step that runs before
-    // sessionization in an ingest pipeline. One lag window partitioned by
-    // the key; (ts, event_id) is a total order, so the kept set is
-    // deterministic even under timestamp ties. Gap arithmetic rides exact
-    // integer epoch-micros in both engines. Scale shape: one hash exchange
-    // on the key, per-key sort bounded by key cardinality — no self-join.
+    // ---- minimum-gap-from-previous-EVENT filter: drop an event when the
+    // same (user, event_type) key emitted another event (kept or not) in
+    // the preceding 30 minutes — the log-dedup / retry-collapse step that
+    // runs before sessionization in an ingest pipeline. NOTE this is NOT
+    // classic debounce-to-last-kept: the gap is measured from the previous
+    // RAW event, so a burst longer than 30 minutes suppresses everything
+    // after its first event (see `events_debounce_kept` below for the
+    // re-arming variant). One lag window partitioned by the key;
+    // (ts, event_id) is a total order, so the kept set is deterministic
+    // even under timestamp ties. Gap arithmetic rides exact integer
+    // epoch-micros in both engines. Scale shape: one hash exchange on the
+    // key, per-key sort bounded by key cardinality — no self-join.
     "events_debounce" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"), col("event_type"))
@@ -155,6 +159,21 @@ object Events {
           col("ts").cast("timestamp_ntz").as("ts"))
         .orderBy(col("event_id"))
     }),
+
+    // ---- debounce-to-last-KEPT event (the classic throttle): an event is
+    // kept iff it arrives more than 30 minutes after the last KEPT event
+    // of its (user, event_type) key — the filter re-arms on every kept
+    // event, so a long burst surfaces one event per 30-minute budget
+    // instead of only its first (the semantic `events_debounce` above
+    // cannot express: kept(i) depends on kept(i-1), a sequential
+    // recurrence no fixed-depth window computes). Typed path: ONE sorted
+    // pass per key via flatMapSortedGroups (secondary sort inside the
+    // exchange; carried state = one long). Scale shape: one hash exchange
+    // on the key, per-key linear walk, no self-join, no driver state —
+    // the batch twin of a flatMapGroupsWithState stream throttle. The
+    // oracle replays the same walk with a recursive CTE stepping rn→rn+1.
+    "events_debounce_kept" -> ((s, d) =>
+      debounceKept(Tables.events(s, d), gapUs = 1800000000L)),
 
     // ---- as-of join: each event picks the user's most recent order at or
     // before the event time. Implemented as the scalable union+window
@@ -254,6 +273,37 @@ object Events {
         .orderBy(col("p_partkey"))
     })
   )
+
+  /** Debounce-to-last-kept walk over any frame with (event_id, user_id,
+    * event_type, ts): keep an event iff it arrives more than `gapUs`
+    * micros after the last KEPT event of its (user_id, event_type) key;
+    * the first event per key is always kept. One sorted pass per key
+    * (flatMapSortedGroups = secondary sort inside the hash exchange),
+    * kept-state is a single long — the unit-testable core of
+    * `events_debounce_kept`. */
+  private[graft] def debounceKept(events: org.apache.spark.sql.DataFrame,
+                                  gapUs: Long): org.apache.spark.sql.DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val walked = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey { case (_, uid, et, _) => (uid, et) }
+      .flatMapSortedGroups(col("us"), col("event_id")) { (_, it) =>
+        var lastKeptUs = Long.MinValue
+        it.flatMap { case (id, uid, et, us) =>
+          if (lastKeptUs == Long.MinValue || us - lastKeptUs > gapUs) {
+            lastKeptUs = us
+            Iterator.single((id, uid, et, us))
+          } else Iterator.empty
+        }
+      }
+    walked.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .orderBy(col("event_id"))
+  }
 
   private val sumValue =
     "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
@@ -401,6 +451,31 @@ object Events {
         FROM events)
       SELECT event_id, user_id, event_type, ts
       FROM x WHERE gap_us IS NULL OR gap_us > 1800000000
+      ORDER BY event_id""",
+
+    // the recursive CTE walks each (user_id, event_type) chain one event
+    // at a time (rn -> rn+1), carrying the last-KEPT timestamp exactly as
+    // the Spark walk's one-long state; iteration depth = the largest
+    // per-key event count
+    "events_debounce_kept" -> """
+      WITH RECURSIVE ev AS (
+        SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS rn
+        FROM events),
+      walk AS (
+        SELECT user_id, event_type, rn, event_id, ts, us AS kept_us,
+          TRUE AS keep
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.rn, e.event_id, e.ts,
+          CASE WHEN e.us - w.kept_us > 1800000000
+               THEN e.us ELSE w.kept_us END,
+          e.us - w.kept_us > 1800000000
+        FROM walk w JOIN ev e
+          ON e.user_id = w.user_id AND e.event_type = w.event_type
+         AND e.rn = w.rn + 1)
+      SELECT event_id, user_id, event_type, ts FROM walk WHERE keep
       ORDER BY event_id""",
 
     "events_asof_order" -> """

@@ -31,6 +31,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
+  /** k for the oracled k-means queries (`emb_kmeans`, `dedup_semantic`).
+    * Interpolated into [[kmeansCtes]] AND passed to the Scala call sites,
+    * so the two engines cannot drift when k changes. */
+  private[graft] val KmeansK = 8
+
+  /** The 1e-6 exact-integer grid scale used by every gridded embedding
+    * path. Interpolated into [[kmeansCtes]] and used by [[kmeansAssignOf]]
+    * — again one constant for both engines. */
+  private[graft] val EmbGridScale = 1000000.0
+
   /** Left-to-right double-precision dot product of two float vectors —
     * the native codegen'd expression ([[graft.functions.DotProductFloat]]);
     * bit-identical to the interpreted `aggregate(zip_with(...))` fold but
@@ -179,7 +189,7 @@ object Similarity {
     // the DuckDB oracle, so an ITERATIVE ML loop rides the same hash gate
     // as the relational queries.
     "emb_kmeans" -> ((s, d) => {
-      val (asg, _) = kmeansAssign(s, d, k = 8)
+      val (asg, _) = kmeansAssign(s, d, k = KmeansK)
       asg.select(col("vec_id"), col("cluster"), col("dist2"))
         .orderBy(col("vec_id"))
     }),
@@ -192,11 +202,12 @@ object Similarity {
     // is blocked by the k-means cell (k grows with N, cells stay bounded —
     // the SemDeDup recipe), never all-pairs; the keep flag is one anti-join.
     "dedup_semantic" -> ((s, d) => {
-      val (asg0, g) = kmeansAssign(s, d, k = 8)
+      val (asg0, g) = kmeansAssign(s, d, k = KmeansK)
       // the assignment feeds BOTH the candidate join and the final
       // keep-list join — persist it (N narrow rows) so the two-round
-      // k-means plan executes once, not twice
-      val asg = asg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // k-means plan executes once, not twice; tracked so an embedding
+      // session can release it via graft.Caching.releaseAll()
+      val asg = graft.Caching.persistTracked(asg0)
       val dec = DecimalType(38, 0)
       val gv = g.join(asg.select(col("vec_id"), col("cluster")), "vec_id")
       val a = gv.select(col("cluster"), col("vec_id").as("a"),
@@ -227,6 +238,13 @@ object Similarity {
     // the query set broadcasts over the corpus (one pass, corpus never
     // shuffled by value), the per-query top-k is a bounded rank window on
     // qid, and the vote argmax hash-aggregates map-side.
+    //
+    // Packed-vote contract (same style as CosRatioKey's overflow note):
+    // `max(votes·2²⁰ − label)` + `pmod(−pk, 2²⁰)` recover (max votes,
+    // smallest label) ONLY for labels in [0, 2²⁰) and non-null — a
+    // negative, null, or ≥2²⁰ label would silently corrupt pred_label.
+    // The fixture's labels are small non-negative ints; feeding arbitrary
+    // labels requires re-keying them into [0, 2²⁰) first.
     "sim_knn_label" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val gf = graft.functions.GraftFunctions
@@ -293,12 +311,11 @@ object Similarity {
     // and hashed an md5 per cell; the sign matrix only depends on
     // (plane, dim), so graft_srp_bands bakes it in — see
     // [[graft.functions.SrpBands]])
-    val g = emb.select(col("vec_id"),
+    val g = graft.Caching.persistTracked(emb.select(col("vec_id"),
         transform(col("embedding"),
           x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
       .withColumn("n2", gf.dotl(col("xg"), col("xg")))
-      .withColumn("bands", gf.srpBands(col("xg")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("bands", gf.srpBands(col("xg"))))
     val banded = g.select(col("vec_id"), posexplode(col("bands")))
       .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
     val cand = banded
@@ -420,8 +437,15 @@ object Similarity {
     * frame is persisted because assignment, update, and the caller's reuse
     * all re-read it.
     *
-    * Determinism: init centroids are the k smallest vec_ids' gridded
-    * vectors; squared L2 `‖x‖² + ‖c‖² − 2·x·c` is int64-exact (bound
+    * Determinism: init centroids are the gridded vectors with
+    * `vec_id < k` — which equals "the k smallest vec_ids" ONLY for dense
+    * 0-based ids. That is a PRECONDITION of this operator: the driver's
+    * embeddings fixture satisfies it, but an arbitrary frame passed to
+    * [[kmeansAssignOf]] with sparse or non-zero-based vec_ids may select
+    * fewer than k (or zero) init centroids — re-key such inputs first
+    * (both engines apply the same `vec_id < k` rule, so oracle parity
+    * holds either way; the contract is about getting k real centroids).
+    * Squared L2 `‖x‖² + ‖c‖² − 2·x·c` is int64-exact (bound
     * ~4·‖x‖²_max ≈ 10¹⁴ on this corpus — re-grid coarser past ~10¹⁷);
     * the argmin is a single hash-aggregated decimal min over the packed key
     * `dist2·2²⁰ + cent_id` (ties → smallest cent_id, the row_number
@@ -445,12 +469,11 @@ object Similarity {
     val gf = graft.functions.GraftFunctions
     val dec = DecimalType(38, 0)
     val packBase = 1 << 20
-    val g = emb
+    val g = graft.Caching.persistTracked(emb
       .select(col("vec_id"),
         transform(col("embedding"),
-          x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
-      .withColumn("n2", gf.dotl(col("xg"), col("xg")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          x => grid(x.cast("double"), EmbGridScale).cast("long")).as("xg"))
+      .withColumn("n2", gf.dotl(col("xg"), col("xg"))))
     def assign(cents: DataFrame): DataFrame =
       g.crossJoin(broadcast(cents))
         .withColumn("dist2",
@@ -481,18 +504,22 @@ object Similarity {
   }
 
   /** Shared oracle CTEs replaying [[kmeansAssign]] step for step: gridded
-    * elements, init centroids = k smallest vec_ids, exact-int squared-L2
+    * elements, init centroids = vec_id < [[KmeansK]], exact-int squared-L2
     * argmin (ties → smallest cent_id), rounded-average integer centroid
-    * update (pmod trick), second assignment with its exact dist2. */
-  private val kmeansCtes = """
+    * update (pmod trick), second assignment with its exact dist2.
+    * k and the grid scale are interpolated from the SAME constants the
+    * Scala call sites use, so changing either cannot desynchronize the
+    * engines. */
+  private val kmeansCtes = s"""
       e AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale + 0.5)
             AS BIGINT) AS xg
         FROM embeddings),
       n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
              FROM e GROUP BY vec_id),
-      c0 AS (SELECT vec_id AS cent_id, j, xg AS cj FROM e WHERE vec_id < 8),
+      c0 AS (SELECT vec_id AS cent_id, j, xg AS cj FROM e
+             WHERE vec_id < $KmeansK),
       nc0 AS (SELECT cent_id, sum(CAST(cj AS HUGEINT) * cj) AS nc2
               FROM c0 GROUP BY cent_id),
       d1 AS (SELECT e.vec_id, c.cent_id, sum(CAST(e.xg AS HUGEINT) * c.cj) AS dot

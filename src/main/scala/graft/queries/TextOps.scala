@@ -205,11 +205,10 @@ object TextOps {
     // bigram — still linear, never a second corpus pass.
     "docs_lm_bigram_score" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val dtf = Tables.documents(s, d)
+      val dtf = graft.Caching.persistTracked(Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.GraftFunctions.bigramCounts(col("text"))))
-        .toDF("doc_id", "bigram", "n")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .toDF("doc_id", "bigram", "n"))
       val bi = dtf.groupBy(col("bigram")).agg(sum(col("n")).as("c2"))
         .withColumn("w1", substring_index(col("bigram"), " ", 1))
       val uni = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))

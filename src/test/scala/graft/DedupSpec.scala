@@ -160,6 +160,29 @@ class DedupSpec extends SparkSpec {
     assert(wrote)
   }
 
+  test("the full dedup_components pipeline with a reliable checkpoint dir " +
+    "matches the oracled localCheckpoint query") {
+    // end-to-end cluster-scale path: the same jaccard candidate pipeline
+    // the oracled query runs, but with every round snapshotted to a
+    // reliable checkpoint dir (df.checkpoint) instead of executor-local
+    // block storage — output must be identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-full")
+      .toString
+    val viaQuery = graft.queries.Dedup.queries("dedup_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = graft.queries.Dedup
+      .jaccardPairsUnsorted(Tables.documents(spark, dir), 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val viaDir = graft.queries.Dedup
+      .components(docs, pairs, checkpointDir = Some(tmp))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDir === viaQuery)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+    assert(wrote, "no checkpoint files written to the reliable dir")
+  }
+
   test("simhash of identical docs is identical; hamming pairs include dups") {
     val sims = graft.queries.Dedup.queries("dedup_simhash")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the event-stream filters: the two debounce variants
+  * agree everywhere except inside long bursts, where debounce-to-last-kept
+  * re-arms and the raw-gap filter does not. */
+class EventsSpec extends SparkSpec {
+
+  /** One key, 13 events 10 minutes apart (a 2-hour burst). */
+  private def burst() = {
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    (0 until 13).map { i =>
+      (i.toLong, 1L, "click", base + i * 600000000L)
+    }.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+  }
+
+  test("debounce-to-last-kept re-arms inside a long burst (one event per " +
+    "30-minute budget, not just the first)") {
+    import spark.implicits._
+    val kept = graft.queries.Events.debounceKept(burst(), gapUs = 1800000000L)
+      .select("event_id").as[Long].collect().toSeq
+    // t=0 kept; 10/20/30 min within the strict >30min gap of 0 dropped;
+    // t=40 re-arms; then 80, 120
+    assert(kept === Seq(0L, 4L, 8L, 12L))
+  }
+
+  test("the raw-gap filter keeps only the first event of the same burst") {
+    import spark.implicits._
+    // pipe the synthetic burst through the oracled raw-gap query shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val kept = burst()
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > lit(1800000000L))
+      .select("event_id").as[Long].collect().toSeq
+    assert(kept === Seq(0L))
+  }
+
+  test("the two variants agree when every inter-event gap exceeds the " +
+    "debounce window") {
+    import spark.implicits._
+    val base = 1704067200000000L
+    val sparse = (0 until 6).map { i =>
+      (i.toLong, 1L, "view", base + i * 3600000000L) // hourly
+    }.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val kept = graft.queries.Events.debounceKept(sparse, gapUs = 1800000000L)
+      .select("event_id").as[Long].collect().toSeq
+    assert(kept === (0L until 6L))
+  }
+}

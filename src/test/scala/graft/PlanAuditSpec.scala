@@ -36,6 +36,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q17_window_topk_per_group").contains("WindowGroupLimit"))
   }
 
+  test("similarity rank windows push the rank filter into a bounded " +
+    "per-partition WindowGroupLimit") {
+    // the 100 TB story of every top-k-per-query ranking is that the
+    // `rank <= k` filter becomes a per-partition bounded group-limit
+    // BEFORE the shuffle — without it the full scored candidate set
+    // (corpus × queries for sim_topk/sim_knn_label, the probed cells for
+    // the IVF path) is shuffled and sorted in its entirety
+    for (name <- Seq("sim_topk", "sim_knn_label", "sim_ivf_topk")) {
+      assert(plan(name).contains("WindowGroupLimit"),
+        s"$name's bounded rank window lost its WindowGroupLimit")
+    }
+  }
+
   test("no cartesian product in any query plan") {
     // dedup_components executes eagerly at construction (iterative
     // localCheckpoint loop); its final plan is a plain broadcast join over
@@ -119,7 +132,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("boilerplate fraction and debounce plans stay partitioned " +
     "(no single-partition stage, no merge join)") {
-    for (name <- Seq("docs_boilerplate_ngrams", "events_debounce")) {
+    for (name <- Seq("docs_boilerplate_ngrams", "events_debounce",
+        "events_debounce_kept")) {
       val p = plan(name)
       assert(!p.contains("SinglePartition"),
         s"$name planned a single-partition exchange")

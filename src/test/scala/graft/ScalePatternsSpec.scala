@@ -65,9 +65,31 @@ class ScalePatternsSpec extends SparkSpec {
       // execute THIS dataset's QueryExecution (count() would spawn its
       // own), so the AdaptiveSparkPlan below is the finalized one
       assert(joined.collect().length === 200000)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew="),
-        s"AQE did not mark the skewed join:\n$plan")
+      // assert on the finalized plan TREE (isSkewJoin on the join node),
+      // not a "skew=" plan-string marker — string rendering shifts across
+      // Spark versions; the node flag is the semantic fact
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // QueryStageExec nodes are leaves — walk into their materialized
+      // subplans too, or the join node is invisible to collect
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val skewFlags = allNodes(finalPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.isSkewJoin
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.isSkewJoin
+      }
+      assert(skewFlags.nonEmpty, s"no shuffled join found:\n$finalPlan")
+      assert(skewFlags.exists(identity),
+        s"AQE did not mark the skewed join:\n$finalPlan")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)

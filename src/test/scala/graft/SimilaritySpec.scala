@@ -30,6 +30,20 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) === r.getLong(2)))
   }
 
+  test("IVF recall@10 holds at sf0.1 (realistic cell sizes)") {
+    // the smoke-scale recall test above runs on ~500 vectors where cells
+    // are tiny; this pins the nprobe=3-of-10-cells recall claim at 32k
+    // vectors, where cell populations are what a real corpus produces
+    val sfDir = "/root/testdata/sf0.1"
+    val brute = graft.queries.Similarity.queries("sim_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.queries.Similarity
+      .ivfTopK(spark, sfDir, k = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@10 at sf0.1 is $recall — below 0.5")
+  }
+
   test("SRP-LSH: identical vectors collide on every band and pass the gate") {
     import spark.implicits._
     val v = (0 until 64).map(i => math.sin(i + 1.0).toFloat).toArray
