@@ -41,6 +41,21 @@ object Similarity {
     * — again one constant for both engines. */
   private[graft] val EmbGridScale = 1000000.0
 
+  /** The SemDeDup operating rule "k grows with N" as a function: the
+    * number of k-means cells that bounds the EXPECTED cell population at
+    * `targetCellSize`, so the within-cell candidate pair join in
+    * `dedup_semantic` stays O(N · targetCellSize) instead of O(N²/k) with
+    * a stale k. Capped at 2²⁰ − 1 because cent_id must fit the packed
+    * argmin's 2²⁰ tie-break slot ([[kmeansAssignOf]]); floored at 1.
+    * The oracled queries pin k = [[KmeansK]] (the fixture is tiny); a
+    * production caller sizes k from its corpus count:
+    * `kmeansAssignOf(emb, recommendedK(n))`. */
+  def recommendedK(corpusSize: Long, targetCellSize: Long = 4096L): Int = {
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    val k = (corpusSize + targetCellSize - 1) / targetCellSize
+    math.max(1L, math.min(k, (1L << 20) - 1)).toInt
+  }
+
   /** Left-to-right double-precision dot product of two float vectors —
     * the native codegen'd expression ([[graft.functions.DotProductFloat]]);
     * bit-identical to the interpreted `aggregate(zip_with(...))` fold but

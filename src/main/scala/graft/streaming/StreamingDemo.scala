@@ -117,6 +117,57 @@ object StreamingDemo {
       }
   }
 
+  /** Streaming throttle — the stream twin of the batch
+    * `events_debounce_kept` walk ([[graft.queries.Events.debounceKept]]):
+    * per key, an event is kept iff it arrives more than `gapMinutes`
+    * after the last KEPT event; the filter re-arms on every kept event.
+    * State per key is ONE long (the last kept event-time).
+    *
+    * State expiry is provably safe: the timeout fires once the watermark
+    * passes lastKept + gap, and from then on every admitted event has
+    * event-time ≥ watermark > lastKept + gap — it would be kept anyway —
+    * so removing the state cannot change the kept set. Bounded state at
+    * any key cardinality, store-partitioned by key.
+    *
+    * Intra-batch events are walked in event-time order; cross-batch
+    * ordering is the stream's own (watermark-bounded) guarantee, so a
+    * stream fed in event-time order reproduces the batch walk exactly —
+    * pinned by StreamingSpec. */
+  def throttle(events: Dataset[StreamEvent], gapMinutes: Int)
+      : Dataset[StreamEvent] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[StreamEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastKept + gap: any future event is kept
+            // regardless of this state — safe to drop
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(_.ts.getTime)
+            var lastKept = state.getOption.getOrElse(Long.MinValue)
+            val kept = Seq.newBuilder[StreamEvent]
+            for (e <- batch) {
+              val t = e.ts.getTime
+              if (lastKept == Long.MinValue || t - lastKept > gapMs) {
+                lastKept = t
+                kept += e
+              }
+            }
+            if (lastKept != Long.MinValue) {
+              state.update(lastKept)
+              state.setTimeoutTimestamp(lastKept + gapMs)
+            }
+            kept.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * the static dimension — stateless (no streaming state store), and the
     * explicit broadcast means the dimension never forces a stream-side

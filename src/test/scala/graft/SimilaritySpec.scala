@@ -78,6 +78,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recommendedK scales cells with corpus size and respects the " +
+    "packed-argmin cap") {
+    val S = graft.queries.Similarity
+    assert(S.recommendedK(0) === 1)                  // floor
+    assert(S.recommendedK(4096) === 1)
+    assert(S.recommendedK(4097) === 2)               // ceiling division
+    assert(S.recommendedK(40960000) === 10000)       // k grows linearly
+    // expected cell size stays bounded by the target
+    val n = 123456789L
+    val k = S.recommendedK(n)
+    assert(n.toDouble / k <= 4096.0)
+    // cent_id must fit the 2^20 pack slot even at absurd corpus sizes
+    assert(S.recommendedK(Long.MaxValue / 2, 1) === (1 << 20) - 1)
+  }
+
   test("nn_per_label is symmetric-free and within-label") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

@@ -122,6 +122,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming throttle matches the batch debounce-to-last-kept walk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // a 2-hour burst every 10 minutes on one key plus sparse events on a
+    // second key, fed across three in-event-time-order micro-batches
+    val burst = (0 until 13).map(i => StreamEvent(ts(1 + i / 6, (i % 6) * 10),
+      "click", i.toDouble))
+    val sparse = Seq(StreamEvent(ts(1, 5), "view", 0.0),
+      StreamEvent(ts(2, 20), "view", 1.0))
+    val all = (burst ++ sparse).sortBy(_.ts.getTime)
+    val (b1, rest) = all.splitAt(5)
+    val (b2, b3) = rest.splitAt(5)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.throttle(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("thr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("thr_out").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[Timestamp]("ts"))).toSet
+      // batch truth: the same rows through the oracled batch walk
+      val batchKept = graft.queries.Events.debounceKept(
+        all.zipWithIndex.map { case (e, i) =>
+          (i.toLong, 1L, e.event_type, e.ts) }
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        gapUs = 30L * 60 * 1000000)
+        .select(col("event_type"), col("ts").cast("timestamp"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1))).toSet
+      assert(streamed === batchKept)
+      // and the burst really was throttled, not silenced after its head
+      assert(streamed.count(_._1 == "click") > 1)
+    } finally q.stop()
+  }
+
+  test("streaming throttle state survives expiry without changing the " +
+    "kept set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamingDemo.throttle(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("thr_exp_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamEvent(ts(1, 0), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past lastKept + gap so the state times
+      // out and is removed ...
+      in.addData(StreamEvent(ts(8, 0), "other", 1.0))
+      q.processAllAvailable()
+      // ... then a post-expiry event on the original key must still be
+      // kept (it is > gap after the last kept event by construction)
+      in.addData(StreamEvent(ts(8, 30), "click", 2.0))
+      q.processAllAvailable()
+      val clicks = spark.table("thr_exp_out").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+        .map(_.getAs[Timestamp]("ts")).toSet
+      assert(clicks === Set(ts(1, 0), ts(8, 30)))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches without dropping unmatched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
