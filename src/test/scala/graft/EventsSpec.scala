@@ -42,6 +42,36 @@ class EventsSpec extends SparkSpec {
     assert(kept === Seq(0L))
   }
 
+  test("debounceKept matches a sequential reference walk on random " +
+    "multi-key event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic test
+    val base = 1704067200000000L
+    for (trial <- 0 until 3) {
+      val events = (0 until 400).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong,
+          Seq("click", "view")(rnd.nextInt(2)),
+          // clustered gaps: 0..80 min so kept/dropped decisions mix
+          base + rnd.nextLong(48L * 3600000000L))
+      }
+      val df = events.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+      val got = graft.queries.Events.debounceKept(df, gapUs = 1800000000L)
+        .select("event_id").as[Long].collect().toSet
+      // reference: plain sequential walk per key over (us, event_id) order
+      val want = events.groupBy(e => (e._2, e._3)).flatMap { case (_, es) =>
+        var lastKept = Long.MinValue
+        es.sortBy(e => (e._4, e._1)).flatMap { e =>
+          if (lastKept == Long.MinValue || e._4 - lastKept > 1800000000L) {
+            lastKept = e._4; Some(e._1)
+          } else None
+        }
+      }.toSet
+      assert(got === want, s"trial $trial diverged")
+    }
+  }
+
   test("the two variants agree when every inter-event gap exceeds the " +
     "debounce window") {
     import spark.implicits._
