@@ -68,10 +68,15 @@ object Similarity {
 
   /** Brute-force top-k: all corpus vectors scored against each query.
     * Norms are precomputed per side so the per-pair work is a single dot
-    * product rather than three array folds. */
+    * product rather than three array folds. Zero-norm vectors have no
+    * cosine and are filtered on BOTH sides (mirrored in the oracle) —
+    * also keeps ANSI mode from raising DIVIDE_BY_ZERO on the dead/padded
+    * embedding rows any real corpus contains. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.withColumn("cnorm", sqrt(dotd(col("embedding"), col("embedding"))))
+      .filter(col("cnorm") > 0)
     val q = queries.withColumn("qnorm", sqrt(dotd(col("qe"), col("qe"))))
+      .filter(col("qnorm") > 0)
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos",
         dotd(col("qe"), col("embedding")) / (col("qnorm") * col("cnorm")))
@@ -146,7 +151,16 @@ object Similarity {
         .withColumn("nb", sqrt(dotd(col("eb"), col("eb"))))
       a.join(b, "label")
         .filter(col("vec_a") < col("vec_b"))
-        .filter(dotd(col("ea"), col("eb")) / (col("na") * col("nb"))
+        // zero-norm guard, same contract as sim_nn_per_label: no cosine
+        // exists for a zero vector, and ANSI mode raises DIVIDE_BY_ZERO on
+        // the bare division. The guard lives INSIDE a when(): conjuncts in
+        // a filter chain may be reordered by the optimizer, but when()'s
+        // branch is conditionally evaluated — the division can never see a
+        // zero norm. The no-branch sentinel must be NULL, not NaN: Spark's
+        // total ordering puts NaN ABOVE every value, so NaN >= 0.35 is
+        // true, while null >= 0.35 is null and the filter drops the row.
+        .filter(when(col("na") > 0 && col("nb") > 0,
+          dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
           >= 0.35)
         .select(col("label").cast("long").as("label"), col("vec_a"),
           col("vec_b"))
@@ -627,7 +641,9 @@ object Similarity {
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
                      e.vec_id ASC) AS BIGINT) AS rank
         FROM embeddings q CROSS JOIN embeddings e
-        WHERE q.vec_id <= 4) t
+        WHERE q.vec_id <= 4
+          AND list_inner_product(q.embedding, q.embedding) > 0
+          AND list_inner_product(e.embedding, e.embedding) > 0) t
       WHERE rank <= 10
       ORDER BY qid, rank""",
 
@@ -640,7 +656,9 @@ object Similarity {
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
                      b.vec_id ASC) AS rn
         FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id) t
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+          AND list_inner_product(a.embedding, a.embedding) > 0
+          AND list_inner_product(b.embedding, b.embedding) > 0) t
       WHERE rn = 1
       ORDER BY vec_id""",
 
@@ -649,7 +667,9 @@ object Similarity {
         a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM embeddings a
       JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+      WHERE list_inner_product(a.embedding, a.embedding) > 0
+        AND list_inner_product(b.embedding, b.embedding) > 0
+        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
       ORDER BY vec_a, vec_b""",
 
     "emb_quantize_int8" -> """
