@@ -73,6 +73,9 @@ object MapReduce {
     import spark.implicits._
     val counts = Tables.documents(spark, dir)
       .select(col("text")).as[String]
+      // null text contributes no words (typed lambdas see raw nulls —
+      // no automatic null propagation as in the declarative form)
+      .filter((t: String) => t != null)
       .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)) // user map
       .groupByKey(identity)
       .mapValues(_ => 1L)
@@ -99,6 +102,9 @@ object MapReduce {
     import spark.implicits._
     val top = Tables.documents(spark, dir)
       .select(col("text")).as[String].rdd
+      // null text (failed extraction) contributes no words — the same
+      // behavior the declarative form gets for free from null propagation
+      .filter(_ != null)
       .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)) // user map
       .map(w => (w, 1L))
       .reduceByKey(_ + _) // user reduce, map-side combined
