@@ -119,9 +119,15 @@ object Events {
         .orderBy(col("day"))
     }),
 
-    // ---- conditional buckets (CASE WHEN) + math functions over value
+    // ---- conditional buckets (CASE WHEN) + math functions over value.
+    // Null measures are EXCLUDED from bucketing (the repo-wide null-
+    // measure convention, same as events_median_value): without the
+    // filter a null value silently falls through every WHEN into the
+    // "high" bucket — a classification the oracle's conditional counts
+    // would not replicate.
     "events_buckets" -> ((s, d) => {
       Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_type"), col("value"),
           when(col("value") < 50.0, "low")
             .when(col("value") < 150.0, "mid")
@@ -210,6 +216,8 @@ object Events {
     // counts.
     "events_pivot_buckets" -> ((s, d) => {
       Tables.events(s, d)
+        // null measures have no bucket (see events_buckets note)
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           when(col("value") < 50.0, "low")
             .when(col("value") < 150.0, "mid")
@@ -378,6 +386,7 @@ object Events {
         count(CASE WHEN value >= 50.0 AND value < 150.0 THEN 1 END) AS mid,
         count(CASE WHEN value >= 150.0 THEN 1 END) AS high
       FROM events
+      WHERE value IS NOT NULL
       GROUP BY event_type
       ORDER BY event_type""",
 
@@ -388,6 +397,7 @@ object Events {
           count(CASE WHEN value >= 50.0 AND value < 150.0 THEN 1 END) AS mid,
           count(CASE WHEN value >= 150.0 THEN 1 END) AS high
         FROM events
+        WHERE value IS NOT NULL
         GROUP BY event_type)
       SELECT event_type, bucket, n FROM (
         SELECT event_type, 'low' AS bucket, low AS n FROM c
@@ -439,6 +449,7 @@ object Events {
         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
         max(event_id % 7) AS max_mod
       FROM events
+      WHERE value IS NOT NULL
       GROUP BY 1, 2
       ORDER BY event_type, bucket""",
 

@@ -48,7 +48,10 @@ object Pipeline {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 50)
         .select(col("lang"), col("rn"), col("doc_id"))
-        .orderBy(col("lang"), col("rn"))
+        // null lang is a legitimate "unknown" stratum; its SORT position
+        // is engine-specific (Spark: nulls first asc, DuckDB: nulls last)
+        // so the output order pins it explicitly on both sides
+        .orderBy(col("lang").asc_nulls_last, col("rn"))
     }),
 
     // ---- TF-IDF-weighted top terms per document, on an exact integer
@@ -261,7 +264,7 @@ object Pipeline {
                        AS BIGINT), doc_id) AS BIGINT) AS rn
         FROM documents) t
       WHERE rn <= 50
-      ORDER BY lang, rn""",
+      ORDER BY lang NULLS LAST, rn""",
 
     "text_tfidf_top" -> """
       WITH tok AS (

@@ -284,7 +284,11 @@ object Similarity {
           transform(col("embedding"),
             x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
         .withColumn("n2", gf.dotl(col("xg"), col("xg")))
-      val q = g.filter(col("vec_id") < 50)
+      // null-embedding queries (null n2) have no gridded vector and no
+      // prediction — the oracle's unnest emits no rows for them, so they
+      // are excluded here too. Zero-NORM queries stay: floorDiv(0, n2) = 0
+      // keys rank train purely by vec_id, identically in both engines.
+      val q = g.filter(col("vec_id") < 50 && col("n2").isNotNull)
         .select(col("vec_id").as("qid"), col("xg").as("qg"))
       val train = g.filter(col("vec_id") >= 50 && col("n2") > 0)
       val wRank = Window.partitionBy(col("qid"))
@@ -430,8 +434,12 @@ object Similarity {
       .agg(max(col("ckey") * lit(packBase) - col("cent_id")).as("pk"))
       .select(col("vec_id"),
         pmod(-col("pk"), lit(packBase)).cast("long").as("cent_id"))
-    // probe: nprobe nearest centroids per query
-    val q = g.filter(col("vec_id") <= 4)
+    // probe: nprobe nearest centroids per query. The n2 > 0 guard drops
+    // null-embedding (null n2) and zero-norm queries: neither has a
+    // cosine, and without it a null query would rank ALL centroids with a
+    // null key and emit garbage probes (the oracle excludes such queries
+    // structurally — unnest of a null list emits no rows)
+    val q = g.filter(col("vec_id") <= 4 && col("n2") > 0)
       .select(col("vec_id").as("qid"), col("xg").as("qg"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qkey").desc, col("cent_id").asc)
@@ -502,7 +510,12 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => grid(x.cast("double"), EmbGridScale).cast("long")).as("xg"))
-      .withColumn("n2", gf.dotl(col("xg"), col("xg"))))
+      .withColumn("n2", gf.dotl(col("xg"), col("xg")))
+      // null embeddings (failed encode) have no gridded vector: excluded
+      // from clustering entirely, exactly as the oracle's unnest emits no
+      // rows for them (zero-norm vectors REMAIN — squared-L2 k-means is
+      // well-defined at the origin, unlike cosine)
+      .filter(col("n2").isNotNull))
     def assign(cents: DataFrame): DataFrame =
       g.crossJoin(broadcast(cents))
         .withColumn("dist2",
@@ -633,21 +646,36 @@ object Similarity {
       FROM a2 LEFT JOIN dropped dr ON dr.vec_id = a2.vec_id
       ORDER BY a2.vec_id""",
 
+    // null/zero-norm guard in TWO materialized stages: DuckDB's list
+    // kernels reject a column VECTOR containing null rows even when a
+    // same-query predicate excludes them (eager vectorized evaluation),
+    // so the null filter must materialize BEFORE any list_* call sees the
+    // column — mirroring Spark's cnorm/qnorm > 0 filters
     "sim_topk" -> """
+      WITH nn0 AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+      nn AS MATERIALIZED (
+        SELECT vec_id, embedding FROM nn0
+        WHERE list_inner_product(embedding, embedding) > 0)
       SELECT qid, rank, vec_id FROM (
         SELECT q.vec_id AS qid, e.vec_id,
           CAST(row_number() OVER (
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
                      e.vec_id ASC) AS BIGINT) AS rank
-        FROM embeddings q CROSS JOIN embeddings e
-        WHERE q.vec_id <= 4
-          AND list_inner_product(q.embedding, q.embedding) > 0
-          AND list_inner_product(e.embedding, e.embedding) > 0) t
+        FROM nn q CROSS JOIN nn e
+        WHERE q.vec_id <= 4) t
       WHERE rank <= 10
       ORDER BY qid, rank""",
 
     "sim_nn_per_label" -> """
+      WITH nn0 AS MATERIALIZED (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+      nn AS MATERIALIZED (
+        SELECT * FROM nn0
+        WHERE list_inner_product(embedding, embedding) > 0)
       SELECT label, vec_id, nn_vec_id FROM (
         SELECT CAST(a.label AS BIGINT) AS label, a.vec_id,
           b.vec_id AS nn_vec_id,
@@ -655,21 +683,23 @@ object Similarity {
             PARTITION BY a.vec_id
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
                      b.vec_id ASC) AS rn
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
-          AND list_inner_product(a.embedding, a.embedding) > 0
-          AND list_inner_product(b.embedding, b.embedding) > 0) t
+        FROM nn a
+        JOIN nn b ON a.label = b.label AND a.vec_id <> b.vec_id) t
       WHERE rn = 1
       ORDER BY vec_id""",
 
     "dedup_embed_cosine" -> """
+      WITH nn0 AS MATERIALIZED (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+      nn AS MATERIALIZED (
+        SELECT * FROM nn0
+        WHERE list_inner_product(embedding, embedding) > 0)
       SELECT CAST(a.label AS BIGINT) AS label,
         a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_inner_product(a.embedding, a.embedding) > 0
-        AND list_inner_product(b.embedding, b.embedding) > 0
-        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+      FROM nn a
+      JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
       ORDER BY vec_a, vec_b""",
 
     "emb_quantize_int8" -> """

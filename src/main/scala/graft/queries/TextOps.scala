@@ -77,14 +77,18 @@ object TextOps {
         .withColumn("n_words", size(words).cast("long"))
         .withColumn("n_stop", size(filter(words,
           w => w === "the" || w === "a" || w === "of")).cast("long"))
+        // empty/whitespace-only documents have zero chars/words: their
+        // ratios are NULL (nullif guard — ANSI mode raises DIVIDE_BY_ZERO
+        // on the bare division; DuckDB's x/0 is natively NULL, and the
+        // oracle carries the same nullif for expression-shape parity)
         .withColumn("alpha_ratio",
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-            / col("n_chars"))
+            / nullif(col("n_chars"), lit(0L)))
         .withColumn("stop_ratio",
-          col("n_stop").cast("double") / col("n_words"))
+          col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)))
         .withColumn("mean_word_len",
           length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-            / col("n_words"))
+            / nullif(col("n_words"), lit(0L)))
         .withColumn("quality",
           when(col("n_words") >= 20 && col("stop_ratio") < 0.4, 1.0)
             .otherwise(0.0))
@@ -107,9 +111,11 @@ object TextOps {
           w => w === "the" || w === "a")).cast("long"))
         .withColumn("score_zh", size(filter(col("ws"),
           w => w === "shu" || w === "ju")).cast("long"))
+        // nullif: empty text has no vowel ratio (ANSI divide-by-zero guard,
+        // mirrored in the oracle)
         .withColumn("vowel_ratio",
           length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
-            .cast("double") / length(col("text")))
+            .cast("double") / nullif(length(col("text")), lit(0)))
         .withColumn("lang_guess",
           when(col("score_zh") > col("score_en"), "zh")
             .when(col("score_en") > 0, "en")
@@ -407,9 +413,9 @@ object TextOps {
 
     "text_quality" -> """
       SELECT doc_id, n_chars, n_words, n_stop,
-        CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
-        CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
-        CAST(n_alpha AS DOUBLE) / n_words AS mean_word_len,
+        CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0) AS alpha_ratio,
+        CAST(n_stop AS DOUBLE) / nullif(n_words, 0) AS stop_ratio,
+        CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) AS mean_word_len,
         CAST(CASE WHEN n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words < 0.4
              THEN 1.0 ELSE 0.0 END AS DOUBLE) AS quality
       FROM (
@@ -424,7 +430,7 @@ object TextOps {
 
     "text_langid" -> """
       SELECT doc_id, lang AS lang_label, score_en, score_zh,
-        CAST(n_vowel AS DOUBLE) / length(text) AS vowel_ratio,
+        CAST(n_vowel AS DOUBLE) / nullif(length(text), 0) AS vowel_ratio,
         CASE WHEN score_zh > score_en THEN 'zh'
              WHEN score_en > 0 THEN 'en'
              ELSE 'und' END AS lang_guess
