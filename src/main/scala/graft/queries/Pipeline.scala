@@ -22,6 +22,34 @@ object Pipeline {
     conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
+  /** Ingest-time measure scrub: non-finite doubles (NaN / ±Inf) and
+    * magnitudes beyond `maxAbs` become NULL, handing them to the
+    * engine-wide null-measure conventions (excluded from buckets, medians,
+    * grids — SURVEY §5 item 6). The oracled queries assume FINITE,
+    * grid-bounded measures: a NaN breaks ranking determinism (Spark
+    * orders NaN greatest, DuckDB errors casting it), and a finite-but-
+    * huge value overflows the exact decimal(38) cent grid — so telemetry
+    * that can violate either runs through this scrub first. A pure
+    * projection: no shuffle, whole-stage codegen'd. */
+  def scrubNonFinite(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+                     maxAbs: Double = 1e12): org.apache.spark.sql.DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(!isnan(col(c)) && abs(col(c)) <= lit(maxAbs), col(c)))
+    }
+
+  /** Embedding scrub: a vector with ANY non-finite element becomes a NULL
+    * vector — excluded from every vector path by the round-6 null
+    * conventions (cosine, k-means, LSH all skip null embeddings), so one
+    * projection quarantines failed encodes without touching the
+    * similarity operators. */
+  def scrubEmbeddings(df: org.apache.spark.sql.DataFrame,
+                      c: String = "embedding"): org.apache.spark.sql.DataFrame =
+    df.withColumn(c,
+      when(col(c).isNotNull && !exists(col(c),
+        x => isnan(x.cast("double")) ||
+          abs(x.cast("double")) === lit(Double.PositiveInfinity)), col(c)))
+
   val queries: Map[String, Q] = Map(
     // ---- deterministic train/val/test split: bucket = hash(doc_id) % 100
     // → 90/5/5. A pure projection — the split of any row is decidable
@@ -52,6 +80,22 @@ object Pipeline {
         // is engine-specific (Spark: nulls first asc, DuckDB: nulls last)
         // so the output order pins it explicitly on both sides
         .orderBy(col("lang").asc_nulls_last, col("rn"))
+    }),
+
+    // ---- non-finite telemetry scrub (ingest hygiene): NaN/±Inf/overflow
+    // measures → NULL via [[scrubNonFinite]], then per-type counts of raw
+    // vs surviving values and the exact-grid sum of survivors. On the
+    // driver fixture every value is finite, so the query pins the
+    // operator's cross-engine plumbing; NonFiniteSpec feeds it the
+    // adversarial inputs (NaN ranking and grid overflow are exactly what
+    // the scrub exists to prevent — probed in round 6).
+    "events_scrub_stats" -> ((s, d) => {
+      val scrubbed = scrubNonFinite(Tables.events(s, d), Seq("value"))
+      scrubbed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_finite"),
+          sumMoney(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
     }),
 
     // ---- TF-IDF-weighted top terms per document, on an exact integer
@@ -254,6 +298,21 @@ object Pipeline {
              ELSE 'test' END AS split
       FROM documents
       ORDER BY doc_id""",
+
+    // the scrub predicate is replicated verbatim: finite and |v| <= 1e12
+    // (the grid-capacity bound) survive; NaN/±Inf/huge and NULL do not
+    "events_scrub_stats" -> """
+      SELECT event_type, count(*) AS n_rows,
+        count(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                    AND NOT isinf(value) AND abs(value) <= 1000000000000.0
+              THEN 1 END) AS n_finite,
+        CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                    AND NOT isinf(value) AND abs(value) <= 1000000000000.0
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     "docs_stratified_sample" -> """
       SELECT lang, rn, doc_id FROM (
