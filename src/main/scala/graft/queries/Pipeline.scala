@@ -38,6 +38,24 @@ object Pipeline {
         when(!isnan(col(c)) && abs(col(c)) <= lit(maxAbs), col(c)))
     }
 
+  /** ID canonicalization (ingest hygiene): the engine's determinism
+    * framework requires UNIQUE row ids — rank tie-breaks, min-id dedup
+    * representatives, and as-of keys are all undefined when two rows
+    * claim one id (a round-6 probe showed 14 queries diverge on
+    * duplicate ids). Retried writes and id collisions violate that;
+    * this keeps exactly ONE row per id — the first under `orderCol`
+    * (pass a content-derived total order, e.g. the dedup fingerprint,
+    * so the survivor is layout-independent) — one bounded-group window,
+    * no self-join. */
+  def canonicalizeIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      orderCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Embedding scrub: a vector with ANY non-finite element becomes a NULL
     * vector — excluded from every vector path by the round-6 null
     * conventions (cosine, k-means, LSH all skip null embeddings), so one
@@ -80,6 +98,25 @@ object Pipeline {
         // is engine-specific (Spark: nulls first asc, DuckDB: nulls last)
         // so the output order pins it explicitly on both sides
         .orderBy(col("lang").asc_nulls_last, col("rn"))
+    }),
+
+    // ---- unique-id canonicalization (ingest hygiene): one survivor per
+    // doc_id — the row with the smallest content fingerprint, so the
+    // choice is deterministic and layout-independent — plus how many rows
+    // claimed the id. The other 90 queries CONTRACT unique ids (their
+    // tie-breaks are undefined otherwise); this is the sanctioned repair
+    // step for corpora with retried writes or id collisions. On the
+    // driver fixture ids are unique, so n_claims is 1 everywhere;
+    // DupIdsSpec exercises real collisions.
+    "docs_unique_ids" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.queries.Dedup.fingerprint.as("fp"))
+        .withColumn("n_claims", count(lit(1)).over(w).cast("long"))
+        .withColumn("rn", row_number().over(w.orderBy(col("fp"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"), col("n_claims"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- non-finite telemetry scrub (ingest hygiene): NaN/±Inf/overflow
@@ -297,6 +334,19 @@ object Pipeline {
                     AS BIGINT) % 100 < 95 THEN 'val'
              ELSE 'test' END AS split
       FROM documents
+      ORDER BY doc_id""",
+
+    "docs_unique_ids" -> """
+      SELECT doc_id, fp, n_claims FROM (
+        SELECT doc_id,
+          md5(coalesce(regexp_replace(lower(text), '\s+', ' ', 'g'), ''))
+            AS fp,
+          count(*) OVER (PARTITION BY doc_id) AS n_claims,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY md5(coalesce(regexp_replace(lower(text), '\s+', ' ',
+              'g'), ''))) AS rn
+        FROM documents) t
+      WHERE rn = 1
       ORDER BY doc_id""",
 
     // the scrub predicate is replicated verbatim: finite and |v| <= 1e12
