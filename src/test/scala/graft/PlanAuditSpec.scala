@@ -142,6 +142,20 @@ class PlanAuditSpec extends SparkSpec {
       "boilerplate df-join shuffled postings for a merge join")
   }
 
+  test("round-6 ingest-hygiene queries stay partitioned and shuffle-lean") {
+    // docs_unique_ids: both windows (claim count + survivor rank) share
+    // the doc_id partition key — ONE hash exchange, no single partition
+    val uid = plan("docs_unique_ids")
+    assert(!uid.contains("SinglePartition"))
+    assert("Exchange hashpartitioning".r.findAllIn(uid).length <= 1,
+      "docs_unique_ids should shuffle once on doc_id")
+    // events_scrub_stats: scrub is a pure projection folded into the scan
+    // side of one map-side-combined aggregation
+    val scrub = plan("events_scrub_stats")
+    assert(!scrub.contains("SinglePartition"))
+    assert(scrub.contains("HashAggregate"))
+  }
+
   test("docs_repetition is a pure projection before the final sort") {
     val p = plan("docs_repetition")
     assert(!p.contains("Generate"), "bigram explode reappeared")
