@@ -21,6 +21,14 @@ final case class MediaFeatures(
     frames_sampled: Int,
     feature: Array[Float])
 
+/** One sampled frame/window of a media payload — the one-to-many decode
+  * output shape (video → frames, audio → windows, image → itself). */
+final case class MediaFrame(
+    media_id: Long,
+    kind: String,
+    frame_idx: Int,
+    frame_bytes: Long)
+
 /** Decode / feature-extract plumbing for opaque media columns.
   *
   * The actual codec call is STUBBED ([[Media.stubDecode]]) — image/audio
@@ -35,6 +43,15 @@ final case class MediaFeatures(
   */
 object Media {
 
+  /** Stub frame count: derives purely from payload length — a real
+    * decoder swaps this for container parsing. Shared by [[stubDecode]]
+    * and [[sampleFrames]] so the two paths can never disagree. */
+  def stubFrameCount(r: MediaRecord): Int = r.kind match {
+    case "video" => math.max(1, r.payload.length / 1024)
+    case "audio" => math.max(1, r.payload.length / 256)
+    case _       => 1
+  }
+
   /** Deterministic fake decode: derives a fixed-length feature vector and
     * a frame count purely from the payload bytes. Stands in for the real
     * `decode → resize → frame-sample → embed` chain. */
@@ -46,20 +63,62 @@ object Media {
       feature(i % dim) += (r.payload(i) & 0xff).toFloat / 255f
       i += 1
     }
-    val frames = r.kind match {
-      case "video" => math.max(1, r.payload.length / 1024)
-      case "audio" => math.max(1, r.payload.length / 256)
-      case _       => 1
-    }
-    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, frames, feature)
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+      stubFrameCount(r), feature)
   }
 
-  /** Per-partition decode: one place to open/close codec resources. */
+  /** Frame sampling: every `everyN`-th frame of each record becomes its
+    * own row — the one-to-many decode shape. Iterator-based flatMap, so
+    * per-record memory stays one frame regardless of payload size; frame
+    * 0 is always emitted (frames >= 1 by the stub). A real decoder
+    * replaces the arithmetic with container seeking — the row shape,
+    * typed encoder, and bounded-memory contract stay. */
+  def sampleFrames(ds: Dataset[MediaRecord], everyN: Int)
+      : Dataset[MediaFrame] = {
+    require(everyN >= 1, "everyN must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      if (r.payload == null) Iterator.empty // failed fetch: no frames
+      else {
+        val frames = stubFrameCount(r)
+        val perFrame = math.max(1L, r.payload.length.toLong / frames)
+        (0 until frames by everyN).iterator
+          .map(i => MediaFrame(r.media_id, r.kind, i, perFrame))
+      }
+    }
+  }
+
+  /** Resize stub: deterministic byte-stride subsample of the payload down
+    * to at most `targetBytes` — stands in for an image/video resize. A
+    * schema-preserving projection with bounded per-row output, which is
+    * the Spark-side contract a real resizer must also honor (metadata
+    * columns travel untouched; payloads already within budget pass
+    * through identically). */
+  def resize(ds: Dataset[MediaRecord], targetBytes: Int)
+      : Dataset[MediaRecord] = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      if (r.payload == null || r.payload.length <= targetBytes) r
+      else {
+        val stride = math.ceil(r.payload.length.toDouble / targetBytes).toInt
+        val out = Array.newBuilder[Byte]
+        var i = 0
+        while (i < r.payload.length) { out += r.payload(i); i += stride }
+        r.copy(payload = out.result())
+      }
+    }
+  }
+
+  /** Per-partition decode: one place to open/close codec resources.
+    * Null payloads (failed fetch) decode to nothing — typed lambdas see
+    * raw nulls, so the guard is explicit here rather than free as in the
+    * declarative paths. */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // real impl: init codec context here, close via iterator completion
-      it.map(stubDecode)
+      it.filter(_.payload != null).map(stubDecode)
     }
   }
 

@@ -30,6 +30,22 @@ object Multimodal {
           md5(bin).as("fp_md5"),
           base64(substring(bin, 1, 8)).as("head_b64"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- frame sampling through the typed media path: documents framed
+    // as opaque payloads, every 4th frame sampled ([[Media.sampleFrames]]
+    // — the one-to-many decode shape), then per-kind frame accounting.
+    // The stub's frame arithmetic is pure byte-length math, so DuckDB
+    // replays the whole typed flatMap exactly — the mapPartitions seam is
+    // oracle-gated, not just smoke-tested.
+    "media_frames" -> ((s, d) => {
+      graft.multimodal.Media.sampleFrames(
+          graft.multimodal.Media.fromDocuments(s, d), everyN = 4)
+        .groupBy(col("kind"))
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames_sampled"),
+          sum(col("frame_bytes")).as("sum_frame_bytes"))
+        .orderBy(col("kind"))
     })
   )
 
@@ -40,6 +56,31 @@ object Multimodal {
         md5(text) AS fp_md5,
         base64(encode(substring(text, 1, 8))) AS head_b64
       FROM documents
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // replays the stub frame arithmetic: frames = max(1, bytes // k) per
+    // kind, sampled = ceil(frames / 4), per-frame bytes = max(1,
+    // bytes // frames) — pure integer math on octet_length
+    "media_frames" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          octet_length(encode(text)) AS n_bytes
+        FROM documents
+        WHERE text IS NOT NULL),
+      f AS (
+        SELECT media_id, kind, n_bytes,
+          CASE kind WHEN 'video' THEN greatest(1, n_bytes // 1024)
+                    WHEN 'audio' THEN greatest(1, n_bytes // 256)
+                    ELSE 1 END AS frames
+        FROM m)
+      SELECT kind, count(*) AS n_media,
+        CAST(sum((frames + 3) // 4) AS BIGINT) AS n_frames_sampled,
+        CAST(sum(((frames + 3) // 4) * greatest(1, n_bytes // frames))
+          AS BIGINT) AS sum_frame_bytes
+      FROM f
+      GROUP BY kind
+      ORDER BY kind"""
   )
 }
