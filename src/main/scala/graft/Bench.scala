@@ -51,6 +51,35 @@ object Bench {
       val vs = sweeps.map(_(name))
       name -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(1))
     }
+    // per-query regression budget: compare this sweep's medians against the
+    // committed previous-round reference and flag anything >1.5x slower, so
+    // a per-query regression surfaces in the bench record itself instead of
+    // waiting for a human diff of BENCH_r{N} files. The raw per-sweep
+    // triples are persisted too: a flagged query whose three raw values
+    // straddle the reference (e.g. 0.5/1.8/1.9) is sweep-context noise
+    // (JVM heap aging, neighbor queries), while a tight triple at the new
+    // level is a real plan/cost change.
+    val reference: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/bench_ref.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    // flag = ratio >1.5x AND >0.25s absolute — sub-second queries flap a
+    // pure ratio threshold on scheduler noise alone (measured: a clean
+    // sweep flags 3-4 of them spuriously without the floor)
+    val flagged = results.toSeq
+      .filter { case (n, v) =>
+        v > 0 && reference.get(n).exists(r =>
+          r > 0 && v > r * 1.5 && v - r > 0.25)
+      }
+      .sortBy { case (n, v) => -(v / reference(n)) }
+      .map { case (n, v) =>
+        f"""{"query":"$n","sec":$v%.3f,"ref_sec":${reference(n)}%.3f,"ratio":${v / reference(n)}%.2f}"""
+      }
+    flagged.foreach(f => System.err.println(s"[bench][regression>1.5x] $f"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -60,13 +89,19 @@ object Bench {
     // the recorder keeps only an output TAIL, which truncates the long
     // per-query line from the front and loses the leading total — repeat a
     // compact total line LAST so it always survives, and persist the full
-    // record to a file the end-of-round snapshot commits
+    // record (plus raw sweeps and the regression flags) to a file the
+    // end-of-round snapshot commits
     try {
+      val raw = sweeps.head.keys.map { k =>
+        s"\"" + k + "\":[" + sweeps.map(_(k)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val full = line.dropRight(1) +
+        s""","raw_sweeps":$raw,"flagged":[${flagged.mkString(",")}]}"""
       val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
       java.nio.file.Files.write(p,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","n_flagged":${flagged.size}}""")
     spark.stop()
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import scala.collection.mutable
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Tracked persists for reused query intermediates.
@@ -15,28 +15,48 @@ import org.apache.spark.storage.StorageLevel
   * every internal persist goes through [[persistTracked]], and
   * [[releaseAll]] unpersists exactly those — nothing else.
   *
+  * The registry is keyed per [[SparkSession]] (weakly, so a stopped and
+  * dereferenced session's entries are collectable): one session's
+  * `releaseAll()` cannot unpersist another concurrent session's in-flight
+  * intermediates, and an application that abandons a session without
+  * releasing does not pin its frames forever. Within a live session the
+  * buffer self-compacts on each new persist by dropping frames whose
+  * storage level has already reverted to NONE (e.g. via `clearCache()`),
+  * so it is bounded by the number of frames actually still cached.
+  *
   * Contract: a query's returned DataFrame must be materialized before
   * [[releaseAll]] is called (releasing earlier is safe but forfeits the
   * reuse the persist exists for). `CacheHygieneSpec` pins that a
   * materialize-then-release round leaves zero cached RDDs behind.
   */
 object Caching {
-  private val tracked = mutable.ArrayBuffer.empty[DataFrame]
+  private val tracked =
+    mutable.WeakHashMap.empty[SparkSession, mutable.ArrayBuffer[DataFrame]]
 
-  /** Persist `df` at MEMORY_AND_DISK and remember it for [[releaseAll]]. */
+  /** Persist `df` at MEMORY_AND_DISK and remember it for [[releaseAll]]
+    * under its own session. */
   private[graft] def persistTracked(df: DataFrame): DataFrame = synchronized {
-    tracked += df
+    val buf = tracked.getOrElseUpdate(df.sparkSession,
+      mutable.ArrayBuffer.empty[DataFrame])
+    buf.filterInPlace(f =>
+      try f.storageLevel != StorageLevel.NONE catch { case _: Throwable => false })
+    buf += df
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Unpersist every tracked frame and forget it. Blocking, so storage is
-    * verifiably empty on return; idempotent, and a frame already released
-    * by `clearCache()` unpersists as a no-op. */
-  def releaseAll(): Unit = synchronized {
-    tracked.foreach { df =>
+  /** Unpersist every frame tracked for `session` and forget it. Blocking,
+    * so storage is verifiably empty on return; idempotent, and a frame
+    * already released by `clearCache()` unpersists as a no-op. */
+  def releaseAll(session: SparkSession): Unit = synchronized {
+    tracked.remove(session).foreach(_.foreach { df =>
       try df.unpersist(blocking = true)
       catch { case _: Throwable => () }
-    }
-    tracked.clear()
+    })
   }
+
+  /** [[releaseAll]] for the calling thread's active session, falling back
+    * to the process default session; a no-op when neither exists. */
+  def releaseAll(): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(releaseAll)
 }

@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Multimodal.queries ++
       graft.queries.SqlSurface.queries ++
       graft.queries.Pipeline.queries ++
-      graft.operators.MapReduce.queries
+      graft.operators.MapReduce.queries ++
+      graft.streaming.StreamingRun.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.Multimodal.oracles ++
       graft.queries.SqlSurface.oracles ++
       graft.queries.Pipeline.oracles ++
-      graft.operators.MapReduce.oracles
+      graft.operators.MapReduce.oracles ++
+      graft.streaming.StreamingRun.oracles
 }

@@ -114,20 +114,33 @@ object Dedup {
                                           idCol: String = "doc_id",
                                           textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val sh = normalize(docs, idCol, textCol).select(col("doc_id"),
-      graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+    // the per-doc shingle-hash kernel is the expensive projection and is
+    // read by THREE consumers (df count, capped postings, set sizes) —
+    // persist it once so the kernel runs one corpus pass, not three
+    val sh = graft.Caching.persistTracked(
+      normalize(docs, idCol, textCol).select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs")))
     val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    // df cap via a count window over the hash: one shuffle on h (the
-    // groupBy+join formulation costs two), and the capped postings come
-    // out already partitioned by h for the self-join that follows.
-    // (A collect_list + local-pair-expansion formulation also needs just
-    // one shuffle and skips WindowExec's sort, but its per-shingle pair
-    // loop runs as interpreted HOFs — measured 35% slower at sf0.1.)
-    val invCapped = graft.Caching.persistTracked(inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("df") <= DfCap)
-      .select(col("doc_id"), col("h")))
+    // df cap via a map-side-combinable groupBy(h).count() reduced to the
+    // tiny OVER-cap blocklist, broadcast anti-joined against the postings.
+    // A `count over (partition by h)` window also computes df in one
+    // shuffle, but it colocates EVERY posting of a shingle hash in one
+    // window partition before the cap filter can drop it — at corpus scale
+    // a universal boilerplate shingle (df ~1e9) funnels its whole posting
+    // list through a single straggler task ahead of the very filter meant
+    // to remove it. The groupBy form shuffles only per-partition combined
+    // (h, count) rows — a hot h is one row per map partition — and the
+    // blocklist it yields is bounded by |corpus shingle vocabulary with
+    // df > cap|, i.e. the heavy hitters only, so the anti-join broadcasts.
+    // (A collect_list + local-pair-expansion formulation skips the agg
+    // but its per-shingle pair loop runs as interpreted HOFs — measured
+    // 35% slower at sf0.1.)
+    val overCap = inv.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap)
+      .select(col("h"))
+    val invCapped = graft.Caching.persistTracked(
+      inv.join(broadcast(overCap), Seq("h"), "left_anti"))
     val common = invCapped.select(col("doc_id").as("a"), col("h"))
       .join(invCapped.select(col("doc_id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))

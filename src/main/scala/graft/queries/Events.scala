@@ -288,12 +288,15 @@ object Events {
     * the first event per key is always kept. One sorted pass per key
     * (flatMapSortedGroups = secondary sort inside the hash exchange),
     * kept-state is a single long — the unit-testable core of
-    * `events_debounce_kept`. */
+    * `events_debounce_kept`. A null-ts event has no position on the
+    * debounce timeline, so it is dropped up front (mirrored in the
+    * oracle); the typed walk's Long field would otherwise throw on it. */
   private[graft] def debounceKept(events: org.apache.spark.sql.DataFrame,
                                   gapUs: Long): org.apache.spark.sql.DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val walked = events
+      .filter(col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .as[(Long, Long, String, Long)]
@@ -466,14 +469,18 @@ object Events {
 
     // the recursive CTE walks each (user_id, event_type) chain one event
     // at a time (rn -> rn+1), carrying the last-KEPT timestamp exactly as
-    // the Spark walk's one-long state; iteration depth = the largest
-    // per-key event count
+    // the Spark walk's one-long state; null-ts events are off the debounce
+    // timeline in both engines. VERIFICATION-COST CAVEAT: iteration depth
+    // = the largest per-key event count, with a walk⋈ev join per step —
+    // the ORACLE side grows superlinearly with per-key density (the Spark
+    // walk stays linear). Fine at the driver's sf0.01 gate; if much
+    // larger SFs are ever oracled, bound the oracle's input window first.
     "events_debounce_kept" -> """
       WITH RECURSIVE ev AS (
         SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
           row_number() OVER (PARTITION BY user_id, event_type
                              ORDER BY ts, event_id) AS rn
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       walk AS (
         SELECT user_id, event_type, rn, event_id, ts, us AS kept_us,
           TRUE AS keep

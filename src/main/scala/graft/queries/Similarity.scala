@@ -41,6 +41,21 @@ object Similarity {
     * — again one constant for both engines. */
   private[graft] val EmbGridScale = 1000000.0
 
+  /** Loud-failure guard for packed-key domains: values a packed decimal
+    * argmin/argmax would SILENTLY corrupt (null, negative, or ≥ the pack
+    * base) instead raise a runtime error naming the site and the repair.
+    * Evaluated per row inside the existing projection — a conditional on
+    * the already-loaded column, no extra pass, codegen-friendly, and the
+    * error branch is only computed when it fires. */
+  private[graft] def requirePackable(c: Column, hiExcl: Long,
+                                     site: String): Column =
+    when(c.isNull || c < 0 || c >= hiExcl,
+      raise_error(concat(
+        lit(s"$site: value outside the packed-key domain [0, $hiExcl) — " +
+          "re-key the column into the domain first: "),
+        coalesce(c.cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(c)
+
   /** The SemDeDup operating rule "k grows with N" as a function: the
     * number of k-means cells that bounds the EXPECTED cell population at
     * `targetCellSize`, so the within-cell candidate pair join in
@@ -270,10 +285,10 @@ object Similarity {
     //
     // Packed-vote contract (same style as CosRatioKey's overflow note):
     // `max(votes·2²⁰ − label)` + `pmod(−pk, 2²⁰)` recover (max votes,
-    // smallest label) ONLY for labels in [0, 2²⁰) and non-null — a
-    // negative, null, or ≥2²⁰ label would silently corrupt pred_label.
-    // The fixture's labels are small non-negative ints; feeding arbitrary
-    // labels requires re-keying them into [0, 2²⁰) first.
+    // smallest label) ONLY for labels in [0, 2²⁰) and non-null — enforced
+    // by requirePackable at the pack site, so a negative, null, or ≥2²⁰
+    // label raises instead of silently corrupting pred_label (re-key such
+    // labels into [0, 2²⁰) first; PackGuardSpec pins the guard).
     "sim_knn_label" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val gf = graft.functions.GraftFunctions
@@ -297,7 +312,9 @@ object Similarity {
         .withColumn("key", gf.cosKey(gf.dotl(col("qg"), col("xg")), col("n2")))
         .withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= 10)
-        .groupBy(col("qid"), col("label"))
+        .groupBy(col("qid"),
+          requirePackable(col("label"), packBase, "sim_knn_label")
+            .as("label"))
         .agg(count(lit(1)).as("votes"))
         .groupBy(col("qid"))
         .agg(max(col("votes").cast(dec) * lit(packBase) - col("label"))
@@ -482,6 +499,13 @@ object Similarity {
     * fewer than k (or zero) init centroids — re-key such inputs first
     * (both engines apply the same `vec_id < k` rule, so oracle parity
     * holds either way; the contract is about getting k real centroids).
+    * ENFORCED for the corrupt end of the spectrum: zero init centroids on
+    * a non-empty corpus (the signature of non-dense ids) raises an
+    * `IllegalArgumentException` naming `canonicalizeIds` as the repair,
+    * instead of silently returning an empty assignment (PackGuardSpec).
+    * A PARTIAL under-seed from null embeddings among the first k ids is
+    * sanctioned — both engines exclude those rows identically — and an
+    * empty corpus stays a legal no-op (EmptyCorpusSpec).
     * Squared L2 `‖x‖² + ‖c‖² − 2·x·c` is int64-exact (bound
     * ~4·‖x‖²_max ≈ 10¹⁴ on this corpus — re-grid coarser past ~10¹⁷);
     * the argmin is a single hash-aggregated decimal min over the packed key
@@ -542,6 +566,14 @@ object Similarity {
     val init = g.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("xg").as("cent"),
         col("n2").as("nc2"))
+    // loud-failure guard on the dense-0-based-id precondition: the two
+    // isEmpty probes are limit-1 jobs over the persisted gridded frame
+    // (the second only runs when the first finds no centroid)
+    if (init.isEmpty && !g.isEmpty)
+      throw new IllegalArgumentException(
+        s"kmeansAssignOf: no init centroid has vec_id < k=$k — vec_ids " +
+          "are not dense 0-based; re-key them first (e.g. " +
+          "graft.queries.Pipeline.canonicalizeIds, or a row_number re-key)")
     (assign(update(assign(init))), g)
   }
 

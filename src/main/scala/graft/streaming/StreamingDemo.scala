@@ -129,10 +129,20 @@ object StreamingDemo {
     * so removing the state cannot change the kept set. Bounded state at
     * any key cardinality, store-partitioned by key.
     *
-    * Intra-batch events are walked in event-time order; cross-batch
-    * ordering is the stream's own (watermark-bounded) guarantee, so a
-    * stream fed in event-time order reproduces the batch walk exactly —
-    * pinned by StreamingSpec. */
+    * Intra-batch events are walked in event-time order with (value,
+    * event_type) as the deterministic tie-break for same-instant events
+    * (the batch walk's tie-break is event_id, which StreamEvent does not
+    * carry); cross-batch ordering is the stream's own (watermark-bounded)
+    * guarantee, so a stream fed in event-time order reproduces the batch
+    * walk exactly — pinned by StreamingSpec.
+    *
+    * Memory note: PERSISTENT state per key is one long, but the walk
+    * must see the key's micro-batch slice in event-time order, so each
+    * invocation buffers and sorts that slice — transient per-task memory
+    * is O(events of the hottest key in THIS micro-batch), bounded by
+    * micro-batch sizing (trigger interval / maxOffsetsPerTrigger), not
+    * O(1). A hot key in a huge batch costs memory in the sort, never in
+    * the state store. */
   def throttle(events: Dataset[StreamEvent], gapMinutes: Int)
       : Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
@@ -149,7 +159,8 @@ object StreamingDemo {
             state.remove()
             Iterator.empty
           } else {
-            val batch = it.toSeq.sortBy(_.ts.getTime)
+            val batch =
+              it.toSeq.sortBy(e => (e.ts.getTime, e.value, e.event_type))
             var lastKept = state.getOption.getOrElse(Long.MinValue)
             val kept = Seq.newBuilder[StreamEvent]
             for (e <- batch) {

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle-gated STREAMING execution (SURVEY.md §2 streaming row).
+  *
+  * [[StreamingDemo]] holds the streaming operator surface and
+  * `StreamingSpec` pins stream==batch equivalence through `MemoryStream`,
+  * but that is test-grade evidence: nothing in the driver's hash gate ever
+  * ran a real streaming query. The entry here closes that gap — it is a
+  * genuine Structured Streaming execution (file source → watermark →
+  * event-time tumbling aggregation → parquet sink via
+  * `Trigger.AvailableNow`) whose sink is read back as the query result and
+  * hash-compared against a DuckDB oracle.
+  *
+  * The oracle encodes APPEND-MODE WATERMARK SEMANTICS, not batch
+  * semantics: a window is only emitted once the final watermark
+  * (max event time − 10 min) passes its end, so trailing windows the
+  * watermark never closes are absent from BOTH engines — the oracle
+  * replays that with a `HAVING wstart + 1h <= max(ts) − 10min` clause.
+  * This is deliberate: the gate then verifies the streaming runtime's
+  * state-eviction contract itself, not merely that the plan happens to
+  * equal the batch one.
+  *
+  * Scale shape: identical to batch `events_tumbling` — partial (map-side)
+  * aggregation feeds one hash exchange on (window, event_type); streaming
+  * state is bounded by the watermark horizon (old windows are evicted on
+  * emission), and the sink appends — the standard continuous-ingest
+  * topology on a cluster. The per-query temp sink/checkpoint dirs stand in
+  * for the durable object-store paths a deployment would use.
+  */
+object StreamingRun {
+
+  /** Run the tumbling-window pipeline as a real stream over
+    * `dir/events.parquet` and return the sink contents, totally ordered.
+    * Blocks until `Trigger.AvailableNow` drains the source (including the
+    * no-data flush batch that evicts watermark-closed windows). */
+  def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    // file streams need an explicit schema: take it from a batch footer
+    // read of the same path (ts arrives as nanos-as-long, Tables.events
+    // convention), then apply the identical micros truncation
+    val path = s"$dir/events.parquet"
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(path).schema
+    // the file source wants a DIRECTORY: driver fixtures store events as a
+    // single parquet file, test corpora as a written directory — stream
+    // the parent with a name filter in the file case, the dir directly
+    // otherwise
+    val f = new java.io.File(path)
+    val reader = s.readStream.schema(rawSchema)
+    val src =
+      if (f.isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    val events = src
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // a null-ts event has no event time: off the stream by contract
+      // (mirrored in the oracle), same as the debounce family
+      .filter(col("ts").isNotNull)
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+    val out = Files.createTempDirectory("graft-stream-sink").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: an all-late or empty corpus leaves a sink with no
+    // data files, which schema inference would reject
+    s.read.schema(agg.schema).parquet(out)
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
+  val queries: Map[String, graft.queries.Q] = Map(
+    "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d))
+  )
+
+  // append-mode watermark oracle: only windows whose END the final
+  // watermark (max ts − 10 min) has passed are ever emitted by the
+  // streaming engine, so the oracle closes over the same horizon
+  val oracles: Map[String, String] = Map(
+    "events_stream_tumbling" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY wstart, event_type
+      HAVING wstart + INTERVAL '1 hour' <=
+        (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+      ORDER BY wstart, event_type"""
+  )
+}

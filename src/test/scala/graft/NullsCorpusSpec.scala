@@ -39,7 +39,11 @@ class NullsCorpusSpec extends SparkSpec {
       val value: java.lang.Double =
         if (i % 9 == 0) null else java.lang.Double.valueOf(i % 200)
       val props: String = if (i % 11 == 0) null else s"""{"k":${i % 5}}"""
-      (i.toLong, 1704067200000000000L + i * 60000000000L,
+      // null ts = an event with no position on any timeline (failed
+      // ingest parse) — the debounce/window/as-of family must not throw
+      val ts: java.lang.Long = if (i % 13 == 0) null
+        else java.lang.Long.valueOf(1704067200000000000L + i * 60000000000L)
+      (i.toLong, ts,
         (i % 5).toLong, Seq("click", "view")(i % 2), value, props)
     }
     events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

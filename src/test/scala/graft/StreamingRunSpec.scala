@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The oracle-gated streaming execution (`events_stream_tumbling`) pinned
+  * against its own semantic model: append-mode emission = the batch
+  * tumbling aggregation restricted to windows whose END the final
+  * watermark (max ts − 10 min) has passed. This is exactly the HAVING
+  * clause of the DuckDB oracle, so if this spec is green the only way the
+  * driver gate can fail is a cross-engine arithmetic drift, not a
+  * semantics misunderstanding. */
+class StreamingRunSpec extends SparkSpec {
+
+  test("AvailableNow streaming tumbling equals batch restricted to " +
+    "watermark-closed windows") {
+    val d = SparkEntry.smokeDir
+    val streamed = graft.streaming.StreamingRun
+      .tumblingAvailableNow(spark, d).collect()
+    val maxTs = Tables.events(spark, d)
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val expected = graft.queries.Events.queries("events_tumbling")(spark, d)
+      .filter(unix_micros(col("wstart").cast("timestamp")) +
+        lit(3600000000L) <= lit(maxTs) - lit(600000000L))
+      .collect()
+    assert(streamed.length == expected.length,
+      s"streamed ${streamed.length} windows, semantic model expects " +
+        s"${expected.length}")
+    assert(streamed.map(_.toString).sorted
+      .sameElements(expected.map(_.toString).sorted))
+    // and the horizon genuinely bites: the batch query has MORE windows
+    // than the stream emitted (the trailing ones the watermark never
+    // closed), so the oracle's HAVING clause is load-bearing
+    val full = graft.queries.Events.queries("events_tumbling")(spark, d)
+      .count()
+    assert(full > streamed.length)
+  }
+}
