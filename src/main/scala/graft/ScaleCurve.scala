@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve harness: one data point ABOVE the largest driver fixture,
+  * so the 100 TB claims rest on a measurement, not only on plan shape.
+  *
+  * The driver ships sf0.001/0.01/0.1 only, so this builds a DERIVED
+  * ~sf1 bench corpus at /tmp/graft-sf1: ten id-salted copies of every
+  * sf0.1 table. Replication is content-aware so workload STRUCTURE scales
+  * the way a real 10x corpus would instead of degenerating:
+  *
+  *  - text columns are rotated through a per-copy letter substitution
+  *    (a bijection: token counts, lengths, and within-copy dup structure
+  *    are preserved exactly; shingle domains across copies are disjoint)
+  *    — naive copying would make every document a 10-way exact dup and
+  *    near-dup candidate pairs would grow 100x by construction, measuring
+  *    the corpus, not the plan;
+  *  - embedding vectors are coordinate-rotated per copy (a permutation:
+  *    norms and within-copy geometry exact; cross-copy cosines decorrelate);
+  *  - every primary/foreign key is offset per copy so joins, sessions,
+  *    and debounce walks stay within their copy;
+  *  - region/nation stay shared (dimensions do not grow with fact data).
+  *
+  * BENCH-ONLY: the correctness gate stays on the driver fixtures; this
+  * corpus exists to measure how query cost grows data→10x data. Queries
+  * whose constants are fixture-pinned by their oracle (k=8 k-means cells,
+  * the fixed 50-query sets) are excluded — their cost model is validated
+  * separately (`KmeansScaleSpec` drives `recommendedK` at 100k vectors);
+  * scaling them with pinned constants would measure the pin, not the plan.
+  *
+  * Usage: `sbt "runMain graft.ScaleCurve"` — builds the corpus if absent
+  * (~1 min), sweeps the heaviest non-pinned queries at sf0.1 and sf1
+  * (median of 3), prints one JSON line per query with the 10x ratio.
+  */
+object ScaleCurve {
+
+  private val Copies = 10
+  private val Sf1Dir = "/tmp/graft-sf1"
+  private val Sf01Dir = "/root/testdata/sf0.1"
+
+  /** The heaviest queries whose cost is driven by corpus size, not by a
+    * fixture-pinned constant. */
+  private val CurveQueries = Seq(
+    "dedup_components", "dedup_neardup_jaccard", "events_stream_tumbling",
+    "part_fuzzy_match", "q09_agg_distinct", "dedup_minhash_lsh",
+    "sql_fuzzy_pair_count", "text_winnow_fingerprint",
+    "docs_lm_bigram_score", "events_session")
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  /** Per-copy bijective letter rotation — copy 0 is the identity. */
+  private def rot(s: String, by: Int): String =
+    s.drop(by % 26) + s.take(by % 26)
+
+  private def saltText(c: org.apache.spark.sql.Column, copy: Int) =
+    translate(c, lower + upper, rot(lower, copy) + rot(upper, copy))
+
+  private def buildCorpus(spark: SparkSession): Unit = {
+    val off = 1000000000L
+    def copies(name: String,
+               f: (DataFrame, Int, Long) => DataFrame): Unit = {
+      val base = Tables.table(spark, Sf01Dir, name)
+      val out = (0 until Copies).map(i => f(base, i, i * off))
+        .reduce(_.unionAll(_))
+      out.write.mode("overwrite").parquet(s"$Sf1Dir/$name.parquet")
+      println(s"[scale-curve] built $name")
+    }
+    copies("documents", (df, i, o) => df
+      .withColumn("doc_id", col("doc_id") + o)
+      .withColumn("text", saltText(col("text"), i)))
+    copies("part", (df, i, o) => df
+      .withColumn("p_partkey", col("p_partkey") + o)
+      .withColumn("p_name", saltText(col("p_name"), i)))
+    copies("orders", (_, _, o) => Tables.table(spark, Sf01Dir, "orders")
+      .withColumn("o_orderkey", col("o_orderkey") + o)
+      .withColumn("o_custkey", col("o_custkey") + o))
+    copies("lineitem", (df, _, o) => df
+      .withColumn("l_orderkey", col("l_orderkey") + o)
+      .withColumn("l_partkey", col("l_partkey") + o)
+      .withColumn("l_suppkey", col("l_suppkey") + o))
+    copies("customer", (df, _, o) => df
+      .withColumn("c_custkey", col("c_custkey") + o))
+    copies("supplier", (df, _, o) => df
+      .withColumn("s_suppkey", col("s_suppkey") + o))
+    copies("embeddings", (df, i, o) => df
+      .withColumn("vec_id", col("vec_id") + o)
+      .withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> element_at(embedding, " +
+          s"1 + (j + $i) % size(embedding)))")))
+    // events: ts is nanos-as-long in the raw file — copy it raw so the
+    // sf1 table round-trips through Tables.events identically
+    val ev = spark.read.parquet(s"$Sf01Dir/events.parquet")
+    (0 until Copies).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * off))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$Sf1Dir/events.parquet")
+    println(s"[scale-curve] built events")
+    // shared dimensions: copied once, un-salted
+    for (t <- Seq("region", "nation"))
+      Tables.table(spark, Sf01Dir, t).write.mode("overwrite")
+        .parquet(s"$Sf1Dir/$t.parquet")
+    println(s"[scale-curve] corpus complete at $Sf1Dir")
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$Sf1Dir/events.parquet").exists()) {
+      println(s"[scale-curve] building ~sf1 corpus at $Sf1Dir")
+      buildCorpus(spark)
+    }
+    def sweep(dir: String, name: String): Double = {
+      val ts = (1 to 3).map { _ =>
+        Caching.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        materialize(SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    // warm both dirs once (JIT, footers) before timing
+    CurveQueries.foreach { n =>
+      try materialize(SparkEntry.queries(n)(spark, Sf01Dir))
+      catch { case e: Throwable => println(s"[scale-curve] warm $n: $e") }
+    }
+    val rows = CurveQueries.map { n =>
+      val a = sweep(Sf01Dir, n)
+      val b = sweep(Sf1Dir, n)
+      val r = b / a / Copies // 1.0 = perfectly linear in data size
+      println(f"""{"query":"$n","sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"x10_ratio":${b / a}%.2f,"per_unit":$r%.2f}""")
+      (n, a, b)
+    }
+    println(f"""{"metric":"scale_curve_total","sf01_sec":${rows.map(_._2).sum}%.2f,"sf1_sec":${rows.map(_._3).sum}%.2f}""")
+    spark.stop()
+  }
+}

@@ -29,6 +29,59 @@ final case class MediaFrame(
     frame_idx: Int,
     frame_bytes: Long)
 
+/** The pluggable codec seam: everything a media operator asks of a codec
+  * lives behind this trait, so a REAL decoder (JavaCV, TwelveMonkeys,
+  * a JNI ffmpeg binding…) drops in without touching any operator — swap
+  * the instance, keep the plans. Instances must be [[Serializable]]
+  * (they ship to executors); per-partition resource lifecycles hang off
+  * [[Decoder.open]]/[[Decoder.close]], which [[Media.extractFeatures]]
+  * calls exactly once per partition around the record stream.
+  *
+  * [[StubDecoder]] is the default instance: deterministic byte-length
+  * arithmetic standing in for container parsing (codec libraries are not
+  * available in this build environment), which keeps the `media_frames`
+  * query oracle-replayable in DuckDB. `MediaSpec` exercises a second,
+  * structurally different decoder through the same operators to pin that
+  * nothing in the plumbing is stub-specific.
+  */
+trait Decoder extends Serializable {
+  /** Acquire per-partition resources (codec contexts, model weights).
+    * Called once per partition before the first record. */
+  def open(): Unit = ()
+
+  /** Release per-partition resources. Called once per partition after the
+    * last record has been consumed. */
+  def close(): Unit = ()
+
+  /** Number of frames/windows in a payload (>= 1 for non-null payloads) —
+    * a real decoder parses the container header here. */
+  def frameCount(r: MediaRecord): Int
+
+  /** Full decode of one record into its feature row. */
+  def decode(r: MediaRecord): MediaFeatures
+
+  /** Resize a payload to at most `targetBytes`; must preserve metadata
+    * columns and pass already-small payloads through unchanged. Default:
+    * deterministic byte-stride subsample. */
+  def resize(r: MediaRecord, targetBytes: Int): MediaRecord =
+    if (r.payload == null || r.payload.length <= targetBytes) r
+    else {
+      val stride = math.ceil(r.payload.length.toDouble / targetBytes).toInt
+      val out = Array.newBuilder[Byte]
+      var i = 0
+      while (i < r.payload.length) { out += r.payload(i); i += stride }
+      r.copy(payload = out.result())
+    }
+}
+
+/** Default [[Decoder]]: deterministic fake decode derived purely from
+  * payload bytes — the oracle-replayable stand-in for the real
+  * `decode → resize → frame-sample → embed` chain. */
+object StubDecoder extends Decoder {
+  def frameCount(r: MediaRecord): Int = Media.stubFrameCount(r)
+  def decode(r: MediaRecord): MediaFeatures = Media.stubDecode(r)
+}
+
 /** Decode / feature-extract plumbing for opaque media columns.
   *
   * The actual codec call is STUBBED ([[Media.stubDecode]]) — image/audio
@@ -37,6 +90,8 @@ final case class MediaFrame(
   * processed with `mapPartitions`, so a real decoder can
   * (a) amortize per-partition init (codec contexts, model weights) and
   * (b) stream record-at-a-time without collecting to the driver.
+  * Every operator takes a [[Decoder]] (default [[StubDecoder]]) — the
+  * codec is an argument, not a hardwired call.
   * Partitioning guidance at scale: repartition by a size-balanced key
   * (e.g. `media_id % N`) before decode so skewed payload sizes do not
   * stall single tasks.
@@ -73,14 +128,14 @@ object Media {
     * 0 is always emitted (frames >= 1 by the stub). A real decoder
     * replaces the arithmetic with container seeking — the row shape,
     * typed encoder, and bounded-memory contract stay. */
-  def sampleFrames(ds: Dataset[MediaRecord], everyN: Int)
-      : Dataset[MediaFrame] = {
+  def sampleFrames(ds: Dataset[MediaRecord], everyN: Int,
+                   decoder: Decoder = StubDecoder): Dataset[MediaFrame] = {
     require(everyN >= 1, "everyN must be >= 1")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       if (r.payload == null) Iterator.empty // failed fetch: no frames
       else {
-        val frames = stubFrameCount(r)
+        val frames = decoder.frameCount(r)
         val perFrame = math.max(1L, r.payload.length.toLong / frames)
         (0 until frames by everyN).iterator
           .map(i => MediaFrame(r.media_id, r.kind, i, perFrame))
@@ -94,31 +149,35 @@ object Media {
     * the Spark-side contract a real resizer must also honor (metadata
     * columns travel untouched; payloads already within budget pass
     * through identically). */
-  def resize(ds: Dataset[MediaRecord], targetBytes: Int)
-      : Dataset[MediaRecord] = {
+  def resize(ds: Dataset[MediaRecord], targetBytes: Int,
+             decoder: Decoder = StubDecoder): Dataset[MediaRecord] = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     import ds.sparkSession.implicits._
-    ds.map { r =>
-      if (r.payload == null || r.payload.length <= targetBytes) r
-      else {
-        val stride = math.ceil(r.payload.length.toDouble / targetBytes).toInt
-        val out = Array.newBuilder[Byte]
-        var i = 0
-        while (i < r.payload.length) { out += r.payload(i); i += stride }
-        r.copy(payload = out.result())
-      }
-    }
+    ds.map(r => decoder.resize(r, targetBytes))
   }
 
-  /** Per-partition decode: one place to open/close codec resources.
+  /** Per-partition decode: the one place codec resources are acquired and
+    * released — `decoder.open()` before the first record of a partition,
+    * `decoder.close()` once its stream is exhausted (lazily, through the
+    * iterator, so records still never materialize per partition).
     * Null payloads (failed fetch) decode to nothing — typed lambdas see
     * raw nulls, so the guard is explicit here rather than free as in the
     * declarative paths. */
-  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(ds: Dataset[MediaRecord],
+                      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real impl: init codec context here, close via iterator completion
-      it.filter(_.payload != null).map(stubDecode)
+      decoder.open()
+      val mapped = it.filter(_.payload != null).map(decoder.decode)
+      new Iterator[MediaFeatures] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && !closed) { closed = true; decoder.close() }
+          h
+        }
+        def next(): MediaFeatures = mapped.next()
+      }
     }
   }
 

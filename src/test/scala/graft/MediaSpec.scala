@@ -1,6 +1,26 @@
 package graft
 
-import graft.multimodal.{Media, MediaRecord}
+import graft.multimodal.{Decoder, Media, MediaFeatures, MediaRecord}
+
+/** A second, structurally different [[Decoder]]: fixed two-frame count,
+  * constant 2-dim feature, head-truncation resize, and open/close
+  * accounting — proves the operators are decoder-generic (nothing in the
+  * plumbing is stub-specific) and that the per-partition resource
+  * lifecycle really runs once per partition. */
+object TwoFrameDecoder extends Decoder {
+  import java.util.concurrent.atomic.AtomicInteger
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+  override def open(): Unit = { opens.incrementAndGet(); () }
+  override def close(): Unit = { closes.incrementAndGet(); () }
+  def frameCount(r: MediaRecord): Int = 2
+  def decode(r: MediaRecord): MediaFeatures =
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, 2,
+      Array(1f, 2f))
+  override def resize(r: MediaRecord, targetBytes: Int): MediaRecord =
+    if (r.payload == null || r.payload.length <= targetBytes) r
+    else r.copy(payload = r.payload.take(targetBytes))
+}
 
 /** Multimodal plumbing: typed binary-payload records flow through
   * mapPartitions feature extraction with a deterministic stub decoder. */
@@ -42,6 +62,36 @@ class MediaSpec extends SparkSpec {
     assert(out(1L) === Seq(0, 4, 8)) // ceil(10/4) = 3 frames
     assert(out(2L) === Seq(0))       // ceil(4/4) = 1
     assert(out(3L) === Seq(0))
+  }
+
+  test("a second decoder drops into every operator unchanged, and " +
+    "open/close run once per partition") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(1, "video", Array.fill(10240)(1.toByte), 64, 0),
+      MediaRecord(2, "audio", Array.fill(1024)(1.toByte), 0, 16000),
+      MediaRecord(3, "image", Array.fill(500)(1.toByte), 64, 0)
+    ).toDS().repartition(2)
+    val opens0 = TwoFrameDecoder.opens.get()
+    val closes0 = TwoFrameDecoder.closes.get()
+    val feats = Media.extractFeatures(ds, TwoFrameDecoder).collect()
+    assert(feats.length === 3)
+    assert(feats.forall(f => f.frames_sampled == 2 &&
+      f.feature.toSeq == Seq(1f, 2f)))
+    // per-partition resource lifecycle: exactly one open and one close
+    // per partition (local mode shares the singleton across tasks)
+    assert(TwoFrameDecoder.opens.get() - opens0 === 2)
+    assert(TwoFrameDecoder.closes.get() - closes0 === 2)
+    // frame sampling follows the decoder's frameCount, not the stub's
+    val frames = Media.sampleFrames(ds, everyN = 1, TwoFrameDecoder)
+      .collect().groupBy(_.media_id)
+    assert(frames.keySet === Set(1L, 2L, 3L))
+    assert(frames.values.forall(_.map(_.frame_idx).sorted.toSeq == Seq(0, 1)))
+    // resize follows the decoder's strategy (head-truncate, not stride)
+    val rs = Media.resize(ds, targetBytes = 100, TwoFrameDecoder).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(rs(1L).length === 100 && rs(1L).toSeq === Seq.fill(100)(1.toByte))
+    assert(rs(3L).length === 100)
   }
 
   test("resize bounds payloads to the target and passes small ones " +
