@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Build adversarial probe corpora for ORACLE-PARITY sweeps (dev tool).
+
+Usage: python3 scripts/salted_corpus.py <out_dir> [nulls|degenerate]
+
+Recreates the round-6 adversarial fixtures as parquet a DuckDB oracle can
+read (events.ts as real TIMESTAMP(NANOS), matching the driver layout):
+
+  nulls      - null text / embeddings / values / props / ts salted in
+  degenerate - identical docs, all-zero embeddings, single-key
+               same-instant events
+
+TPC-H tables are copied from sf0.001. Then run:
+  sbt "runMain graft.Verify <out_dir> /tmp/vprobe"
+  python3 scripts/selfcheck.py /tmp/vprobe <out_dir>
+"""
+import math
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+out = sys.argv[1]
+mode = sys.argv[2] if len(sys.argv) > 2 else "nulls"
+base = "/root/testdata/sf0.001"
+
+import os
+os.makedirs(out, exist_ok=True)
+
+if mode == "nulls":
+    doc_rows = []
+    for i in range(60):
+        if i % 6 == 0:
+            text = None
+        elif i % 6 == 1:
+            text = ""
+        elif i % 6 == 2:
+            text = "   "
+        else:
+            text = (f"some document body number {i} with enough words to "
+                    "shingle the quick brown fox jumps over the lazy dog")
+        doc_rows.append((i, text, None if i % 7 == 0 else "en", "web",
+                         len(text) if text else 0))
+    emb_rows = [(i,
+                 None if i % 8 == 0 else
+                 [math.sin(i * 64 + j + 1.0) for j in range(64)],
+                 i % 3) for i in range(40)]
+    ev_rows = [(i,
+                None if i % 13 == 0 else
+                1704067200000000000 + i * 60000000000,
+                i % 5, ["click", "view"][i % 2],
+                None if i % 9 == 0 else float(i % 200),
+                None if i % 11 == 0 else '{"k":%d}' % (i % 5))
+               for i in range(300)]
+else:  # degenerate
+    doc_rows = [(i, "the same document body repeated for every single row",
+                 "en", "web", 49) for i in range(60)]
+    emb_rows = [(i, [0.0] * 64, 0) for i in range(40)]
+    ev_rows = [(i, 1704067200000000000, 0, "click", 1.0, '{"k":1}')
+               for i in range(300)]
+
+pq.write_table(pa.table({
+    "doc_id": pa.array([r[0] for r in doc_rows], pa.int64()),
+    "text": pa.array([r[1] for r in doc_rows], pa.string()),
+    "lang": pa.array([r[2] for r in doc_rows], pa.string()),
+    "source": pa.array([r[3] for r in doc_rows], pa.string()),
+    "length": pa.array([r[4] for r in doc_rows], pa.int64()),
+}), f"{out}/documents.parquet")
+
+pq.write_table(pa.table({
+    "vec_id": pa.array([r[0] for r in emb_rows], pa.int64()),
+    "embedding": pa.array([r[1] for r in emb_rows],
+                          pa.list_(pa.float32())),
+    "label": pa.array([r[2] for r in emb_rows], pa.int64()),
+}), f"{out}/embeddings.parquet")
+
+pq.write_table(pa.table({
+    "event_id": pa.array([r[0] for r in ev_rows], pa.int64()),
+    "ts": pa.array([r[1] for r in ev_rows], pa.timestamp("ns")),
+    "user_id": pa.array([r[2] for r in ev_rows], pa.int64()),
+    "event_type": pa.array([r[3] for r in ev_rows], pa.string()),
+    "value": pa.array([r[4] for r in ev_rows], pa.float64()),
+    "props": pa.array([r[5] for r in ev_rows], pa.string()),
+}), f"{out}/events.parquet")
+
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"):
+    shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+print(f"[salted_corpus] {mode} corpus at {out}")

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   * how many build rows precede each probe row (a naive range join is
   * O(probe × matching-range)). Ties: build rows sort before probe rows at
   * the same instant (inclusive as-of); equal-time build rows resolve to
-  * the greatest value, making the result total. */
+  * the greatest value, making the result total. Null probe times sort
+  * FIRST (Spark's ASC default — the oracle mirrors it with NULLS FIRST):
+  * a probe row with no timestamp precedes every build row and so matches
+  * nothing, surfacing a null asof_value — the enrichment analog of the
+  * "null ts is off the timeline" contract. */
 object AsOf {
 
   /** @param probe (key, time, id) rows asking "latest value as of time"

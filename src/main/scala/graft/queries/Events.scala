@@ -29,8 +29,12 @@ object Events {
 
   val queries: Map[String, Q] = Map(
     // ---- tumbling 1-hour windows per event type
+    // null-ts events are off every timeline (same contract as the
+    // debounce family and the streaming twin): filtered before any
+    // event-time bucketing, mirrored in the oracles
     "events_tumbling" -> ((s, d) => {
       Tables.events(s, d)
+        .filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sumMoney(col("value")).as("sum_value"))
@@ -43,6 +47,7 @@ object Events {
     // in exactly two windows)
     "events_sliding" -> ((s, d) => {
       Tables.events(s, d)
+        .filter(col("ts").isNotNull)
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
         .agg(count(lit(1)).as("n"),
           sumMoney(col("value")).as("sum_value"))
@@ -54,6 +59,7 @@ object Events {
     // ---- session windows: 30-minute inactivity gap per user
     "events_session" -> ((s, d) => {
       Tables.events(s, d)
+        .filter(col("ts").isNotNull)
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sumMoney(col("value")).as("sum_value"))
@@ -109,6 +115,7 @@ object Events {
     // ---- timestamp parts + date_trunc: daily counts
     "events_daily" -> ((s, d) => {
       Tables.events(s, d)
+        .filter(col("ts").isNotNull)
         .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
           dayofmonth(col("ts")).cast("long").as("dom"),
           hour(col("ts")).as("hr"), col("value"))
@@ -325,6 +332,7 @@ object Events {
         count(*) AS n,
         $sumValue
       FROM events
+      WHERE ts IS NOT NULL
       GROUP BY wstart, event_type
       ORDER BY wstart, event_type""",
 
@@ -333,6 +341,7 @@ object Events {
         count(*) AS n,
         $sumValue
       FROM events CROSS JOIN (VALUES (0), (1)) off(o)
+      WHERE ts IS NOT NULL
       GROUP BY wstart
       ORDER BY wstart""",
 
@@ -343,7 +352,7 @@ object Events {
                     >= INTERVAL '30 minutes' OR
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                THEN 1 ELSE 0 END AS new_session
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       sessions AS (
         SELECT user_id, ts, value,
           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -440,6 +449,7 @@ object Events {
         count(DISTINCT hour(ts)) AS n_active_hours,
         $sumValue
       FROM events
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2
       ORDER BY day""",
 
@@ -508,7 +518,7 @@ object Events {
         SELECT k, t, event_id, side,
           last_value(okey IGNORE NULLS) OVER (
             PARTITION BY k
-            ORDER BY t ASC, side DESC, okey ASC NULLS FIRST
+            ORDER BY t ASC NULLS FIRST, side DESC, okey ASC NULLS FIRST
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS asof_orderkey
         FROM u)
