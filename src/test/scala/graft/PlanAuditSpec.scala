@@ -156,6 +156,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(scrub.contains("HashAggregate"))
   }
 
+  test("jaccard df-cap is a broadcast anti-join blocklist, never a " +
+    "window over the shingle hash") {
+    // the round-7 skew fix: computing df with `count over (partition by
+    // h)` colocates every posting of a hot shingle in ONE partition
+    // before the cap filter; the groupBy blocklist form shuffles only
+    // map-side-combined counts and anti-joins them BROADCAST, so a
+    // df~1e9 boilerplate shingle can never produce a straggler task
+    val p = plan("dedup_neardup_jaccard")
+    assert(p.contains("LeftAnti"), "df-cap blocklist anti-join missing")
+    val antiLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("LeftAnti"))
+    assert(antiLine.exists(_.contains("Broadcast")),
+      s"df-cap anti-join is not broadcast: ${antiLine.getOrElse("?")}")
+    assert(!p.contains("Window"),
+      "jaccard plan re-grew a window stage (hot-shingle skew risk)")
+  }
+
   test("docs_repetition is a pure projection before the final sort") {
     val p = plan("docs_repetition")
     assert(!p.contains("Generate"), "bigram explode reappeared")
