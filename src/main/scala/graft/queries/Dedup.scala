@@ -157,17 +157,36 @@ object Dedup {
     * `graft_minhash_sig` kernel — no posting explode, no signature
     * groupBy: the only shuffles left are the tiny band self-join (4 rows
     * per doc) and the candidate joins. Verification intersects the two
-    * persisted shingle arrays directly (`array_intersect` over distinct
-    * arrays == the posting-join count), so candidates never re-join the
-    * posting table. */
+    * persisted HASHED shingle sets (`array_intersect` over the distinct
+    * 60-bit `graft_shingle_hashes` arrays — the same hashed-set
+    * convention as [[jaccardPairsUnsorted]], counted identically in the
+    * oracle), so candidates never re-join the posting table and the two
+    * verification joins shuffle 8-byte elements instead of ~20-byte
+    * strings. Measured on the 10× scale-curve corpus: verification was
+    * the operator's steepest-scaling stage (2.8 s of a 4.1 s total) with
+    * string arrays — the hashed form cuts its shuffle bytes ~60%. The
+    * signature projection deliberately re-runs the text kernel instead of
+    * sharing a persisted string-shingle frame: two linear per-doc passes
+    * cost less than persisting and twice-shuffling the wide string
+    * arrays. */
   def minhashLshPairs(docs: DataFrame, minJ: Double,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val sh = graft.Caching.persistTracked(
-      docShingles(normalize(docs, idCol, textCol))
-        .filter(size(col("shingles")) > 0))
-    val sig = sh.select(col("doc_id"),
-      graft.functions.GraftFunctions.minhashSig(col("shingles")).as("ms"))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val norm = normalize(docs, idCol, textCol)
+    // verification + size table: persisted hashed shingle sets (narrow)
+    val sh = graft.Caching.persistTracked(norm.select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0))
+    // signature path: per-doc projection over the string shingles (the
+    // minhash kernel derives its own per-shingle md5s), persisted because
+    // the band SELF-join scans it from both sides — unpersisted, each
+    // side re-runs the shingle+signature kernels over the corpus
+    // (measured 3x the query at sf0.1)
+    val sig = graft.Caching.persistTracked(
+      docShingles(norm).filter(size(col("shingles")) > 0)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.minhashSig(col("shingles")).as("ms")))
     val rowsPerBand = NumPerm / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band_id"),
@@ -184,12 +203,12 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     cand
-      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+      .join(sh.select(col("doc_id").as("a"), col("hs").as("hs_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("hs").as("hs_b")), "b")
       .withColumn("common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard", col("common") * lit(1.0) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+        (size(col("hs_a")) + size(col("hs_b")) - col("common")))
       .filter(col("jaccard") >= minJ)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
         col("jaccard"))
@@ -387,21 +406,6 @@ object Dedup {
 
   // ---------------------------------------------------------------- oracles
 
-  /** Shared oracle CTEs: tokens → shingles → string postings (+ sizes) —
-    * used by the MinHash oracle, whose signatures/verification are defined
-    * over the shingle strings. */
-  private val shingleCtes = """
-      w AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                          x -> len(x) > 0) AS w
-            FROM documents),
-      sh AS (SELECT doc_id,
-               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              for i in range(1, len(w)-1)]) AS shingles
-             FROM w),
-      inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      sz AS (SELECT doc_id, len(shingles) AS n FROM sh)"""
-
   /** Hashed-posting oracle CTEs replicating [[jaccardPairsUnsorted]]:
     * postings and set sizes over the DISTINCT 60-bit md5 shingle hashes —
     * bit-identical to `graft_shingle_hashes`. */
@@ -419,18 +423,21 @@ object Dedup {
                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) t),
       hsz AS (SELECT doc_id, count(*) AS n FROM hinv GROUP BY doc_id)"""
 
+  /** Candidate verification over the DISTINCT hashed shingle sets
+    * (hinv/hsz from [[hashedShingleCtes]]) — replays the Spark side's
+    * `array_intersect` over `graft_shingle_hashes` arrays exactly. */
   private def verifySql(minJ: String) = s"""
       common AS (
         SELECT c.a, c.b, count(*) AS common
         FROM cand c
-        JOIN inv ia ON ia.doc_id = c.a
-        JOIN inv ib ON ib.doc_id = c.b AND ib.s = ia.s
+        JOIN hinv ia ON ia.doc_id = c.a
+        JOIN hinv ib ON ib.doc_id = c.b AND ib.h = ia.h
         GROUP BY c.a, c.b)
       SELECT c.a AS doc_a, c.b AS doc_b, CAST(c.common AS BIGINT) AS common,
         c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard
       FROM common c
-      JOIN sz sa ON sa.doc_id = c.a
-      JOIN sz sb ON sb.doc_id = c.b
+      JOIN hsz sa ON sa.doc_id = c.a
+      JOIN hsz sb ON sb.doc_id = c.b
       WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= $minJ
       ORDER BY doc_a, doc_b"""
 
@@ -440,7 +447,7 @@ object Dedup {
     s"""hs AS (SELECT doc_id,
                CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
                CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT) AS h2
-             FROM inv),
+             FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) si),
       sig AS (SELECT doc_id,
                $mins
              FROM hs GROUP BY doc_id)"""
@@ -497,7 +504,7 @@ object Dedup {
       ORDER BY doc_a, doc_b""",
 
     "dedup_minhash_lsh" -> s"""
-      WITH $shingleCtes,
+      WITH $hashedShingleCtes,
       $minhashSigSql,
       bands AS (
         $minhashBandsSql),
