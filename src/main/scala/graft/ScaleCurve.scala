@@ -64,7 +64,7 @@ object ScaleCurve {
                f: (DataFrame, Int, Long) => DataFrame): Unit = {
       val base = Tables.table(spark, Sf01Dir, name)
       val out = (0 until Copies).map(i => f(base, i, i * off))
-        .reduce(_.unionAll(_))
+        .reduce(_.union(_))
       out.write.mode("overwrite").parquet(s"$Sf1Dir/$name.parquet")
       println(s"[scale-curve] built $name")
     }
@@ -96,7 +96,7 @@ object ScaleCurve {
     (0 until Copies).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * off))
         .withColumn("user_id", col("user_id") + lit(i * off))
-    }.reduce(_.unionAll(_))
+    }.reduce(_.union(_))
       .write.mode("overwrite").parquet(s"$Sf1Dir/events.parquet")
     println(s"[scale-curve] built events")
     // shared dimensions: copied once, un-salted

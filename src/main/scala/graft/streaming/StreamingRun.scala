@@ -77,10 +77,22 @@ object StreamingRun {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the checkpoint is only meaningful across restarts of the SAME
+    // continuous query; this one has drained, so drop it instead of
+    // letting repeated invocations (bench sweeps, determinism re-runs)
+    // accumulate state dirs. The SINK dir must outlive this call — the
+    // returned frame scans it lazily — so it is the caller-visible
+    // artifact, exactly like any query's output location.
+    deleteRecursively(new java.io.File(ckpt))
     // explicit schema: an all-late or empty corpus leaves a sink with no
     // data files, which schema inference would reject
     s.read.schema(agg.schema).parquet(out)
       .orderBy(col("wstart"), col("event_type"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   val queries: Map[String, graft.queries.Q] = Map(
