@@ -9,6 +9,8 @@ read (events.ts as real TIMESTAMP(NANOS), matching the driver layout):
   nulls      - null text / embeddings / values / props / ts salted in
   degenerate - identical docs, all-zero embeddings, single-key
                same-instant events
+  unicode    - documents mixing CJK / accents / emoji / RTL / combining
+               marks with ascii (events/embeddings stay clean)
 
 TPC-H tables are copied from sf0.001. Then run:
   sbt "runMain graft.Verify <out_dir> /tmp/vprobe"
@@ -53,6 +55,27 @@ if mode == "nulls":
                 None if i % 9 == 0 else float(i % 200),
                 None if i % 11 == 0 else '{"k":%d}' % (i % 5))
                for i in range(300)]
+elif mode == "unicode":
+    samples = [
+        "the quick brown fox jumps over the lazy dog",
+        "naïve café résumé coöperate señor jalapeño",
+        "日本語のテキストと English words mixed together here",
+        "русский текст and latin words side by side",
+        "مرحبا بالعالم hello world مع الكلمات الإنجليزية",
+        "emoji 🎉 in 🚀 the 🌍 middle of words",
+        "combining márks and zero​width characters",
+        "MiXeD CaSe WİTH turkish dotted İ and ı issues",
+        "tabs\tand\nnewlines\r\nand   runs    of spaces",
+        "ﬁligature ﬂour ﬀ presentation forms",
+    ]
+    doc_rows = [(i, f"{samples[i % len(samples)]} doc number {i} "
+                 f"{samples[(i * 3 + 1) % len(samples)]}",
+                 "mix", "web", 50) for i in range(60)]
+    emb_rows = [(i, [math.sin(i * 64 + j + 1.0) for j in range(64)], i % 3)
+                for i in range(40)]
+    ev_rows = [(i, 1704067200000000000 + i * 60000000000, i % 5,
+                ["click", "view"][i % 2], float(i % 200),
+                '{"k":%d}' % (i % 5)) for i in range(300)]
 else:  # degenerate
     doc_rows = [(i, "the same document body repeated for every single row",
                  "en", "web", 49) for i in range(60)]

@@ -23,10 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Shared tokenizer contract (same as `TextOps.tokens`, the reference's
   * observable tokenization, `/root/reference/slave.cc:77-98`): a token is
-  * a maximal run of [a-z] after lowercasing; any other byte delimits. The
-  * kernels lowercase ASCII bytes only (A–Z → a–z) and treat every byte ≥
-  * 0x80 as a delimiter, which is exactly `split(lower(text), "[^a-z]+")`
-  * for ASCII text (the driver corpus is ASCII; asserted in spec). All md5
+  * a maximal run of [a-z] after ASCII lowercasing (A–Z → a–z); any other
+  * byte delimits, including every byte ≥ 0x80 — so multi-byte UTF-8
+  * sequences delimit and the kernels match
+  * `split(asciiLower(text), "[^a-z]+")` on ALL inputs, not just ASCII
+  * (UTF-8 continuation bytes never overlap [a-z]; pinned incl. unicode in
+  * UnicodeTextSpec). Full-casing `lower()` must NOT re-enter this path:
+  * its 'İ' → "i̇" expansion maps a non-ASCII char INTO [a-z]. All md5
   * primitives match the cross-engine recipe used everywhere else:
   * `int(hex(md5(x))[i, n])` is the same value in Spark, DuckDB, and here.
   */
@@ -259,28 +262,45 @@ object TextHashKernels {
       if (c >= 'A' && c <= 'Z') b(i) = (c + 32).toByte
       i += 1
     }
-    val nh = b.length - 7
-    if (nh < 4) return new GenericArrayData(Array.emptyLongArray)
-    val hs = new Array[Long](nh)
+    // Grams are 8 consecutive CODEPOINTS (the Schleimer character k-gram;
+    // on ASCII codepoints == bytes, so this is bit-compatible with the old
+    // byte-window form there). md5 input is the UTF-8 byte span of the
+    // gram — exactly `md5(substring(t, i, 8))` in Spark and DuckDB, so
+    // the oracle replays it with plain codepoint substring. A byte window
+    // would split multi-byte sequences into grams no VARCHAR md5 can
+    // express (DuckDB has no md5(BLOB)). Codepoint starts stream through
+    // a 9-slot ring — one pass, no offsets array even on huge docs.
+    val starts = new Array[Int](9) // ring: last ≤9 codepoint start offsets
+    var nCp = 0 // codepoints seen so far
     val digest = md5.get()
-    i = 0
-    while (i < nh) {
-      digest.reset()
-      digest.update(b, i, 8)
-      val d = digest.digest()
-      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      i += 1
-    }
+    val hring = new Array[Long](4) // ring: last ≤4 gram hashes
+    var nGram = 0
     val seen = new java.util.LinkedHashSet[java.lang.Long]
-    i = 0
-    while (i + 3 < nh) {
-      var m = hs(i)
-      if (hs(i + 1) < m) m = hs(i + 1)
-      if (hs(i + 2) < m) m = hs(i + 2)
-      if (hs(i + 3) < m) m = hs(i + 3)
-      seen.add(m)
-      i += 1
+    var o = 0
+    while (o <= b.length) {
+      val isStart = o == b.length || (b(o) & 0xc0) != 0x80
+      if (isStart) {
+        // codepoint span [starts[(nCp-8) mod 9], o) = gram #(nCp-8)
+        if (nCp >= 8) {
+          val from = starts((nCp - 8) % 9)
+          digest.reset()
+          digest.update(b, from, o - from)
+          val d = digest.digest()
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          hring(nGram % 4) = h
+          nGram += 1
+          if (nGram >= 4) {
+            var m = hring(0)
+            if (hring(1) < m) m = hring(1)
+            if (hring(2) < m) m = hring(2)
+            if (hring(3) < m) m = hring(3)
+            seen.add(m)
+          }
+        }
+        if (o < b.length) { starts(nCp % 9) = o; nCp += 1 }
+      }
+      o += 1
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()

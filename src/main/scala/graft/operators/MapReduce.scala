@@ -29,6 +29,24 @@ import scala.collection.mutable
   * declarative flagship — it exists to prove the UDF/UDAF surface, and the
   * docs point users at the declarative form for hot paths.
   */
+/** The tokenizer's case fold for plain-Scala (typed/RDD) user lambdas:
+  * ASCII-only A–Z → a–z, everything else untouched — the same contract as
+  * [[graft.queries.asciiLower]] and the byte-level kernels. `toLowerCase`
+  * would apply Unicode full case mapping ('İ' → "i̇"), silently diverging
+  * from every other tokenizer path on non-ASCII text. */
+object Tokenize {
+  def asciiLower(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    b.toString
+  }
+}
+
 object MapReduce {
 
   final case class WordCount(word: String, cnt: Long)
@@ -76,7 +94,8 @@ object MapReduce {
       // null text contributes no words (typed lambdas see raw nulls —
       // no automatic null propagation as in the declarative form)
       .filter((t: String) => t != null)
-      .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)) // user map
+      .flatMap(Tokenize.asciiLower(_).split("[^a-z]+")
+        .filter(_.nonEmpty)) // user map
       .groupByKey(identity)
       .mapValues(_ => 1L)
       .reduceGroups(_ + _) // user reduce (partial-aggregated)
@@ -105,7 +124,8 @@ object MapReduce {
       // null text (failed extraction) contributes no words — the same
       // behavior the declarative form gets for free from null propagation
       .filter(_ != null)
-      .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)) // user map
+      .flatMap(Tokenize.asciiLower(_).split("[^a-z]+")
+        .filter(_.nonEmpty)) // user map
       .map(w => (w, 1L))
       .reduceByKey(_ + _) // user reduce, map-side combined
       .map { case (w, c) => WordCount(w, c) }
@@ -116,7 +136,7 @@ object MapReduce {
 
   private val wordcountSql = """
       SELECT word, count(*) AS cnt FROM (
-        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word
         FROM documents) t
       WHERE word <> ''
       GROUP BY word

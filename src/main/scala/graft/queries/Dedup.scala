@@ -74,7 +74,7 @@ object Dedup {
     * fingerprints as empty text so the fp key is total and join-safe.
     * `private[graft]`: the corpus-cleaning pipeline composes on it. */
   private[graft] def fingerprint: Column =
-    md5(coalesce(regexp_replace(lower(col("text")), "\\s+", " "), lit(""))
+    md5(coalesce(regexp_replace(asciiLower(col("text")), "\\s+", " "), lit(""))
       .cast("binary"))
 
   /** Exact dedup: one row per distinct normalized content with its kept
@@ -411,7 +411,7 @@ object Dedup {
     * bit-identical to `graft_shingle_hashes`. */
   private[queries] val hashedShingleCtes = """
       w AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                           x -> len(x) > 0) AS w
             FROM documents),
       sh AS (SELECT doc_id,
@@ -461,7 +461,7 @@ object Dedup {
 
   private val simhashCtes = """
       w AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                           x -> len(x) > 0) AS w
             FROM documents),
       tok AS (SELECT doc_id,
@@ -481,7 +481,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_doc_id,
-        md5(coalesce(regexp_replace(lower(text), '\s+', ' ', 'g'), '')) AS fp,
+        md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'), '')) AS fp,
         count(*) AS n_copies
       FROM documents
       GROUP BY fp

@@ -50,11 +50,14 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // head_b64 is the first 8 BYTES of the payload (Spark's substring on
+    // BINARY is byte-sliced); DuckDB has no blob substring, so the oracle
+    // slices 16 hex chars — char substring would shear on multi-byte UTF-8
     "docs_binary_features" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         md5(text) AS fp_md5,
-        base64(encode(substring(text, 1, 8))) AS head_b64
+        base64(unhex(substr(hex(encode(text)), 1, 16))) AS head_b64
       FROM documents
       ORDER BY doc_id""",
 

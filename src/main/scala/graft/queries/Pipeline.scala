@@ -339,11 +339,11 @@ object Pipeline {
     "docs_unique_ids" -> """
       SELECT doc_id, fp, n_claims FROM (
         SELECT doc_id,
-          md5(coalesce(regexp_replace(lower(text), '\s+', ' ', 'g'), ''))
+          md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'), ''))
             AS fp,
           count(*) OVER (PARTITION BY doc_id) AS n_claims,
           row_number() OVER (PARTITION BY doc_id
-            ORDER BY md5(coalesce(regexp_replace(lower(text), '\s+', ' ',
+            ORDER BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ',
               'g'), ''))) AS rn
         FROM documents) t
       WHERE rn = 1
@@ -378,7 +378,7 @@ object Pipeline {
     "text_tfidf_top" -> """
       WITH tok AS (
         SELECT doc_id, unnest(list_filter(
-          string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS term
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
              GROUP BY doc_id, term),
@@ -413,13 +413,13 @@ object Pipeline {
       WITH keep AS (
         SELECT min(doc_id) AS doc_id
         FROM documents
-        GROUP BY md5(coalesce(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        GROUP BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'),
                               ''))),
       q AS (
         SELECT doc_id, lang,
-          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                           w -> len(w) > 0)) AS n_words,
-          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                           w -> w = 'the' OR w = 'a' OR w = 'of')) AS n_stop
         FROM documents)
       SELECT q.doc_id, q.lang, CAST(q.n_words AS BIGINT) AS n_words
@@ -451,7 +451,7 @@ object Pipeline {
     "docs_feature_hash" -> """
       WITH tok AS (
         SELECT doc_id, unnest(list_filter(
-          string_split_regex(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS term
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
              GROUP BY doc_id, term)

@@ -47,7 +47,7 @@ object SqlSurface {
     // lambda filter + agg + top-N — Catalyst plans the same bounded heap)
     "sql_wordcount_topn" -> sql("""
       SELECT word, count(*) AS cnt FROM (
-        SELECT explode(filter(split(lower(text), '[^a-z]+'),
+        SELECT explode(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                               w -> length(w) > 0)) AS word
         FROM documents) t
       GROUP BY word

@@ -23,16 +23,19 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** THE tokenizer (SURVEY.md §1 observable semantics): a word is a
-    * maximal run of [a-z] after lowercasing; any other byte delimits;
-    * empty tokens never surface. Shared by every text/dedup operator and
-    * pinned by TokenizerSpec. */
+    * maximal run of [a-z] after ASCII lowercasing (A–Z → a–z; every other
+    * character delimits, [[graft.queries.asciiLower]]); empty tokens never
+    * surface. Engine-portable by construction — byte-level kernels, the
+    * declarative form, and the DuckDB oracle agree on ALL inputs, unicode
+    * included (pinned by TokenizerSpec + UnicodeTextSpec). Shared by every
+    * text/dedup operator. */
   def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
+    filter(split(asciiLower(c), "[^a-z]+"), w => length(w) > 0)
 
   /** Flagship word-count + top-N as a reusable plan. */
   def wordcountTopN(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.documents(s, d)
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .select(explode(split(asciiLower(col("text")), "[^a-z]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
@@ -46,7 +49,7 @@ object TextOps {
     // ---- full word count (no limit): complete agg output, totally ordered
     "wordcount_full" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .select(explode(split(asciiLower(col("text")), "[^a-z]+")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word"))
         .agg(count(lit(1)).as("cnt"))
@@ -62,14 +65,14 @@ object TextOps {
           size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
           regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
             .cast("long").as("n_bpe_tokens"),
-          size(array_distinct(filter(split(lower(col("text")), "[^a-z]+"),
+          size(array_distinct(filter(split(asciiLower(col("text")), "[^a-z]+"),
             w => length(w) > 0))).cast("long").as("n_distinct_words"))
         .orderBy(col("doc_id"))
     }),
 
     // ---- quality scoring: length, alpha ratio, stopword ratio, mean word len
     "text_quality" -> ((s, d) => {
-      val words = filter(split(lower(col("text")), "[^a-z]+"),
+      val words = filter(split(asciiLower(col("text")), "[^a-z]+"),
         w => length(w) > 0)
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
@@ -103,7 +106,7 @@ object TextOps {
     // priority tie-break. (The corpus vocabulary is synthetic, so the
     // markers are drawn from its actual high-frequency tokens per lang.)
     "text_langid" -> ((s, d) => {
-      val words = filter(split(lower(col("text")), "[^a-z]+"),
+      val words = filter(split(asciiLower(col("text")), "[^a-z]+"),
         w => length(w) > 0)
       Tables.documents(s, d)
         .withColumn("ws", words)
@@ -114,7 +117,7 @@ object TextOps {
         // nullif: empty text has no vowel ratio (ANSI divide-by-zero guard,
         // mirrored in the oracle)
         .withColumn("vowel_ratio",
-          length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+          length(regexp_replace(asciiLower(col("text")), "[^aeiou]", ""))
             .cast("double") / nullif(length(col("text")), lit(0)))
         .withColumn("lang_guess",
           when(col("score_zh") > col("score_en"), "zh")
@@ -232,7 +235,7 @@ object TextOps {
 
     // ---- document fingerprinting: md5 + sha256 over normalized text
     "text_fingerprint" -> ((s, d) => {
-      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      val norm = regexp_replace(asciiLower(col("text")), "\\s+", " ")
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(norm.cast("binary")).as("fp_md5"),
@@ -372,7 +375,7 @@ object TextOps {
 
   private val wcOracle = (n: Int) => s"""
     SELECT word, count(*) AS cnt FROM (
-      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word
       FROM documents) t
     WHERE word <> ''
     GROUP BY word
@@ -396,7 +399,7 @@ object TextOps {
 
     "wordcount_full" -> """
       SELECT word, count(*) AS cnt FROM (
-        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word
         FROM documents) t
       WHERE word <> ''
       GROUP BY word
@@ -406,7 +409,7 @@ object TextOps {
       SELECT doc_id,
         len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
-        len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        len(list_distinct(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
           w -> len(w) > 0))) AS n_distinct_words
       FROM documents
       ORDER BY doc_id""",
@@ -420,9 +423,9 @@ object TextOps {
              THEN 1.0 ELSE 0.0 END AS DOUBLE) AS quality
       FROM (
         SELECT doc_id, length(text) AS n_chars,
-          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
             w -> len(w) > 0)) AS n_words,
-          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
             w -> w = 'the' OR w = 'a' OR w = 'of')) AS n_stop,
           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
         FROM documents) t
@@ -436,11 +439,11 @@ object TextOps {
              ELSE 'und' END AS lang_guess
       FROM (
         SELECT doc_id, lang, text,
-          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
             w -> w = 'the' OR w = 'a')) AS score_en,
-          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
             w -> w = 'shu' OR w = 'ju')) AS score_zh,
-          length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowel
+          length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^aeiou]', '', 'g')) AS n_vowel
         FROM documents) t
       ORDER BY doc_id""",
 
@@ -463,7 +466,7 @@ object TextOps {
 
     "text_winnow_fingerprint" -> """
       WITH g0 AS (
-        SELECT doc_id, lower(text) AS t,
+        SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t,
           unnest(range(1, greatest(length(text) - 6, 1))) AS i
         FROM documents),
       g AS (
@@ -481,7 +484,7 @@ object TextOps {
 
     "docs_lm_bigram_score" -> """
       WITH w AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                           x -> len(x) > 0) AS w
             FROM documents),
       bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
@@ -500,14 +503,14 @@ object TextOps {
 
     "text_fingerprint" -> """
       SELECT doc_id,
-        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
-        sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_sha256
+        md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')) AS fp_md5,
+        sha256(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')) AS fp_sha256
       FROM documents
       ORDER BY doc_id""",
 
     "docs_repetition" -> """
       WITH tok AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        SELECT doc_id, list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                                    x -> len(x) > 0) AS w
         FROM documents),
       bg AS (
@@ -537,7 +540,7 @@ object TextOps {
             AS n_chars_nospace,
           CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
             AS n_symbol,
-          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+          CAST(len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
             w -> w = 'the' OR w = 'a' OR w = 'of')) AS BIGINT) AS n_stop
         FROM documents),
       m AS (
@@ -577,7 +580,7 @@ object TextOps {
     "text_bigrams_top" -> """
       SELECT bigram, count(*) AS cnt FROM (
         SELECT w[i] || ' ' || w[i+1] AS bigram
-        FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        FROM (SELECT list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                 x -> len(x) > 0) AS w FROM documents) t,
              unnest(range(1, len(w))) u(i)
       ) b

@@ -21,6 +21,26 @@ package object queries {
   /** A named query: (session, scale-factor dir) => result. */
   type Q = (SparkSession, String) => DataFrame
 
+  /** ASCII-only lowercasing — the engine's case-folding contract for every
+    * tokenizer and fingerprint (SURVEY.md §1): A–Z map to a–z, every other
+    * character passes through unchanged. `translate` is a 1:1 codepoint
+    * map, codegen'd in Spark and bit-identical in DuckDB, so the contract
+    * holds with NO dependence on Unicode case tables. Full-casing `lower()`
+    * is NOT cross-engine-safe: Spark/Java applies Unicode full case mapping
+    * ('İ' U+0130 → "i̇", the one expanding lowercase mapping, plus the
+    * context-sensitive Greek final sigma), DuckDB/utf8proc applies simple
+    * mapping ('İ' → "i") — the unicode probe corpus caught 13 queries
+    * diverging on exactly this. (Known residual engine gap, out of token
+    * scope since tokens are [a-z] runs: Java's `\s` includes VT \x0B,
+    * RE2's does not.) */
+  def asciiLower(c: Column): Column =
+    translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+  /** The same ASCII case fold as [[asciiLower]], as DuckDB oracle SQL over
+    * the `text` column — interpolate wherever an oracle tokenizes. */
+  val asciiLowerTextSql: String =
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+
   /** Snap a measure double onto the exact 1/scale grid as an integral value.
     * floor(x*scale + 0.5) uses only IEEE-754 double multiply/add/floor —
     * bit-identical across engines — and yields an integral double, so the

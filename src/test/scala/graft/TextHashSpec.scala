@@ -32,14 +32,20 @@ class TextHashSpec extends SparkSpec {
       (6L, "short"),                     // < 11 chars -> no winnow window
       (7L, "exactly11ch"),               // 11 chars -> one winnow window
       (8L, "a b a b a b repeated bigram tokens a b"),
-      (9L, null.asInstanceOf[String])    // null text
+      (9L, null.asInstanceOf[String]),   // null text
+      // unicode: the kernels' byte-level walk must equal the declarative
+      // codepoint forms — multi-byte delimiters, and the two codepoints
+      // whose full-Unicode lower() maps INTO [a-z] ('İ'→i̇, 'K'→k) must
+      // NOT tokenize as letters under the ASCII case-fold contract
+      (10L, "MiXeD CaSe WİTH turkish İ and ı plus Kelvin K marks"),
+      (11L, "日本語テキスト emoji 🎉 mixed ascii words here okay")
     ).toDF("doc_id", "text")
   }
 
   // ---- declarative reference formulations (the pre-kernel plans) ----
 
   private def declWords(c: Column): Column =
-    filter(split(lower(c), "[^a-z]+"), w => length(w) > 0)
+    filter(split(graft.queries.asciiLower(c), "[^a-z]+"), w => length(w) > 0)
 
   private def declShingles(ws: Column): Column = {
     val n = greatest(size(ws) - 2, lit(0))
@@ -88,7 +94,7 @@ class TextHashSpec extends SparkSpec {
       zip_with(slice(x, lit(1), n), slice(x, lit(off + 1), n), f)
     }
     df.filter(col("text").isNotNull)
-      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), graft.queries.asciiLower(col("text")).as("t"))
       .select(col("doc_id"),
         slice(split(col("t"), ""), lit(1), length(col("t"))).as("cs"))
       .withColumn("g2", dbl(col("cs"), 1, concat(_, _)))

@@ -20,6 +20,11 @@ class UnicodeTextSpec extends SparkSpec {
     "combining á marks é tokens",         // combining acute
     "ééé",                             // no ascii letters
     "tabs\tand nbsp and zero​width",        // odd whitespace
+    // the two codepoints whose full-Unicode lower() maps INTO [a-z]
+    // ('İ' U+0130 → "i̇", 'K' U+212A → "k") — under the ASCII
+    // case-fold contract both delimit, identically in kernels /
+    // declarative / oracle
+    "WİTH İ and ı and Kelvin K signs",
     "ok")
 
   private lazy val dir: String = {
@@ -41,7 +46,8 @@ class UnicodeTextSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // declarative: char-level regex split of lowercased text
     val decl = df.select(col("doc_id"),
-      filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "").as("ws"))
+      filter(split(graft.queries.asciiLower(col("text")), "[^a-z]+"),
+        w => w =!= "").as("ws"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     // kernel: shingle over 1-word windows is the token stream when we
     // compare via graft_term_counts' keys; use term_counts map keys sorted
