@@ -67,6 +67,13 @@ elif mode == "unicode":
         "MiXeD CaSe WİTH turkish dotted İ and ı issues",
         "tabs\tand\nnewlines\r\nand   runs    of spaces",
         "ﬁligature ﬂour ﬀ presentation forms",
+        # VT/FF: Java \s includes \x0B, RE2's does not — oracles must
+        # spell out Java's class [ \t\n\x0B\f\r] to agree on this row
+        "vertical\x0btab and form\x0cfeed whitespace edges",
+        # Greek sigma: full-casing lower() would apply the context-
+        # sensitive final-sigma rule in Spark only; ASCII case fold
+        # makes every Greek char a plain delimiter in both engines
+        "ΛΟΓΟΣ greek ΣΙΓΜΑ words και mixed ascii",
     ]
     doc_rows = [(i, f"{samples[i % len(samples)]} doc number {i} "
                  f"{samples[(i * 3 + 1) % len(samples)]}",

@@ -481,7 +481,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_doc_id,
-        md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'), '')) AS fp,
+        md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'), '')) AS fp,
         count(*) AS n_copies
       FROM documents
       GROUP BY fp

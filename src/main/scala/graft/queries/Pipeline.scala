@@ -339,11 +339,11 @@ object Pipeline {
     "docs_unique_ids" -> """
       SELECT doc_id, fp, n_claims FROM (
         SELECT doc_id,
-          md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'), ''))
+          md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'), ''))
             AS fp,
           count(*) OVER (PARTITION BY doc_id) AS n_claims,
           row_number() OVER (PARTITION BY doc_id
-            ORDER BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ',
+            ORDER BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ',
               'g'), ''))) AS rn
         FROM documents) t
       WHERE rn = 1
@@ -400,7 +400,7 @@ object Pipeline {
       ORDER BY doc_id, rn""",
 
     "docs_truncate_tokens" -> """
-      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+      WITH t AS (SELECT doc_id, string_split_regex(text, '[ \t\n\x0B\f\r]+') AS ws
                  FROM documents)
       SELECT doc_id,
         array_to_string(ws[1:128], ' ') AS text_trunc,
@@ -413,7 +413,7 @@ object Pipeline {
       WITH keep AS (
         SELECT min(doc_id) AS doc_id
         FROM documents
-        GROUP BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'),
+        GROUP BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'),
                               ''))),
       q AS (
         SELECT doc_id, lang,

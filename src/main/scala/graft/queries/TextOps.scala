@@ -407,8 +407,8 @@ object TextOps {
 
     "text_tokens" -> """
       SELECT doc_id,
-        len(string_split_regex(text, '\s+')) AS n_ws_tokens,
-        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
         len(list_distinct(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
           w -> len(w) > 0))) AS n_distinct_words
       FROM documents
@@ -450,7 +450,7 @@ object TextOps {
     "docs_pack_batches" -> """
       WITH t AS (
         SELECT doc_id,
-          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+          CAST(len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
@@ -503,8 +503,8 @@ object TextOps {
 
     "text_fingerprint" -> """
       SELECT doc_id,
-        md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')) AS fp_md5,
-        sha256(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')) AS fp_sha256
+        md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp_md5,
+        sha256(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp_sha256
       FROM documents
       ORDER BY doc_id""",
 
@@ -534,9 +534,9 @@ object TextOps {
     "docs_gopher_quality" -> """
       WITH t AS (
         SELECT doc_id,
-          list_filter(string_split_regex(text, '\s+'),
+          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                       w -> len(w) > 0) AS ws,
-          CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+          CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT)
             AS n_chars_nospace,
           CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
             AS n_symbol,

@@ -30,9 +30,9 @@ package object queries {
     * ('İ' U+0130 → "i̇", the one expanding lowercase mapping, plus the
     * context-sensitive Greek final sigma), DuckDB/utf8proc applies simple
     * mapping ('İ' → "i") — the unicode probe corpus caught 13 queries
-    * diverging on exactly this. (Known residual engine gap, out of token
-    * scope since tokens are [a-z] runs: Java's `\s` includes VT \x0B,
-    * RE2's does not.) */
+    * diverging on exactly this. (The sibling regex-class gap — Java's
+    * `\s` includes VT \x0B, RE2's does not — is closed by spelling out
+    * Java's class `[ \t\n\x0B\f\r]` in every whitespace oracle.) */
   def asciiLower(c: Column): Column =
     translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 

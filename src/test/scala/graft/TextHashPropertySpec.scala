@@ -6,21 +6,34 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 
-/** Pure-JVM properties of the text-hash kernels over arbitrary printable
-  * ASCII: each kernel is checked against an independent hex-string
-  * reference implementation (the kernels use direct byte/nibble
-  * arithmetic for the md5 prefixes — the references parse the hex digest
-  * text, the same recipe the DuckDB oracles execute), so a shared bug in
-  * the fast path cannot self-confirm. No SparkSession needed. */
+/** Pure-JVM properties of the text-hash kernels over random text salted
+  * with unicode (CJK, emoji, combining marks, the 'İ'/'K' full-casing
+  * traps, Greek sigma, VT/FF): each kernel is checked against an
+  * independent hex-string reference implementation (the kernels use
+  * direct byte/nibble arithmetic for the md5 prefixes — the references
+  * parse the hex digest text, the same recipe the DuckDB oracles
+  * execute; the references also case-fold and slice at the UTF-16 level
+  * where the kernels walk UTF-8 bytes), so a shared bug in the fast path
+  * cannot self-confirm. No SparkSession needed. */
 object TextHashPropertySpec extends Properties("TextHashKernels") {
 
+  // unicode salt: multi-byte delimiters of every UTF-8 width (2–4 bytes,
+  // incl. a surrogate-pair emoji), the two full-casing traps ('İ' U+0130,
+  // Kelvin 'K' U+212A — must DELIMIT under the ASCII case fold, never
+  // lowercase into [a-z]), Greek sigma (context-sensitive in full casing),
+  // combining/zero-width marks, and VT/FF whitespace edges
   private val genText: Gen[String] =
     Gen.chooseNum(0, 300).flatMap(n =>
       Gen.listOfN(n, Gen.frequency(
-        6 -> Gen.alphaChar,
-        2 -> Gen.const(' '),
-        1 -> Gen.numChar,
-        1 -> Gen.oneOf('.', ',', '!', '-', '\'', '"', '\n', '\t')))
+        6 -> Gen.alphaChar.map(_.toString),
+        2 -> Gen.const(" "),
+        1 -> Gen.numChar.map(_.toString),
+        1 -> Gen.oneOf('.', ',', '!', '-', '\'', '"', '\n', '\t')
+          .map(_.toString),
+        2 -> Gen.oneOf("\u0130", "\u0131", "\u212a", "\u00e9",
+          "\u65e5", "\u8a9e", "\u03a3", "\u03c3", "\u03c2",
+          "\ud83c\udf89", "\u0301", "\u200b", "\u000b", "\u000c",
+          "\ufb01")))
         .map(_.mkString))
 
   private def md5hex(s: String): String =
@@ -28,8 +41,12 @@ object TextHashPropertySpec extends Properties("TextHashKernels") {
       .digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
 
+  /** The contract's case fold, independently: A–Z only. */
+  private def refLower(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+
   private def refTokens(s: String): List[String] =
-    s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toList
+    refLower(s).split("[^a-z]+").filter(_.nonEmpty).toList
 
   private def refShingles(s: String): List[String] = {
     val w = refTokens(s)
@@ -91,12 +108,14 @@ object TextHashPropertySpec extends Properties("TextHashKernels") {
       Option(arr).map(longs) == expected
     }
 
-  property("winnow == hex-parsed 8-gram window-of-4 minima") =
+  property("winnow == hex-parsed 8-CODEPOINT-gram window-of-4 minima") =
     Prop.forAll(genText) { s =>
-      val t = s.toLowerCase
-      val hs = (0 to t.length - 8)
+      // reference grams are codepoint slices rebuilt as strings (UTF-16
+      // walk) — independent of the kernel's UTF-8 start-byte ring walk
+      val cps = refLower(s).codePoints().toArray
+      val hs = (0 to cps.length - 8)
         .map(i => java.lang.Long.parseLong(
-          md5hex(t.substring(i, i + 8)).take(8), 16))
+          md5hex(new String(cps, i, 8)).take(8), 16))
       val expected = (0 to hs.length - 4)
         .map(i => hs.slice(i, i + 4).min).distinct.toList
       longs(TextHashKernels.winnow(UTF8String.fromString(s))) == expected
