@@ -74,6 +74,11 @@ elif mode == "unicode":
         # sensitive final-sigma rule in Spark only; ASCII case fold
         # makes every Greek char a plain delimiter in both engines
         "ΛΟΓΟΣ greek ΣΙΓΜΑ words και mixed ascii",
+        # redaction terms touching unicode letters: Java \b is unicode-
+        # aware (no boundary before ş/日), RE2's is ASCII — the engine
+        # uses ASCII lookarounds so both redact all four; value_x must
+        # stay unredacted (ASCII word char continues the word)
+        "customerş and supplier日 and order🎉 and value but value_x",
     ]
     doc_rows = [(i, f"{samples[i % len(samples)]} doc number {i} "
                  f"{samples[(i * 3 + 1) % len(samples)]}",

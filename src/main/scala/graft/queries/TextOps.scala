@@ -321,10 +321,14 @@ object TextOps {
     // same regexp machinery a real pipeline points at emails/phones/IPs;
     // the synthetic corpus has no PII, so the blocklist is domain terms
     // with observable hit counts). Pure projection — replacement and
-    // match-count are per-row, codegen'd, shuffle-free; `\b` word
-    // boundaries behave identically in Java regex and RE2.
+    // match-count are per-row, codegen'd, shuffle-free. Boundaries are
+    // ASCII-word lookarounds, NOT `\b`: Java's `\b` is Unicode-aware by
+    // default (a term touching 'ş' or '日' has no boundary) while RE2's
+    // is ASCII — the lookaround form is Java's spelling of RE2's `\b`,
+    // so the oracle keeps `\b` and both engines agree on ALL text.
     "docs_redact_terms" -> ((s, d) => {
-      val pat = "\\b(customer|supplier|order|value)\\b"
+      val pat = "(?<![a-zA-Z0-9_])(customer|supplier|order|value)" +
+        "(?![a-zA-Z0-9_])"
       Tables.documents(s, d)
         .select(col("doc_id"),
           regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
