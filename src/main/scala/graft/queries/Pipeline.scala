@@ -68,6 +68,39 @@ object Pipeline {
         x => isnan(x.cast("double")) ||
           abs(x.cast("double")) === lit(Double.PositiveInfinity)), col(c)))
 
+  /** Classify a JSON `props` payload against the ingest contract
+    * "NULL, or a JSON object whose values are integers":
+    * `null` / `notobject` (malformed JSON, or a valid non-object —
+    * scalar/array) / `untyped` (an object with a non-integer value) /
+    * `ok`. The tests are chosen for exact cross-engine agreement:
+    * `json_object_keys` is non-null iff valid-JSON-object (DuckDB:
+    * `json_valid` + `json_type = 'OBJECT'`), and the strict
+    * `from_json map<string,bigint>` nulls on any value Spark can't type
+    * as a long (DuckDB: per-key `json_type` over `json_keys`). JSON
+    * `null` values pass the typed test in both engines; duplicate keys
+    * classify `ok` in both (extraction order differs between engines on
+    * dup keys — `get_json_object` takes the first, `from_json` the
+    * last — so dup-keyed objects are contract-compliant but their
+    * extraction is engine-defined; the probe table pins all of this). */
+  def propsClass(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(p.isNull, "null")
+      .when(json_object_keys(p).isNull, "notobject")
+      .when(from_json(p, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType)).isNull, "untyped")
+      .otherwise("ok")
+
+  /** Props scrub (ingest hygiene): any payload not classifying `ok`
+    * becomes NULL, so the JSON query family (`events_json`,
+    * `events_props_map`) — which runs lean, contract-assuming
+    * expressions — can never hit the engines' divergent failure modes
+    * on hostile input: Spark's ANSI cast throws on a non-numeric `$.k`
+    * where DuckDB's `json_extract` errors on malformed JSON. A pure
+    * projection, same shape as [[scrubNonFinite]]. */
+  def scrubProps(df: org.apache.spark.sql.DataFrame,
+                 c: String = "props"): org.apache.spark.sql.DataFrame =
+    df.withColumn(c, when(propsClass(col(c)) === "ok", col(c)))
+
   val queries: Map[String, Q] = Map(
     // ---- deterministic train/val/test split: bucket = hash(doc_id) % 100
     // → 90/5/5. A pure projection — the split of any row is decidable
@@ -133,6 +166,25 @@ object Pipeline {
           count(col("value")).as("n_finite"),
           sumMoney(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- JSON props scrub (ingest hygiene): [[propsClass]] counts per
+    // (event_type, class), plus the extracted-k sum over contract-`ok`
+    // rows — the sanctioned gate in front of the JSON query family,
+    // whose lean ANSI-cast/json_extract expressions hard-fail (in
+    // DIFFERENT ways per engine) on hostile payloads. On the driver
+    // fixture every props is ok-or-null, so the gate pins the
+    // cross-engine classification plumbing; PropsScrubSpec (Spark) and
+    // scripts/props_probe.py (DuckDB) pin the hostile classes against
+    // one shared truth table.
+    "events_scrub_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("props_class", propsClass(col("props")))
+        .groupBy(col("event_type"), col("props_class"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("props_class") === "ok",
+            get_json_object(col("props"), "$.k").cast("long"))).as("sum_k"))
+        .orderBy(col("event_type"), col("props_class"))
     }),
 
     // ---- TF-IDF-weighted top terms per document, on an exact integer
@@ -363,6 +415,50 @@ object Pipeline {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+
+    // class tests stage through MATERIALIZED CTEs so the eager
+    // vectorized json_keys/list_filter never touch a non-object row
+    // (the list_* null-row crash documented in the verify recipe);
+    // json_type inside CASE is lazy-safe (probed). TRY_CAST keeps the
+    // k extraction total — on `ok` rows it equals Spark's ANSI cast.
+    // A value is integer-typed iff BIGINT, or UBIGINT that fits int64
+    // (DuckDB types every positive JSON int UBIGINT; above int64-max
+    // Spark's strict long parse nulls the map → `untyped`, so the
+    // TRY_CAST range check keeps the engines agreeing). A JSON null
+    // value yields SQL-NULL json_type → lambda NULL → not flagged =
+    // Spark's behavior. Replay limit: object KEYS containing '"' break
+    // the quoted json path (the engine classifies them fine).
+    "events_scrub_props" -> """
+      WITH c AS MATERIALIZED (
+        SELECT event_type, props,
+          CASE WHEN props IS NULL THEN 'null'
+               WHEN NOT json_valid(props) THEN 'notobject'
+               WHEN json_type(props) <> 'OBJECT' THEN 'notobject'
+               ELSE 'object' END AS c0
+        FROM events),
+      obj AS MATERIALIZED (
+        SELECT event_type, props FROM c WHERE c0 = 'object'),
+      objcls AS (
+        SELECT event_type,
+          CASE WHEN len(list_filter(json_keys(props),
+              k -> NOT (json_type(props, '$."' || k || '"') = 'BIGINT'
+                OR (json_type(props, '$."' || k || '"') = 'UBIGINT'
+                  AND TRY_CAST(json_extract_string(props, '$."' || k || '"')
+                    AS BIGINT) IS NOT NULL)))) > 0 THEN 'untyped'
+            ELSE 'ok' END AS props_class,
+          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        FROM obj),
+      allcls AS (
+        SELECT event_type, c0 AS props_class, CAST(NULL AS BIGINT) AS kv
+        FROM c WHERE c0 <> 'object'
+        UNION ALL
+        SELECT event_type, props_class, kv FROM objcls)
+      SELECT event_type, props_class, count(*) AS n,
+        CAST(sum(CASE WHEN props_class = 'ok' THEN kv END) AS BIGINT)
+          AS sum_k
+      FROM allcls
+      GROUP BY event_type, props_class
+      ORDER BY event_type, props_class""",
 
     "docs_stratified_sample" -> """
       SELECT lang, rn, doc_id FROM (
