@@ -48,9 +48,17 @@ if mode == "nulls":
                  None if i % 8 == 0 else
                  [math.sin(i * 64 + j + 1.0) for j in range(64)],
                  i % 3) for i in range(40)]
-    ev_rows = [(i,
-                None if i % 13 == 0 else
-                1704067200000000000 + i * 60000000000,
+    # ts salts: nulls (off-timeline contract), pre-1970 negatives (both
+    # engines truncate nanos->micros toward zero — pinned here), and
+    # sub-microsecond remainders on positive ts (non-round nanos)
+    def _ts(i):
+        if i % 13 == 0:
+            return None
+        if i % 17 == 0:
+            return -157766400000000000 + i * 60000000000 - 1500  # ~1965
+        return 1704067200000000000 + i * 60000000000 + \
+            (123457 if i % 5 == 0 else 0)
+    ev_rows = [(i, _ts(i),
                 i % 5, ["click", "view"][i % 2],
                 None if i % 9 == 0 else float(i % 200),
                 None if i % 11 == 0 else '{"k":%d}' % (i % 5))

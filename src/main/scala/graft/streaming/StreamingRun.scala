@@ -60,6 +60,13 @@ object StreamingRun {
       // a null-ts event has no event time: off the stream by contract
       // (mirrored in the oracle), same as the debounce family
       .filter(col("ts").isNotNull)
+      // pre-epoch events are off the STREAMING timeline by contract:
+      // Spark initializes the event-time watermark to epoch 0, so a
+      // pre-1970 window is "late" in the very first batch and silently
+      // dropped (found by salting 1965 events — batch events_tumbling
+      // keeps them). The explicit filter pins that boundary in BOTH
+      // engines instead of leaning on a runtime initial-value detail.
+      .filter(col("ts") >= timestamp_micros(lit(0L)))
     val agg = events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -108,7 +115,7 @@ object StreamingRun {
         count(*) AS n,
         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       FROM events
-      WHERE ts IS NOT NULL
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
       GROUP BY wstart, event_type
       HAVING wstart + INTERVAL '1 hour' <=
         (SELECT max(ts) - INTERVAL '10 minutes' FROM events)

@@ -34,4 +34,34 @@ class StreamingRunSpec extends SparkSpec {
       .count()
     assert(full > streamed.length)
   }
+
+  test("pre-epoch events are off the streaming timeline (and only the " +
+    "streaming one)") {
+    import spark.implicits._
+    // Spark's event-time watermark initializes to epoch 0, so a pre-1970
+    // window is late in the very first batch; the pipeline pins that as
+    // an explicit contract filter (mirrored in the oracle) instead of a
+    // runtime initial-value detail. Batch keeps pre-epoch windows.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-preepoch").toString
+    Seq(
+      (1L, -157766400000000000L, 0L, "click", 1.0, """{"k":1}"""), // 1965
+      (2L, 1704067200000000000L, 0L, "click", 1.0, """{"k":1}"""),
+      (3L, 1704070800000000000L, 0L, "click", 1.0, """{"k":1}"""),
+      (4L, 1704074400000000000L, 0L, "click", 1.0, """{"k":1}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val streamed = graft.streaming.StreamingRun
+      .tumblingAvailableNow(spark, dir)
+      .select(col("wstart").cast("timestamp"))
+      .as[java.sql.Timestamp].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_.getTime >= 0L),
+      s"pre-epoch window leaked into the stream: ${streamed.toSeq}")
+    val batch = graft.queries.Events.queries("events_tumbling")(spark, dir)
+      .select(col("wstart").cast("timestamp"))
+      .as[java.sql.Timestamp].collect()
+    assert(batch.exists(_.getTime < 0L),
+      "batch tumbling should retain the pre-epoch window")
+  }
 }
