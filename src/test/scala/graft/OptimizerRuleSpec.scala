@@ -53,4 +53,25 @@ class OptimizerRuleSpec extends SparkSpec {
     val df = SparkEntry.queries("sql_fuzzy_pair_count")(spark, d)
     assert(hasThresholded(df), df.queryExecution.optimizedPlan.toString)
   }
+
+  test("edit distance is CODEPOINT-based, full and thresholded alike") {
+    import spark.implicits._
+    // the engine contract: one substituted é / 日 / 🎉 is distance 1.
+    // (DuckDB's levenshtein counts BYTES — 'é'→'e' = 2 there — so the
+    // fuzzy oracles can only replay ASCII fixtures; the engine-side
+    // unicode semantics are pinned HERE instead.)
+    val pairs = Seq(("é", "e", 1), ("日本", "日木", 1), ("🎉a", "🎉b", 1),
+      ("naïve", "naive", 1), ("WİTH", "WITH", 1))
+    val df = pairs.map(p => (p._1, p._2, p._3)).toDF("a", "b", "want")
+      .repartition(1).cache()
+    df.count() // parquet-free is fine: no rewrite needed for the full call
+    val full = df.select(expr("levenshtein(a, b)").as("d"), col("want"))
+      .collect()
+    assert(full.forall(r => r.getInt(0) == r.getInt(1)),
+      full.map(_.toString).mkString(","))
+    val banded = df.select(expr("levenshtein(a, b, 2)").as("d"), col("want"))
+      .collect()
+    assert(banded.forall(r => r.getInt(0) == r.getInt(1)),
+      banded.map(_.toString).mkString(","))
+  }
 }
