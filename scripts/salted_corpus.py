@@ -88,9 +88,13 @@ elif mode == "unicode":
         # stay unredacted (ASCII word char continues the word)
         "customerş and supplier日 and order🎉 and value but value_x",
     ]
+    # lang is a GROUP BY / PARTITION BY / ORDER BY key in several
+    # queries — salting unicode values pins that UTF-8 binary sort and
+    # grouping agree cross-engine on non-ASCII keys too
+    langs = ["mix", "日本語", "ελ", "émi", "🌍"]
     doc_rows = [(i, f"{samples[i % len(samples)]} doc number {i} "
                  f"{samples[(i * 3 + 1) % len(samples)]}",
-                 "mix", "web", 50) for i in range(60)]
+                 langs[i % len(langs)], "web", 50) for i in range(60)]
     emb_rows = [(i, [math.sin(i * 64 + j + 1.0) for j in range(64)], i % 3)
                 for i in range(40)]
     ev_rows = [(i, 1704067200000000000 + i * 60000000000, i % 5,
