@@ -158,8 +158,13 @@ object Media {
 
   /** Per-partition decode: the one place codec resources are acquired and
     * released — `decoder.open()` before the first record of a partition,
-    * `decoder.close()` once its stream is exhausted (lazily, through the
-    * iterator, so records still never materialize per partition).
+    * `decoder.close()` exactly once per partition. The close is registered
+    * as a task-completion listener, which Spark fires on EVERY task exit —
+    * normal exhaustion, partial consumption (a `limit`/`take` that abandons
+    * the iterator mid-stream), and decode exceptions alike — so a real
+    * codec's native contexts can never leak; the iterator's own
+    * exhaustion-time close stays as the eager path (resources drop as soon
+    * as the stream ends, not when the whole task does), guarded idempotent.
     * Null payloads (failed fetch) decode to nothing — typed lambdas see
     * raw nulls, so the guard is explicit here rather than free as in the
     * declarative paths. */
@@ -168,12 +173,16 @@ object Media {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       decoder.open()
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit =
+        if (closed.compareAndSet(false, true)) decoder.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val mapped = it.filter(_.payload != null).map(decoder.decode)
       new Iterator[MediaFeatures] {
-        private var closed = false
         def hasNext: Boolean = {
           val h = mapped.hasNext
-          if (!h && !closed) { closed = true; decoder.close() }
+          if (!h) closeOnce()
           h
         }
         def next(): MediaFeatures = mapped.next()

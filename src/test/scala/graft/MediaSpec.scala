@@ -94,6 +94,25 @@ class MediaSpec extends SparkSpec {
     assert(rs(3L).length === 100)
   }
 
+  test("partial consumption cannot leak decoder resources: opens == " +
+    "closes after a limit abandons the iterator mid-partition") {
+    import spark.implicits._
+    val ds = Seq.tabulate(64)(i =>
+      MediaRecord(i.toLong, "video", Array.fill(2048)(1.toByte), 64, 0))
+      .toDS().repartition(4)
+    val opens0 = TwoFrameDecoder.opens.get()
+    val closes0 = TwoFrameDecoder.closes.get()
+    // limit(1) abandons every launched partition's iterator before
+    // exhaustion — only the task-completion listener can close these
+    val got = Media.extractFeatures(ds, TwoFrameDecoder).limit(1).collect()
+    assert(got.length === 1)
+    val opened = TwoFrameDecoder.opens.get() - opens0
+    val closedN = TwoFrameDecoder.closes.get() - closes0
+    assert(opened >= 1)
+    assert(closedN === opened,
+      s"decoder leak: $opened opens vs $closedN closes")
+  }
+
   test("resize bounds payloads to the target and passes small ones " +
     "through untouched") {
     import spark.implicits._
