@@ -67,18 +67,35 @@ object Bench {
         "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    // flag = ratio >1.5x AND >0.25s absolute — sub-second queries flap a
-    // pure ratio threshold on scheduler noise alone (measured: a clean
-    // sweep flags 3-4 of them spuriously without the floor)
+    // whole-sweep drift: the median per-query ratio vs the reference across
+    // ALL queries. A globally loaded machine (JVM pressure, page-cache
+    // contention, a neighboring build) elevates every query by a common
+    // factor — the r7 driver sweep ran at median 1.22x and fabricated 7
+    // flags that way. Dividing each query's ratio by the sweep median
+    // cancels exactly that common-mode term while leaving a genuinely
+    // regressed query (whose ratio moved AGAINST the pack) flagged. The
+    // drift is clamped at >= 1: normalization may only EXCUSE global
+    // slowness, never tighten the threshold on a faster-than-reference run.
+    val ratios = results.toSeq.collect {
+      case (n, v) if v > 0 && reference.get(n).exists(_ > 0) =>
+        v / reference(n)
+    }.sorted
+    val drift =
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    // flag = drift-normalized ratio >1.5x AND >0.25s above the drift-scaled
+    // reference — sub-second queries flap a pure ratio threshold on
+    // scheduler noise alone (measured: a clean sweep flags 3-4 of them
+    // spuriously without the floor)
     val flagged = results.toSeq
       .filter { case (n, v) =>
         v > 0 && reference.get(n).exists(r =>
-          r > 0 && v > r * 1.5 && v - r > 0.25)
+          r > 0 && v > r * drift * 1.5 && v - r * drift > 0.25)
       }
       .sortBy { case (n, v) => -(v / reference(n)) }
       .map { case (n, v) =>
-        f"""{"query":"$n","sec":$v%.3f,"ref_sec":${reference(n)}%.3f,"ratio":${v / reference(n)}%.2f}"""
+        f"""{"query":"$n","sec":$v%.3f,"ref_sec":${reference(n)}%.3f,"ratio":${v / reference(n)}%.2f,"norm_ratio":${v / (reference(n) * drift)}%.2f}"""
       }
+    System.err.println(f"[bench] sweep drift vs reference: $drift%.2fx")
     flagged.foreach(f => System.err.println(s"[bench][regression>1.5x] $f"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -96,7 +113,7 @@ object Bench {
         s"\"" + k + "\":[" + sweeps.map(_(k)).mkString(",") + "]"
       }.mkString("{", ",", "}")
       val full = line.dropRight(1) +
-        s""","raw_sweeps":$raw,"flagged":[${flagged.mkString(",")}]}"""
+        f""","sweep_drift":$drift%.3f,"raw_sweeps":$raw,"flagged":[${flagged.mkString(",")}]}"""
       val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
       java.nio.file.Files.write(p,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
