@@ -130,6 +130,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GraftSimhash].getName, "graft_simhash"),
     (children: Seq[Expression]) => GraftSimhash(children(0)))
 
+  val simhashWideInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash_wide"),
+    new ExpressionInfo(classOf[GraftSimhashWide].getName,
+      "graft_simhash_wide"),
+    (children: Seq[Expression]) => GraftSimhashWide(children(0), children(1)))
+
   val minhashSigInfo: (FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_minhash_sig"),
@@ -169,8 +176,8 @@ object GraftFunctions {
     (children: Seq[Expression]) => GraftTopBigram(children(0)))
 
   private val all = Seq(dotInfo, dotlInfo, cosKeyInfo, srpBandsInfo, shinglesInfo,
-    shingleHashesInfo, simhashInfo, minhashSigInfo, termCountsInfo,
-    winnowInfo, bigramCountsInfo, topBigramInfo)
+    shingleHashesInfo, simhashInfo, simhashWideInfo, minhashSigInfo,
+    termCountsInfo, winnowInfo, bigramCountsInfo, topBigramInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. Also attaches the
@@ -202,6 +209,9 @@ object GraftFunctions {
   def shingleHashes(text: Column): Column =
     call_function("graft_shingle_hashes", text)
   def simhash(text: Column): Column = call_function("graft_simhash", text)
+  def simhashWide(text: Column, words: Int): Column =
+    call_function("graft_simhash_wide", text,
+      org.apache.spark.sql.functions.lit(words))
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
   def winnow(text: Column): Column = call_function("graft_winnow", text)
   def termCounts(text: Column): Column =

@@ -136,6 +136,53 @@ object TextHashKernels {
     java.lang.Long.valueOf(r)
   }
 
+  /** Wide SimHash for scale-tuned banding: per token the FULL
+    * md5("99|" + token) digest supplies up to 128 hash bits — word w of
+    * the signature draws from digest bytes [8w, 8w+8) big-endian, so word
+    * 0's bit source is the same digest prefix the 60-bit [[simhash]] uses
+    * (alignment differs: this keeps all 64 bits, top60 drops the low
+    * nibble — the two signatures are deliberately distinct families).
+    * Output word w bit j is set iff strictly more tokens have source bit
+    * (w,j) set than clear, multiplicity counted — the same majority vote
+    * as [[simhash]] per bit. Returns `words` longs (1 or 2; md5 has only
+    * 128 bits); NULL when the document has no tokens. */
+  def simhashWide(s: UTF8String, words: Int): ArrayData = {
+    val toks = tokenize(s.getBytes)
+    if (toks.isEmpty) return null
+    val counts = new Array[Int](words * 64)
+    val digest = md5.get()
+    var i = 0
+    while (i < toks.size) {
+      digest.reset()
+      val d = digest.digest(
+        ("99|" + toks.get(i)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var w = 0
+      while (w < words) {
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(8 * w + b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          if (((v >>> j) & 1L) == 1L) counts(64 * w + j) += 1
+          else counts(64 * w + j) -= 1
+          j += 1
+        }
+        w += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var r = 0L
+      var j = 0
+      while (j < 64) { if (counts(64 * w + j) > 0) r |= 1L << j; j += 1 }
+      out(w) = r
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature of a shingle array: the classic linear family
     * h_i = h1 + i*h2 with h1 = hex[1..15] and h2 = hex[16..23] of
     * md5(shingle), minimized per permutation. NULL for an empty array —
@@ -382,6 +429,49 @@ case class GraftSimhash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `graft_simhash_wide(text, words)` → array<long>: `words`×64-bit SimHash
+  * (words must be a foldable literal 1 or 2 — md5 supplies 128 bits);
+  * NULL when the document has no tokens. The scale-tuned signature behind
+  * [[graft.queries.Dedup.simhashPairsWide]]. */
+case class GraftSimhashWide(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: org.apache.spark.sql.types.IntegerType)
+          if right.foldable =>
+        val w = right.eval().asInstanceOf[Int]
+        if (w >= 1 && w <= 2) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash_wide words must be 1 or 2, got $w")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash_wide expects (string, foldable int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_wide"
+
+  override protected def nullSafeEval(input1: Any, input2: Any): Any =
+    TextHashKernels.simhashWide(input1.asInstanceOf[UTF8String],
+      input2.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, w) => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.TextHashKernels.simhashWide($x, $w);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_minhash_sig(shingles)` → array<long> of 16 permutation minima;

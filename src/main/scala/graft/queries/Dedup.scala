@@ -230,11 +230,99 @@ object Dedup {
       .filter(col("simhash").isNotNull)
   }
 
+  /** Executable band-width rule for simhash banding, mirroring
+    * [[Similarity.recommendedK]]: the band width (bits) that keeps a band
+    * bucket's EXPECTED population at or below `targetBucketSize` for a
+    * corpus of `corpusSize` documents — expected population is
+    * n / 2^bits, so bits = ceil(log₂(n / target)). Floored at 15 (the
+    * pinned fixture width of [[simhashPairs]]) and capped at 32 (4 bands
+    * × 32 bits exhausts md5's 128 bits — beyond ~4×10⁹ expected docs per
+    * target unit, widen the hash family itself, not the bands). Without
+    * this rule the 15-bit band-value domain (2¹⁵ values) is a quadratic
+    * cliff: at N = 10⁹ docs each bucket holds ~30k docs → ~4.6×10⁸
+    * intra-bucket candidate pairs per bucket BEFORE the Hamming filter.
+    * At 10⁹ docs the rule yields 30-bit bands → expected bucket
+    * population 10⁹/2³⁰ ≈ 0.93 ≤ 1, candidate volume linear in N. A
+    * production caller sizes the banding from its corpus count:
+    * `simhashPairsWide(docs, recommendedBandBits(n))`. */
+  def recommendedBandBits(corpusSize: Long,
+                          targetBucketSize: Long = 1L): Int = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val perBucket = (corpusSize + targetBucketSize - 1) / targetBucketSize
+    // ceil(log2(perBucket)): smallest b with 2^b >= perBucket
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(perBucket - 1)
+    math.min(32, math.max(15, bits))
+  }
+
+  /** Band value `bits` wide at bit offset `lo` of an array<long> signature
+    * (word w holds signature bits [64w, 64w+64), low-to-high) — plain
+    * shift/mask column arithmetic, codegen'd, handling bands that straddle
+    * a word boundary. */
+  private def bandValue(sig: Column, lo: Int, bits: Int): Column = {
+    val w0 = lo / 64
+    val off = lo % 64
+    val first = shiftrightunsigned(element_at(sig, w0 + 1), off)
+    val have = 64 - off
+    val v =
+      if (have >= bits) first
+      else first.bitwiseOR(shiftleft(element_at(sig, w0 + 2), have))
+    v.bitwiseAND(lit((1L << bits) - 1))
+  }
+
+  /** [[simhashPairs]] with the band width an explicit parameter — the
+    * scale path: 4 bands × `bandBits` bits over the `graft_simhash_wide`
+    * signature (ceil(4·bandBits/64) words of md5-derived SimHash), so a
+    * caller at corpus size n keeps candidate volume linear with
+    * `simhashPairsWide(docs, recommendedBandBits(n))`. Same pigeonhole
+    * guarantee as the fixture form: Hamming ≤ 3 over the WIDE signature
+    * leaves at least one of the 4 bands intact (completeness pinned
+    * against brute force in `SimhashBandSpec`, including a
+    * word-straddling band width). Not oracle-gated — the 128-bit
+    * signature needs two md5-half extractions per token that the pinned
+    * 60-bit oracle recipe does not express; the oracled queries stay on
+    * [[simhashPairs]]' fixed 60-bit/15-bit form. */
+  def simhashPairsWide(docs: DataFrame, bandBits: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 32,
+      s"bandBits must be in [1, 32], got $bandBits")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val bands = 4
+    val words = (bands * bandBits + 63) / 64
+    val sims = normalize(docs, idCol, textCol)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhashWide(col("text"), words)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        bandValue(col("simhash"), b * bandBits, bandBits)): _*)))
+      .toDF("doc_id", "simhash", "band_id", "band_val")
+    val cand = banded
+      .select(col("doc_id").as("a"), col("simhash").as("sh_a"),
+        col("band_id"), col("band_val"))
+      .join(banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
+        col("band_id"), col("band_val")), Seq("band_id", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
+    val hamming = (0 until words).map(i =>
+      expr(s"CAST(bit_count(element_at(sh_a, ${i + 1}) ^ " +
+        s"element_at(sh_b, ${i + 1})) AS BIGINT)")).reduce(_ + _)
+    cand
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= 3)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= 3, found via 15-bit
     * band blocking (4 bands). Pigeonhole: <= 3 differing bits leave at
     * least one of the 4 bands intact, so blocking loses no qualifying
-    * pair. At larger corpus sizes widen the bands (band bits ~ log2 N +
-    * margin) to keep per-band collision rates bounded. */
+    * pair. This fixed 60-bit/15-bit form is what the DuckDB oracle
+    * replays; at larger corpus sizes the band-value domain must grow with
+    * the corpus — use [[simhashPairsWide]] with [[recommendedBandBits]],
+    * the executable form of the "band bits ~ log₂ N + margin" rule. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val sims = simhashSignatures(docs, idCol, textCol)
