@@ -24,6 +24,9 @@ TRUTH = [
     ('{"a.b":1}', "ok"),
     ('{"k":9223372036854775807}', "ok"),
     ('{"k":-9223372036854775808}', "ok"),
+    ('{"k":1,"k":2}', "dupkey"),
+    ('{"k":1,"j":2,"k":3}', "dupkey"),
+    ('{"k":1,"k":"x"}', "dupkey"),
     ('{"k":"3"}', "untyped"),
     ('{"k":3.7}', "untyped"),
     ('{"k":true}', "untyped"),
@@ -53,7 +56,9 @@ obj AS MATERIALIZED (
   SELECT i, props FROM c WHERE c0 = 'object'),
 objcls AS (
   SELECT i,
-    CASE WHEN len(list_filter(json_keys(props),
+    CASE WHEN len(json_keys(props)) <>
+           len(list_distinct(json_keys(props))) THEN 'dupkey'
+         WHEN len(list_filter(json_keys(props),
         k -> NOT (json_type(props, '$."' || k || '"') = 'BIGINT'
           OR (json_type(props, '$."' || k || '"') = 'UBIGINT'
             AND TRY_CAST(json_extract_string(props, '$."' || k || '"')

@@ -69,22 +69,30 @@ object Pipeline {
           abs(x.cast("double")) === lit(Double.PositiveInfinity)), col(c)))
 
   /** Classify a JSON `props` payload against the ingest contract
-    * "NULL, or a JSON object whose values are integers":
+    * "NULL, or a JSON object with UNIQUE keys whose values are integers":
     * `null` / `notobject` (malformed JSON, or a valid non-object —
-    * scalar/array) / `untyped` (an object with a non-integer value) /
-    * `ok`. The tests are chosen for exact cross-engine agreement:
-    * `json_object_keys` is non-null iff valid-JSON-object (DuckDB:
-    * `json_valid` + `json_type = 'OBJECT'`), and the strict
-    * `from_json map<string,bigint>` nulls on any value Spark can't type
-    * as a long (DuckDB: per-key `json_type` over `json_keys`). JSON
-    * `null` values pass the typed test in both engines; duplicate keys
-    * classify `ok` in both (extraction order differs between engines on
-    * dup keys — `get_json_object` takes the first, `from_json` the
-    * last — so dup-keyed objects are contract-compliant but their
-    * extraction is engine-defined; the probe table pins all of this). */
+    * scalar/array) / `dupkey` (an object repeating a key) / `untyped`
+    * (an object with a non-integer value) / `ok`. The tests are chosen
+    * for exact cross-engine agreement: `json_object_keys` is non-null iff
+    * valid-JSON-object (DuckDB: `json_valid` + `json_type = 'OBJECT'`);
+    * both engines' key-array functions REPORT duplicate keys as they
+    * appear (probed), so `size(keys) != size(distinct keys)` is the same
+    * dup test in both; and the strict `from_json map<string,bigint>`
+    * nulls on any value Spark can't type as a long (DuckDB: per-key
+    * `json_type` over `json_keys`). JSON `null` values pass the typed
+    * test in both engines. Duplicate keys are non-ok BY CONTRACT because
+    * extraction on them is engine-defined — Spark's `get_json_object`
+    * takes the first occurrence while `from_json` keeps the last, so the
+    * two engines (and even two Spark expressions) can legitimately
+    * disagree on a dup-keyed object's value; classifying them out keeps
+    * every downstream JSON query single-valued. The dup test runs before
+    * the typed test so an object that is BOTH dup-keyed and untyped reads
+    * `dupkey` — key hygiene precedes value hygiene. */
   def propsClass(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(p.isNull, "null")
       .when(json_object_keys(p).isNull, "notobject")
+      .when(size(json_object_keys(p)) =!=
+        size(array_distinct(json_object_keys(p))), "dupkey")
       .when(from_json(p, org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.LongType)).isNull, "untyped")
@@ -440,7 +448,9 @@ object Pipeline {
         SELECT event_type, props FROM c WHERE c0 = 'object'),
       objcls AS (
         SELECT event_type,
-          CASE WHEN len(list_filter(json_keys(props),
+          CASE WHEN len(json_keys(props)) <>
+                 len(list_distinct(json_keys(props))) THEN 'dupkey'
+               WHEN len(list_filter(json_keys(props),
               k -> NOT (json_type(props, '$."' || k || '"') = 'BIGINT'
                 OR (json_type(props, '$."' || k || '"') = 'UBIGINT'
                   AND TRY_CAST(json_extract_string(props, '$."' || k || '"')

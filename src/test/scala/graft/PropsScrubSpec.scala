@@ -23,6 +23,9 @@ class PropsScrubSpec extends SparkSpec {
     ("""{"a.b":1}""", "ok"), // dotted key (quoted json path in oracle)
     ("""{"k":9223372036854775807}""", "ok"), // int64 max
     ("""{"k":-9223372036854775808}""", "ok"), // int64 min
+    ("""{"k":1,"k":2}""", "dupkey"), // extraction engine-defined on dups
+    ("""{"k":1,"j":2,"k":3}""", "dupkey"), // dup among clean keys
+    ("""{"k":1,"k":"x"}""", "dupkey"), // key hygiene precedes value hygiene
     ("""{"k":"3"}""", "untyped"), // number-as-string
     ("""{"k":3.7}""", "untyped"),
     ("""{"k":true}""", "untyped"),
