@@ -1,9 +1,28 @@
 package graft.streaming
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Typed input to the streaming sessionization walk: the watermarked
+  * event-time column plus the same instant as exact micros (GroupState
+  * timeouts are millisecond-granular, but session gap arithmetic must
+  * stay microsecond-exact to match batch `session_window` semantics),
+  * and the value pre-gridded to cents (None = null value, which a SQL
+  * `sum` ignores). */
+final case class SessIn(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                        cents: Option[Long])
+
+/** Open-session state per user: bounds, event count, and the running
+  * cents sum with a flag distinguishing "no non-null value yet" (sum is
+  * NULL) from a genuine zero sum. */
+final case class SessState(startUs: Long, lastUs: Long, n: Long,
+                           sumCents: Long, anyValue: Boolean)
+
+/** A closed session as emitted to the sink. */
+final case class SessOut(user_id: Long, start_us: Long, n_events: Long,
+                         sum_cents: Option[Long])
 
 /** Oracle-gated STREAMING execution (SURVEY.md §2 streaming row).
   *
@@ -38,45 +57,50 @@ object StreamingRun {
     * `dir/events.parquet` and return the sink contents, totally ordered.
     * Blocks until `Trigger.AvailableNow` drains the source (including the
     * no-data flush batch that evicts watermark-closed windows). */
-  def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame = {
-    // file streams need an explicit schema: take it from a batch footer
-    // read of the same path (ts arrives as nanos-as-long, Tables.events
-    // convention), then apply the identical micros truncation
+  /** The shared streaming source over `dir/events.parquet` with the
+    * streaming-timeline contract applied: ts nanos→micros truncation
+    * (Tables.events convention), null-ts events off every timeline, and
+    * pre-epoch events off the STREAMING timeline (Spark initializes the
+    * event-time watermark to epoch 0, so a pre-1970 window is "late" in
+    * the very first batch and silently dropped — found by salting 1965
+    * events; batch event-time keeps them). Both filters are mirrored in
+    * every streaming oracle. File streams need an explicit schema (taken
+    * from a batch footer read) and a DIRECTORY: driver fixtures store
+    * events as a single parquet file, test corpora as a written
+    * directory — stream the parent with a name filter in the file case,
+    * the dir directly otherwise. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(path).schema
-    // the file source wants a DIRECTORY: driver fixtures store events as a
-    // single parquet file, test corpora as a written directory — stream
-    // the parent with a name filter in the file case, the dir directly
-    // otherwise
     val f = new java.io.File(path)
     val reader = s.readStream.schema(rawSchema)
     val src =
       if (f.isDirectory) reader.parquet(path)
       else reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-    val events = src
+    src
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // a null-ts event has no event time: off the stream by contract
-      // (mirrored in the oracle), same as the debounce family
       .filter(col("ts").isNotNull)
-      // pre-epoch events are off the STREAMING timeline by contract:
-      // Spark initializes the event-time watermark to epoch 0, so a
-      // pre-1970 window is "late" in the very first batch and silently
-      // dropped (found by salting 1965 events — batch events_tumbling
-      // keeps them). The explicit filter pins that boundary in BOTH
-      // engines instead of leaning on a runtime initial-value detail.
       .filter(col("ts") >= timestamp_micros(lit(0L)))
-    val agg = events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        graft.queries.sumMoney(col("value")).as("sum_value"))
-      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
-        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Drain an append-mode streaming frame through a parquet sink via
+    * `Trigger.AvailableNow` (including the no-data flush batch that
+    * evicts watermark-closed state) and return the sink contents. The
+    * checkpoint is only meaningful across restarts of the SAME continuous
+    * query; this one has drained, so it is dropped instead of letting
+    * repeated invocations (bench sweeps, determinism re-runs) accumulate
+    * state dirs. The SINK dir must outlive this call — the returned frame
+    * scans it lazily — so it is the caller-visible artifact, exactly like
+    * any query's output location. The explicit schema on the read-back
+    * matters: an all-late or empty corpus leaves a sink with no data
+    * files, which schema inference would reject. */
+  private def drainToSink(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     val out = Files.createTempDirectory("graft-stream-sink").toString
     val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
-    val q = agg.writeStream
+    val q = df.writeStream
       .format("parquet")
       .option("path", out)
       .option("checkpointLocation", ckpt)
@@ -84,17 +108,142 @@ object StreamingRun {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // the checkpoint is only meaningful across restarts of the SAME
-    // continuous query; this one has drained, so drop it instead of
-    // letting repeated invocations (bench sweeps, determinism re-runs)
-    // accumulate state dirs. The SINK dir must outlive this call — the
-    // returned frame scans it lazily — so it is the caller-visible
-    // artifact, exactly like any query's output location.
     deleteRecursively(new java.io.File(ckpt))
-    // explicit schema: an all-late or empty corpus leaves a sink with no
-    // data files, which schema inference would reject
-    s.read.schema(agg.schema).parquet(out)
-      .orderBy(col("wstart"), col("event_type"))
+    s.read.schema(df.schema).parquet(out)
+  }
+
+  def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+    drainToSink(agg).orderBy(col("wstart"), col("event_type"))
+  }
+
+  /** The stateful sessionization walk behind [[sessionAvailableNow]],
+    * factored over any watermarked typed stream so the spec can drive it
+    * through `MemoryStream` (boundary pins) while the gated query drives
+    * it from the file source. Semantics (the append-mode emission
+    * contract the oracle replays):
+    *
+    *   - events within 30 minutes of each other merge into one session
+    *     per user, microsecond-exact, `>= gap` starts a new session —
+    *     identical to batch `session_window` half-open windows;
+    *   - a session closed BY A SUCCESSOR event (the next event of the
+    *     same user is >= gap later) is emitted immediately, watermark
+    *     regardless;
+    *   - each user's final open session is emitted only when the
+    *     event-time timeout fires, i.e. when the watermark STRICTLY
+    *     passes its close time at millisecond granularity (GroupState
+    *     timeouts and Spark watermarks are both ms-based: the timeout is
+    *     set at floor(lastUs/1000) + gap ms, the watermark is
+    *     floor(maxSeenUs/1000) − 10 min, and expiry requires
+    *     timeout < watermark — the strictness and the ms floors are
+    *     pinned by a MemoryStream boundary test and replayed by the
+    *     oracle's horizon clause).
+    *
+    * Emission is confluent over micro-batch splits: an admitted event
+    * has ts >= watermark, and a session only times out once the
+    * watermark strictly passes its close, so no admitted event can ever
+    * extend or bridge a timed-out session — it would start a new one
+    * under the `>= gap` rule anyway. The emitted set therefore depends
+    * only on the data, not on how the source batches it, which is what
+    * makes a deterministic DuckDB oracle possible at all.
+    *
+    * Scale shape: state per user is ONE open session (bounded,
+    * watermark-expired, store-partitioned by the grouping key); the
+    * per-invocation sort is O(this user's events in THIS micro-batch),
+    * bounded by trigger sizing, never by history. */
+  def sessionizeByUser(events: Dataset[SessIn],
+                       gapMinutes: Int = 30): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessIn], state: GroupState[SessState]) =>
+          def out(o: SessState): SessOut =
+            SessOut(uid, o.startUs, o.n,
+              if (o.anyValue) Some(o.sumCents) else None)
+          if (state.hasTimedOut) {
+            // the watermark strictly passed the open session's close time
+            val o = state.get
+            state.remove()
+            Iterator.single(out(o))
+          } else {
+            val batch = it.toArray.sortBy(_.ts_us)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessOut]
+            for (e <- batch) {
+              val c = e.cents.getOrElse(0L)
+              val v = e.cents.isDefined
+              open match {
+                // half-open [t, t+gap) reach on both sides, matching
+                // session_window: out-of-order (within-watermark) events
+                // extend the session backwards too
+                case Some(o) if e.ts_us > o.startUs - gapUs &&
+                    e.ts_us < o.lastUs + gapUs =>
+                  open = Some(SessState(math.min(o.startUs, e.ts_us),
+                    math.max(o.lastUs, e.ts_us), o.n + 1, o.sumCents + c,
+                    o.anyValue || v))
+                case Some(o) if e.ts_us >= o.lastUs + gapUs =>
+                  closed += out(o)
+                  open = Some(SessState(e.ts_us, e.ts_us, 1L, c, v))
+                case Some(_) =>
+                  // admitted late but beyond the open session's backward
+                  // reach: its own singleton session, emitted now (single-
+                  // open-session state cannot grow a session in the past)
+                  closed += SessOut(uid, e.ts_us, 1L,
+                    if (v) Some(c) else None)
+                case None =>
+                  open = Some(SessState(e.ts_us, e.ts_us, 1L, c, v))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // GroupState timeouts are ms-granular: floor the µs close
+              state.setTimeoutTimestamp(o.lastUs / 1000L + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Oracle-gated streaming sessionization — the second streaming shape
+    * in the hash gate, and the first STATEFUL-API one: file source →
+    * watermark → `flatMapGroupsWithState` per-user 30-minute-gap
+    * sessionization → parquet sink, drained by `Trigger.AvailableNow`.
+    * Where [[tumblingAvailableNow]] gates the built-in windowed-
+    * aggregation state machine, this gates the arbitrary-state API:
+    * user-written state transitions, event-time timeouts, and the
+    * append-mode emission contract (see [[sessionizeByUser]]) are all
+    * hash-compared against the DuckDB gaps-and-islands oracle.
+    *
+    * One extra contract beyond the shared streaming timeline: a session
+    * needs an owner, so null-user events are off the sessionization by
+    * contract (the typed walk keys by primitive user id; no gate corpus
+    * carries a null user_id, so the filter is vacuous on real data — it
+    * exists to make the typed path total, mirrored in the oracle). */
+  def sessionAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        graft.queries.cents(col("value")).cast("long").as("cents"))
+      .as[SessIn]
+    drainToSink(sessionizeByUser(typed).toDF())
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz")
+          .as("session_start"),
+        col("n_events"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -103,7 +252,8 @@ object StreamingRun {
   }
 
   val queries: Map[String, graft.queries.Q] = Map(
-    "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d))
+    "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
+    "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d))
   )
 
   // append-mode watermark oracle: only windows whose END the final
@@ -119,6 +269,53 @@ object StreamingRun {
       GROUP BY wstart, event_type
       HAVING wstart + INTERVAL '1 hour' <=
         (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
-      ORDER BY wstart, event_type"""
+      ORDER BY wstart, event_type""",
+
+    // gaps-and-islands sessions (same recipe as the batch events_session
+    // oracle, per user) plus the APPEND-MODE EMISSION CLAUSE: a session
+    // closed by a successor (sid < the user's last sid) is always
+    // emitted; the user's final session only if the ms-floored watermark
+    // horizon STRICTLY passed its ms-floored close time — the exact
+    // GroupState event-time-timeout arithmetic (timeout fires on
+    // timeout_ms < watermark_ms, both floored from micros; pinned by the
+    // MemoryStream boundary test in StreamSessionSpec). The running-sum
+    // window orders by (ts, event_id) — a strict total order — so
+    // same-instant events can never land in different sessions by
+    // tie-break luck.
+    "events_stream_session" -> """
+      WITH ev AS MATERIALIZED (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND user_id IS NOT NULL),
+      ordered AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL OR
+                    ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_session,
+          event_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered),
+      agg AS (
+        SELECT user_id, sid,
+          min(ts) AS session_start, max(ts) AS session_last,
+          count(*) AS n_events,
+          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_value
+        FROM sessions GROUP BY user_id, sid),
+      marked AS (
+        SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+        FROM agg),
+      wm AS (
+        SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM ev)
+      SELECT user_id, session_start, n_events, sum_value
+      FROM marked, wm
+      WHERE sid < last_sid
+         OR epoch_us(session_last) // 1000 + 1800000 < wm_ms
+      ORDER BY user_id, session_start"""
   )
 }

@@ -1,0 +1,138 @@
+package graft
+
+import graft.streaming.{SessIn, StreamingRun}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The oracle-gated streaming sessionization (`events_stream_session`):
+  * the emission contract the DuckDB oracle replays must be pinned against
+  * the actual runtime, not assumed — in particular the event-time-timeout
+  * BOUNDARY (strict `<` at millisecond granularity, with the microsecond
+  * close time floored), which decides whether a user's final session
+  * appears in the gate output at all. */
+class StreamSessionSpec extends SparkSpec {
+
+  private val T0 = 1704067200000L // 2024-01-01 00:00:00 UTC, ms
+
+  private def in(uid: Long, us: Long, cents: Option[Long]): SessIn = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    SessIn(uid, t, us, cents)
+  }
+
+  test("timeout boundary is STRICT at ms granularity: watermark == close " +
+    "emits nothing, watermark one ms past emits the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessIn]
+    val q = StreamingRun.sessionizeByUser(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1's lone event carries a 999 µs remainder: the timeout must be
+      // set at the ms FLOOR of the close time (floor(ts_us/1000) + gap)
+      ms.addData(in(1L, T0 * 1000L + 999L, Some(100L)))
+      q.processAllAvailable()
+      // u2 drives the watermark; after this batch wm = T0+40min−10min =
+      // T0+30min — EXACTLY u1's floored timeout timestamp
+      ms.addData(in(2L, (T0 + 40 * 60000L) * 1000L, Some(1L)))
+      q.processAllAvailable()
+      // the new wm only takes effect in the NEXT batch's timeout pass
+      ms.addData(in(2L, (T0 + 40 * 60000L) * 1000L, Some(1L)))
+      q.processAllAvailable()
+      val atBoundary = spark.table("sess_boundary")
+        .filter(col("user_id") === 1L).count()
+      assert(atBoundary === 0L,
+        "timeout fired at watermark == close: Spark's event-time timeout " +
+          "is documented strict — the oracle's horizon clause relies on it")
+      // one ms past the boundary: wm = T0+30min+1ms > timeout → fires
+      ms.addData(in(2L, (T0 + 40 * 60000L + 1L) * 1000L, Some(1L)))
+      q.processAllAvailable()
+      ms.addData(in(2L, (T0 + 40 * 60000L + 1L) * 1000L, Some(1L)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_boundary")
+        .filter(col("user_id") === 1L)
+        .select("start_us", "n_events", "sum_cents").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getLong(0) === T0 * 1000L + 999L) // µs start preserved
+      assert(rows(0).getLong(1) === 1L)
+      assert(rows(0).getLong(2) === 100L)
+    } finally q.stop()
+  }
+
+  test("a session closed by a successor event is emitted immediately, " +
+    "and an all-null-value session sums to NULL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessIn]
+    val q = StreamingRun.sessionizeByUser(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_succ")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two null-valued events 10 min apart merge; the event 30 min after
+      // the second (>= gap, half-open) closes the session by succession —
+      // no watermark advance needed for the emission
+      ms.addData(in(7L, T0 * 1000L, None),
+        in(7L, (T0 + 10 * 60000L) * 1000L, None),
+        in(7L, (T0 + 40 * 60000L) * 1000L, Some(5L)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_succ").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getLong(0) === 7L)
+      assert(rows(0).getLong(2) === 2L) // n_events
+      assert(rows(0).isNullAt(3), "sum of an all-null session must be NULL")
+    } finally q.stop()
+  }
+
+  test("sessionAvailableNow matches the gaps-and-islands + horizon " +
+    "oracle semantics on the driver fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingRun.sessionAvailableNow(spark, dir)
+      .select(col("user_id"),
+        unix_micros(col("session_start").cast("timestamp")).as("start_us"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+
+    // the oracle, mirrored in Spark: per-user gaps-and-islands sessions,
+    // then the append-mode emission clause (closed-by-successor OR
+    // ms-floored horizon strictly past the ms-floored close)
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull &&
+        col("ts") >= timestamp_micros(lit(0L)) && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = ev
+      .withColumn("new_session",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = sess.groupBy("user_id", "sid")
+      .agg(min("us").as("start_us"), max("us").as("last_us"),
+        count(lit(1)).as("n_events"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+    val wmMs = ev.agg(max(col("us"))).head.getLong(0) / 1000L - 600000L
+    val expected = agg
+      .withColumn("last_sid",
+        max("sid").over(Window.partitionBy("user_id")))
+      .filter(col("sid") < col("last_sid") ||
+        expr(s"last_us div 1000 + 1800000 < $wmMs"))
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+
+    assert(got.nonEmpty, "fixture produced no closed sessions")
+    assert(got === expected,
+      s"streaming emitted ${got.size} vs oracle-mirror ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+}
