@@ -1,6 +1,22 @@
 package graft
 
-import graft.multimodal.{Decoder, Media, MediaFeatures, MediaRecord}
+import graft.multimodal.{Decoder, ImageIoDecoder, Media, MediaFeatures, MediaRecord}
+
+/** [[ImageIoDecoder]] with open/close accounting (static counters — the
+  * instance is serialized into task closures, local mode shares the JVM). */
+class CountingImageIoDecoder extends ImageIoDecoder {
+  override def open(): Unit = {
+    CountingImageIoDecoder.opens.incrementAndGet(); super.open()
+  }
+  override def close(): Unit = {
+    CountingImageIoDecoder.closes.incrementAndGet(); super.close()
+  }
+}
+object CountingImageIoDecoder {
+  import java.util.concurrent.atomic.AtomicInteger
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+}
 
 /** A second, structurally different [[Decoder]]: fixed two-frame count,
   * constant 2-dim feature, head-truncation resize, and open/close
@@ -113,7 +129,93 @@ class MediaSpec extends SparkSpec {
       s"decoder leak: $opened opens vs $closedN closes")
   }
 
-  test("resize bounds payloads to the target and passes small ones " +
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 31 + y * 17) % 256) << 16) |
+        (((x ^ y) % 256) << 8) | ((x + y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL codec: imageio decoder parses PNG payloads inside the " +
+    "per-partition reader lifecycle and features are the pixel histogram") {
+    import spark.implicits._
+    val payloads = Seq.tabulate(6)(i => png(8 + i * 4, 8 + i * 4))
+    val ds = payloads.zipWithIndex.map { case (p, i) =>
+      MediaRecord(i.toLong, "image", p, 64, 0) }.toDS().repartition(2)
+    val opens0 = CountingImageIoDecoder.opens.get()
+    val closes0 = CountingImageIoDecoder.closes.get()
+    val feats = Media.extractFeatures(ds, new CountingImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.length === 6)
+    feats.foreach { f =>
+      assert(f.frames_sampled === 1)
+      assert(f.n_bytes === payloads(f.media_id.toInt).length.toLong)
+      assert(math.abs(f.feature.sum - 1f) < 1e-5f,
+        "histogram must be normalized over the decoded pixels")
+    }
+    // the features really came from the pixels: recompute one histogram
+    // from an independent static decode of the same payload
+    val img0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payloads(0)))
+    val expected0 = {
+      val bins = new Array[Float](8)
+      for (y <- 0 until img0.getHeight; x <- 0 until img0.getWidth) {
+        val rgb = img0.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        bins(lum >> 5) += 1f
+      }
+      bins.map(_ / (img0.getWidth * img0.getHeight))
+    }
+    assert(feats(0).feature.toSeq === expected0.toSeq)
+    val opened = CountingImageIoDecoder.opens.get() - opens0
+    assert(opened === 2) // one reader per partition
+    assert(CountingImageIoDecoder.closes.get() - closes0 === opened)
+  }
+
+  test("REAL codec: a non-PNG payload fails the decode, and the " +
+    "task-completion close still runs (no reader leak on exception)") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(1, "image", png(8, 8), 64, 0),
+      MediaRecord(2, "image", Array.tabulate(256)(_.toByte), 64, 0))
+      .toDS().coalesce(1)
+    val opens0 = CountingImageIoDecoder.opens.get()
+    val closes0 = CountingImageIoDecoder.closes.get()
+    intercept[org.apache.spark.SparkException] {
+      Media.extractFeatures(ds, new CountingImageIoDecoder).collect()
+    }
+    val opened = CountingImageIoDecoder.opens.get() - opens0
+    assert(opened >= 1)
+    assert(CountingImageIoDecoder.closes.get() - closes0 === opened,
+      "decode exception leaked the imageio reader")
+  }
+
+  test("REAL codec: resize is an actual image downscale — the result is " +
+    "a smaller, still-decodable PNG; small payloads pass through") {
+    import spark.implicits._
+    val big = png(64, 64)
+    val small = png(4, 4)
+    assert(big.length > 1200,
+      s"fixture PNG too small (${big.length}) to exercise the downscale")
+    val ds = Seq(
+      MediaRecord(1, "image", big, 64, 0),
+      MediaRecord(2, "image", small, 4, 0)).toDS()
+    val out = Media.resize(ds, targetBytes = 1200, new ImageIoDecoder)
+      .collect().map(r => r.media_id -> r.payload).toMap
+    assert(out(1L).length <= 1200)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)))
+    assert(resized != null, "resized payload is not a decodable PNG")
+    assert(resized.getWidth < 64 && resized.getWidth >= 1)
+    assert(out(2L).toSeq === small.toSeq) // under budget: byte-identical
+  }
+
+  test("stub resize bounds payloads to the target and passes small ones " +
     "through untouched") {
     import spark.implicits._
     val big = Array.tabulate(10000)(i => (i % 251).toByte)
