@@ -109,6 +109,37 @@ object ScaleCurve {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Full-set EXECUTION sweep at the derived ~sf1: every SparkEntry query
+    * once, no oracle (the correctness gate stays on the driver fixtures).
+    * The 10-query curve measures how cost grows; this pass catches
+    * size-dependent BREAKAGE the subset cannot — overflow, spill,
+    * streaming state growth, a fixture-pinned constant that silently
+    * stops holding at 10x sf0.1. Failures print per query and the run
+    * exits nonzero so a red sweep cannot read as a slow green one. */
+  private def fullSweep(spark: SparkSession): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var failures = List.empty[String]
+    val rows = names.map { n =>
+      Caching.releaseAll(); spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val sec =
+        try { materialize(SparkEntry.queries(n)(spark, Sf1Dir))
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          failures ::= s"$n: ${e.getClass.getName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1)
+              .mkString.take(160)
+          -1.0
+        }
+      println(f"""{"query":"$n","sf1_sec":$sec%.3f}""")
+      n -> sec
+    }
+    val ok = rows.filter(_._2 >= 0)
+    println(f"""{"metric":"sf1_full_sweep","queries":${rows.size},"failed":${failures.size},"total_sec":${ok.map(_._2).sum}%.2f}""")
+    failures.foreach(f => println(s"[sf1-full] FAIL $f"))
+    if (failures.nonEmpty) { spark.stop(); sys.exit(1) }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -124,6 +155,7 @@ object ScaleCurve {
       println(s"[scale-curve] building ~sf1 corpus at $Sf1Dir")
       buildCorpus(spark)
     }
+    if (args.contains("full")) { fullSweep(spark); spark.stop(); return }
     def sweep(dir: String, name: String): Double = {
       val ts = (1 to 3).map { _ =>
         Caching.releaseAll(); spark.catalog.clearCache()
