@@ -24,6 +24,16 @@ final case class SessState(startUs: Long, lastUs: Long, n: Long,
 final case class SessOut(user_id: Long, start_us: Long, n_events: Long,
                          sum_cents: Option[Long])
 
+/** Typed input to the streaming throttle walk: event time as the
+  * watermarked column plus exact micros, and the event id that is the
+  * batch walk's deterministic tie-break for same-instant events. */
+final case class ThrIn(user_id: Long, event_type: String,
+                       ts: java.sql.Timestamp, ts_us: Long, event_id: Long)
+
+/** A kept (throttle-passing) event as emitted to the sink. */
+final case class ThrOut(event_id: Long, user_id: Long, event_type: String,
+                        ts_us: Long)
+
 /** Oracle-gated STREAMING execution (SURVEY.md §2 streaming row).
   *
   * [[StreamingDemo]] holds the streaming operator surface and
@@ -145,13 +155,19 @@ object StreamingRun {
     *     pinned by a MemoryStream boundary test and replayed by the
     *     oracle's horizon clause).
     *
-    * Emission is confluent over micro-batch splits: an admitted event
-    * has ts >= watermark, and a session only times out once the
-    * watermark strictly passes its close, so no admitted event can ever
-    * extend or bridge a timed-out session — it would start a new one
-    * under the `>= gap` rule anyway. The emitted set therefore depends
-    * only on the data, not on how the source batches it, which is what
-    * makes a deterministic DuckDB oracle possible at all.
+    * Determinism: the gate's drain shape is a SINGLE data batch (a file
+    * source with no per-trigger cap snapshots every file into one
+    * micro-batch) plus the AvailableNow flush batch, so the walk sees
+    * each user's events in full event-time order and the emitted set is
+    * exactly the oracle's. Under multi-batch splits the TIMEOUT path
+    * stays confluent — an admitted event has ts >= watermark and a
+    * session only times out once the watermark strictly passes its
+    * close, so no admitted event can ever extend a timed-out session
+    * (it would start a new one under the `>= gap` rule anyway) — but a
+    * session already closed by a SUCCESSOR can in principle be bridged
+    * by a within-watermark out-of-order event in a later batch: the
+    * inherent stream/batch sessionization divergence, impossible in the
+    * single-drain shape the oracle encodes.
     *
     * Scale shape: state per user is ONE open session (bounded,
     * watermark-expired, store-partitioned by the grouping key); the
@@ -251,9 +267,130 @@ object StreamingRun {
     f.delete(); ()
   }
 
+  /** The streaming throttle walk behind [[throttleAvailableNow]] — the
+    * stream twin of the batch `events_debounce_kept` walk
+    * ([[graft.queries.Events.debounceKept]]), factored over any
+    * watermarked typed stream so `MemoryStream` specs can pin the
+    * boundaries. Per (user_id, event_type) key, an event is kept iff it
+    * arrives STRICTLY more than `gapMinutes` after the last KEPT event
+    * (microsecond-exact, same `> gap` rule as the batch walk); kept
+    * events are emitted immediately, so over a full drain the emitted
+    * set is exactly the batch walk's kept set — the horizon plays no
+    * role in emission, only in state cleanup.
+    *
+    * State per key is ONE long (the last kept event time in µs), and its
+    * event-time-timeout expiry is provably safe at ms granularity: the
+    * timeout fires once wm_ms > floor(lastKept_us/1000) + gap_ms, and
+    * any event admitted afterwards has floor(ts_us/1000) >= wm_ms, so
+    * ts_us >= wm_ms·1000 > lastKept_us + gap_us — it is kept regardless
+    * of the dropped state, and the kept set is unchanged. Intra-batch
+    * events are walked in (ts, event_id) order — the batch walk's own
+    * tie-break — and the gate's single-data-batch drain makes the walk
+    * order identical to the batch walk's total per-key order. */
+  def throttleByKey(events: Dataset[ThrIn],
+                    gapMinutes: Int = 30): Dataset[ThrOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, String), it: Iterator[ThrIn], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // safe: see expiry proof above
+            Iterator.empty
+          } else {
+            val batch = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+            var lastKept = state.getOption.getOrElse(Long.MinValue)
+            val kept = Seq.newBuilder[ThrOut]
+            for (e <- batch)
+              if (lastKept == Long.MinValue || e.ts_us - lastKept > gapUs) {
+                lastKept = e.ts_us
+                kept += ThrOut(e.event_id, e.user_id, e.event_type, e.ts_us)
+              }
+            if (lastKept != Long.MinValue) {
+              // re-set value is monotone (>= the previous timeout, which
+              // the watermark has not strictly passed), so it can never
+              // be older than the current watermark
+              state.update(lastKept)
+              state.setTimeoutTimestamp(lastKept / 1000L + gapMs)
+            }
+            kept.result().iterator
+          }
+      }
+  }
+
+  /** Oracle-gated streaming throttle — third streaming shape in the hash
+    * gate: file source → watermark → one-long-state `flatMapGroupsWith
+    * State` debounce-to-last-kept → parquet sink via AvailableNow. The
+    * oracle is the batch `events_debounce_kept` recursive-CTE walk with
+    * the streaming-timeline contract filters added (null ts / pre-epoch
+    * off the stream; null-user off the typed walk, as in
+    * [[sessionAvailableNow]]) — no horizon clause at all, because kept
+    * events are emitted at processing time: the gate thus verifies that
+    * streaming state expiry provably does NOT change the kept set, not
+    * merely that eviction happened. */
+  def throttleAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[ThrIn]
+    drainToSink(throttleByKey(typed).toDF())
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle-gated stream-stream watermarked interval join — the fourth
+    * streaming shape in the hash gate, covering the last stateful
+    * streaming operator class (join state buffering): each click joins
+    * the same user's views at most 30 minutes before it, both sides
+    * watermarked with the two-sided time bound that lets Spark expire
+    * buffered rows (the attribution shape of `StreamingDemo.attribute`).
+    * The two sides are two independent file-source readers over the same
+    * events table (not a stream self-join).
+    *
+    * Emission: an INNER stream-stream join emits a pair as soon as both
+    * rows are buffered; in the gate's single-data-batch drain the
+    * watermark is still at epoch 0 while every row arrives, so nothing
+    * is late, no state is evicted before matching, and the emitted set
+    * is exactly the batch interval join — which is the oracle (no
+    * horizon clause). What the gate verifies is that the join buffering
+    * machinery reproduces the batch join on a full drain; the eviction
+    * contract itself is covered by `StreamingSpec`'s multi-batch tests.
+    * Null-user events join nothing in either engine (SQL equi-join null
+    * semantics), so no owner filter is needed. */
+  def attributionAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+    val joined = views.join(clicks,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("imp_id"), col("clk_id"),
+        col("imp_user").as("user_id"),
+        col("imp_ts").cast("timestamp_ntz").as("imp_ts"),
+        col("clk_ts").cast("timestamp_ntz").as("clk_ts"))
+    drainToSink(joined).orderBy(col("imp_id"), col("clk_id"))
+  }
+
   val queries: Map[String, graft.queries.Q] = Map(
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
-    "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d))
+    "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
+    "events_stream_throttle" -> ((s, d) => throttleAvailableNow(s, d)),
+    "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d))
   )
 
   // append-mode watermark oracle: only windows whose END the final
@@ -316,6 +453,52 @@ object StreamingRun {
       FROM marked, wm
       WHERE sid < last_sid
          OR epoch_us(session_last) // 1000 + 1800000 < wm_ms
-      ORDER BY user_id, session_start"""
+      ORDER BY user_id, session_start""",
+
+    // the batch events_debounce_kept walk (same recursive CTE) over the
+    // streaming-timeline event set; deliberately NO horizon clause —
+    // kept events are emitted at processing time and state expiry is
+    // proven not to change the kept set (throttleByKey scaladoc), so
+    // the full-drain emitted set IS the batch kept set
+    "events_stream_throttle" -> """
+      WITH RECURSIVE ev AS (
+        SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND user_id IS NOT NULL),
+      walk AS (
+        SELECT user_id, event_type, rn, event_id, ts, us AS kept_us,
+          TRUE AS keep
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.rn, e.event_id, e.ts,
+          CASE WHEN e.us - w.kept_us > 1800000000
+               THEN e.us ELSE w.kept_us END,
+          e.us - w.kept_us > 1800000000
+        FROM walk w JOIN ev e
+          ON e.user_id = w.user_id AND e.event_type = w.event_type
+         AND e.rn = w.rn + 1)
+      SELECT event_id, user_id, event_type, ts FROM walk WHERE keep
+      ORDER BY event_id""",
+
+    // the plain batch interval join over the streaming-timeline event
+    // set — no horizon clause, see attributionAvailableNow: a full
+    // single-batch drain emits every inner match
+    "events_stream_join" -> """
+      WITH v AS (
+        SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND event_type = 'view'),
+      c AS (
+        SELECT event_id AS clk_id, user_id, ts AS clk_ts FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND event_type = 'click')
+      SELECT v.imp_id, c.clk_id, v.user_id, v.imp_ts, c.clk_ts
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.clk_ts >= v.imp_ts
+       AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes'
+      ORDER BY imp_id, clk_id"""
   )
 }

@@ -87,6 +87,93 @@ class StreamSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def thr(uid: Long, et: String, us: Long, id: Long)
+      : graft.streaming.ThrIn = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    graft.streaming.ThrIn(uid, et, t, us, id)
+  }
+
+  test("throttle gap rule is strict (> gap keeps, == gap drops) and " +
+    "state expiry does not change the kept set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[graft.streaming.ThrIn]
+    val q = StreamingRun.throttleByKey(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("thr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = T0 * 1000L
+      val gapUs = 30L * 60 * 1000000L
+      // in one batch: kept at base; base+gap EXACTLY is dropped (strict
+      // >, the batch walk's rule); base+gap+1µs re-arms from the LAST
+      // KEPT event, so it is kept; base+gap+2µs is then inside the new
+      // gap and dropped
+      ms.addData(
+        thr(1L, "click", base, 10L),
+        thr(1L, "click", base + gapUs, 11L),
+        thr(1L, "click", base + gapUs + 1L, 12L),
+        thr(1L, "click", base + gapUs + 2L, 13L))
+      q.processAllAvailable()
+      val kept1 = spark.table("thr_out").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept1 === Seq(10L, 12L))
+      // push the watermark far past lastKept+gap so the key's state
+      // expires (u2 drives the wm; its own event is kept independently),
+      // then a much later u1 event must still be kept — expiry is
+      // invisible in the kept set
+      ms.addData(thr(2L, "view", base + 10L * gapUs, 20L))
+      q.processAllAvailable()
+      ms.addData(thr(2L, "view", base + 10L * gapUs, 21L)) // timeout pass
+      q.processAllAvailable()
+      ms.addData(thr(1L, "click", base + 11L * gapUs, 30L))
+      q.processAllAvailable()
+      val keptAll = spark.table("thr_out").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(keptAll === Seq(10L, 12L, 20L, 30L))
+    } finally q.stop()
+  }
+
+  test("throttleAvailableNow equals the batch debounce-kept walk over " +
+    "the streaming-timeline event set on the driver fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingRun.throttleAvailableNow(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batchEvents = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull &&
+        col("ts") >= timestamp_micros(lit(0L)) && col("user_id").isNotNull)
+    val expected = graft.queries.Events
+      .debounceKept(batchEvents, gapUs = 1800000000L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    assert(got === expected,
+      s"stream kept ${got.size} vs batch ${expected.size}; " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("attributionAvailableNow (stream-stream interval join) equals " +
+    "the batch interval join on the driver fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingRun.attributionAvailableNow(spark, dir)
+      .select("imp_id", "clk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("ts") >= timestamp_micros(lit(0L)))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id").as("u"),
+        col("ts").as("imp_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("clk_id"), col("user_id").as("u2"),
+        col("ts").as("clk_ts"))
+    val expected = v.join(c, col("u") === col("u2") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("imp_id", "clk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("sessionAvailableNow matches the gaps-and-islands + horizon " +
     "oracle semantics on the driver fixture") {
     val dir = "/root/testdata/sf0.001"
