@@ -7,7 +7,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-for mode in nulls degenerate unicode; do
+for mode in nulls degenerate unicode horizon; do
   python3 scripts/salted_corpus.py "/tmp/graft-$mode" "$mode"
 done
 
@@ -25,6 +25,7 @@ run_leg fixture /root/testdata/sf0.01
 run_leg nulls /tmp/graft-nulls
 run_leg degenerate /tmp/graft-degenerate
 run_leg unicode /tmp/graft-unicode
+run_leg horizon /tmp/graft-horizon
 
 echo "== [props] hostile-props truth table (DuckDB side)"
 python3 scripts/props_probe.py | tail -1

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Build adversarial probe corpora for ORACLE-PARITY sweeps (dev tool).
 
-Usage: python3 scripts/salted_corpus.py <out_dir> [nulls|degenerate]
+Usage: python3 scripts/salted_corpus.py <out_dir> [nulls|degenerate|unicode|horizon]
 
 Recreates the round-6 adversarial fixtures as parquet a DuckDB oracle can
 read (events.ts as real TIMESTAMP(NANOS), matching the driver layout):
@@ -11,6 +11,9 @@ read (events.ts as real TIMESTAMP(NANOS), matching the driver layout):
                same-instant events
   unicode    - documents mixing CJK / accents / emoji / RTL / combining
                marks with ascii (events/embeddings stay clean)
+  horizon    - streaming-boundary events: sessions closing exactly ON
+               the ms-floored watermark horizon, sub-ms floor
+               discriminators, gap/tie/interval-bound edges
 
 TPC-H tables are copied from sf0.001. Then run:
   sbt "runMain graft.Verify <out_dir> /tmp/vprobe"
@@ -100,6 +103,73 @@ elif mode == "unicode":
     ev_rows = [(i, 1704067200000000000 + i * 60000000000, i % 5,
                 ["click", "view"][i % 2], float(i % 200),
                 '{"k":%d}' % (i % 5)) for i in range(300)]
+elif mode == "horizon":
+    # Streaming-boundary probe: pins the append-mode emission arithmetic
+    # CROSS-ENGINE (the MemoryStream specs pin it engine-side only).
+    # Clock user 0 drives max(ts); every clock event carries a +700 us
+    # remainder so the watermark's ms floor is exercised, not just ms-
+    # aligned data. With gap=30min and delay=10min, a user's final
+    # session is emitted iff floor(last_us/1000)+1800000 <
+    # floor(max_us/1000)-600000 STRICTLY.
+    MIN = 60_000_000_000  # one minute in ns
+    US = 1_000            # one microsecond in ns
+    MS = 1_000_000        # one millisecond in ns
+    T0 = 1704067200000000000
+    ev_rows = []
+    eid = [0]
+
+    def ev(ts, uid, etype="click", value=1.0):
+        ev_rows.append((eid[0], ts, uid, etype,
+                        value, '{"k":%d}' % (eid[0] % 5)))
+        eid[0] += 1
+
+    # user 0: the clock — 300 one-minute events, max ts = T0+299min+700us
+    for i in range(300):
+        ev(T0 + i * MIN + 700 * US, 0, ["click", "view"][i % 2],
+           float(i % 200))
+    tmax = T0 + 299 * MIN + 700 * US
+    # user 1: close lands EXACTLY on the horizon (ms-for-ms) -> strict
+    # '<' means NOT emitted; an oracle with '<=' would diverge here
+    ev(tmax - 40 * MIN, 1)
+    # user 2: one ms strictly past the horizon -> emitted
+    ev(tmax - 40 * MIN - MS, 2)
+    # user 3: 600 us before user 1 — the ms FLOOR discriminator: floored
+    # close == horizon (not emitted) while unfloored us arithmetic would
+    # say close < horizon (emitted); an oracle skipping the ms floor
+    # diverges here
+    ev(tmax - 40 * MIN - 600 * US, 3)
+    # user 4: session-gap and throttle-gap boundaries, == gap exactly
+    # (new session / dropped) and re-arm semantics
+    ev(T0, 4)
+    ev(T0 + 30 * MIN, 4)        # gap == 30min: new session; throttle drops
+    ev(T0 + 61 * MIN, 4)        # > 30min from last kept: kept
+    # user 5: one us inside the gap on both steps -> ONE session of 3;
+    # throttle: 2nd dropped (29:59.999999), 3rd kept (> 30min from T0)
+    ev(T0 + 100 * MIN, 5)
+    ev(T0 + 130 * MIN - US, 5)
+    ev(T0 + 160 * MIN - 2 * US, 5)
+    # user 6: same-instant ties -> one session n=3; throttle keeps only
+    # the lowest event_id (the (ts, event_id) tie-break both walks pin)
+    for _ in range(3):
+        ev(T0 + 50 * MIN, 6)
+    # user 7: interval-join bounds — view at V; click at V (>=, in),
+    # V+30min-1us (in), V+30min (strict <, out), V-1us (out)
+    V = T0 + 150 * MIN
+    ev(V, 7, "view")
+    ev(V, 7, "click")
+    ev(V + 30 * MIN - US, 7, "click")
+    ev(V + 30 * MIN, 7, "click")
+    ev(V - US, 7, "click")
+    # user 8: an EMITTED all-null-value session (closed by successor):
+    # SQL sum over no non-null values is NULL, the walk must agree
+    ev(T0, 8, value=None)
+    ev(T0 + 5 * MIN, 8, value=None)
+    ev(T0 + 40 * MIN, 8, value=7.0)
+    doc_rows = [(i, f"horizon probe document number {i} with enough "
+                 "plain words to shingle and fingerprint cleanly",
+                 "en", "web", 80) for i in range(60)]
+    emb_rows = [(i, [math.sin(i * 64 + j + 1.0) for j in range(64)], i % 3)
+                for i in range(40)]
 else:  # degenerate
     doc_rows = [(i, "the same document body repeated for every single row",
                  "en", "web", 49) for i in range(60)]

@@ -345,11 +345,18 @@ object Events {
       GROUP BY wstart
       ORDER BY wstart""",
 
+    // boundary rule: Spark's session_window MERGES touching sessions —
+    // an event exactly `gap` after the previous one joins the SAME
+    // session (windows [t, t+gap) and [t+gap, ...) share an edge and
+    // merge) — so a new session starts only STRICTLY past the gap.
+    // Found by the horizon probe corpus (round 8): no earlier corpus
+    // carried an exact 30-minute gap, and a `>=` oracle splits where
+    // Spark merges.
     "events_session" -> s"""
       WITH ordered AS (
         SELECT user_id, ts, value,
           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                    >= INTERVAL '30 minutes' OR
+                    > INTERVAL '30 minutes' OR
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                THEN 1 ELSE 0 END AS new_session
         FROM events WHERE ts IS NOT NULL),

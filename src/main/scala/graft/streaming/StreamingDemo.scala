@@ -89,14 +89,17 @@ object StreamingDemo {
             for (e <- batch) {
               val t = e.ts.getTime
               open match {
-                // half-open [t, t+gap) windows, matching session_window:
-                // strict inequality on both boundaries; out-of-order
-                // (within-watermark) events extend the session backwards
-                case Some(o) if t > o.startMs - gapMs &&
-                    t < o.lastMs + gapMs =>
+                // inclusive [start-gap, last+gap] reach, matching
+                // session_window's touching-windows merge (an event
+                // exactly gap after the last one joins the session —
+                // pinned against the native operator in StreamingSpec);
+                // out-of-order (within-watermark) events extend the
+                // session backwards
+                case Some(o) if t >= o.startMs - gapMs &&
+                    t <= o.lastMs + gapMs =>
                   open = Some(OpenSession(math.min(o.startMs, t),
                     math.max(o.lastMs, t), o.n + 1))
-                case Some(o) if t >= o.lastMs + gapMs =>
+                case Some(o) if t > o.lastMs + gapMs =>
                   closed += SessionOut(key,
                     new java.sql.Timestamp(o.startMs), o.n)
                   open = Some(OpenSession(t, t, 1))

@@ -139,11 +139,16 @@ object StreamingRun {
     * it from the file source. Semantics (the append-mode emission
     * contract the oracle replays):
     *
-    *   - events within 30 minutes of each other merge into one session
-    *     per user, microsecond-exact, `>= gap` starts a new session —
-    *     identical to batch `session_window` half-open windows;
+    *   - events at most 30 minutes apart merge into one session per
+    *     user, microsecond-exact and INCLUSIVE of the boundary: an event
+    *     exactly `gap` after the previous one joins the same session,
+    *     because Spark's `session_window` merges touching windows
+    *     ([t, t+gap) and [t+gap, …) share an edge and merge — proven by
+    *     the horizon probe corpus, which caught the batch oracle
+    *     splitting there); only STRICTLY past the gap starts a new
+    *     session;
     *   - a session closed BY A SUCCESSOR event (the next event of the
-    *     same user is >= gap later) is emitted immediately, watermark
+    *     same user is strictly more than gap later) is emitted immediately, watermark
     *     regardless;
     *   - each user's final open session is emitted only when the
     *     event-time timeout fires, i.e. when the watermark STRICTLY
@@ -163,7 +168,7 @@ object StreamingRun {
     * stays confluent — an admitted event has ts >= watermark and a
     * session only times out once the watermark strictly passes its
     * close, so no admitted event can ever extend a timed-out session
-    * (it would start a new one under the `>= gap` rule anyway) — but a
+    * (it would start a new one under the strict `> gap` rule anyway) — but a
     * session already closed by a SUCCESSOR can in principle be bridged
     * by a within-watermark out-of-order event in a later batch: the
     * inherent stream/batch sessionization divergence, impossible in the
@@ -200,15 +205,16 @@ object StreamingRun {
               val c = e.cents.getOrElse(0L)
               val v = e.cents.isDefined
               open match {
-                // half-open [t, t+gap) reach on both sides, matching
-                // session_window: out-of-order (within-watermark) events
-                // extend the session backwards too
-                case Some(o) if e.ts_us > o.startUs - gapUs &&
-                    e.ts_us < o.lastUs + gapUs =>
+                // inclusive [start-gap, last+gap] reach on both sides —
+                // touching sessions merge, session_window's own rule;
+                // out-of-order (within-watermark) events extend the
+                // session backwards too
+                case Some(o) if e.ts_us >= o.startUs - gapUs &&
+                    e.ts_us <= o.lastUs + gapUs =>
                   open = Some(SessState(math.min(o.startUs, e.ts_us),
                     math.max(o.lastUs, e.ts_us), o.n + 1, o.sumCents + c,
                     o.anyValue || v))
-                case Some(o) if e.ts_us >= o.lastUs + gapUs =>
+                case Some(o) if e.ts_us > o.lastUs + gapUs =>
                   closed += out(o)
                   open = Some(SessState(e.ts_us, e.ts_us, 1L, c, v))
                 case Some(_) =>
@@ -427,7 +433,7 @@ object StreamingRun {
       ordered AS (
         SELECT user_id, ts, value,
           CASE WHEN lag(ts) OVER w IS NULL OR
-                    ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    ts - lag(ts) OVER w > INTERVAL '30 minutes'
                THEN 1 ELSE 0 END AS new_session,
           event_id
         FROM ev

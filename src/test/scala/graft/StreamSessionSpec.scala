@@ -72,12 +72,13 @@ class StreamSessionSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sess_succ")
       .outputMode(OutputMode.Append()).start()
     try {
-      // two null-valued events 10 min apart merge; the event 30 min after
-      // the second (>= gap, half-open) closes the session by succession —
-      // no watermark advance needed for the emission
+      // two null-valued events 10 min apart merge; the event 30 min and
+      // one µs after the second (strictly past the gap — exactly 30 min
+      // would MERGE under session_window's touching rule) closes the
+      // session by succession — no watermark advance needed for emission
       ms.addData(in(7L, T0 * 1000L, None),
         in(7L, (T0 + 10 * 60000L) * 1000L, None),
-        in(7L, (T0 + 40 * 60000L) * 1000L, Some(5L)))
+        in(7L, (T0 + 40 * 60000L) * 1000L + 1L, Some(5L)))
       q.processAllAvailable()
       val rows = spark.table("sess_succ").collect()
       assert(rows.length === 1)
@@ -197,7 +198,7 @@ class StreamSessionSpec extends SparkSpec {
     val sess = ev
       .withColumn("new_session",
         when(lag(col("us"), 1).over(w).isNull ||
-          col("us") - lag(col("us"), 1).over(w) >= lit(1800000000L), 1L)
+          col("us") - lag(col("us"), 1).over(w) > lit(1800000000L), 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("new_session"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -97,8 +97,12 @@ class StreamingSpec extends SparkSpec {
       in.addData(events: _*)
       q.processAllAvailable()
       // out-of-order but within the watermark (wm = 02:00 - 10m = 01:50):
-      // extends the open 02:00 session backwards to 01:55
-      in.addData(StreamEvent(ts(1, 55), "click", 1.0))
+      // extends the open 02:00 session backwards to 01:55; the 02:30
+      // event is EXACTLY gap after 02:00 — session_window merges
+      // touching windows, so it must join the session, not start one
+      // (the boundary the horizon probe corpus caught in the oracle)
+      in.addData(StreamEvent(ts(1, 55), "click", 1.0),
+        StreamEvent(ts(2, 30), "click", 1.0))
       q.processAllAvailable()
       // advance the watermark far past every session close time, then one
       // more trigger so event-time timeouts fire and emit
@@ -111,7 +115,8 @@ class StreamingSpec extends SparkSpec {
         .filter(_._1 != "other").toSet
       // batch truth: native session_window over the same rows (including
       // the out-of-order one)
-      val batch = (events :+ StreamEvent(ts(1, 55), "click", 1.0)).toDF()
+      val batch = (events ++ Seq(StreamEvent(ts(1, 55), "click", 1.0),
+        StreamEvent(ts(2, 30), "click", 1.0))).toDF()
         .groupBy(session_window(col("ts"), "30 minutes").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
