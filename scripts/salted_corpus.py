@@ -123,11 +123,15 @@ elif mode == "horizon":
                         value, '{"k":%d}' % (eid[0] % 5)))
         eid[0] += 1
 
-    # user 0: the clock — 300 one-minute events, max ts = T0+299min+700us
-    for i in range(300):
+    # user 0: the clock — 311 one-minute events, max ts = T0+310min+700us.
+    # The span is chosen so the ms-floored watermark lands EXACTLY on an
+    # hour boundary (wm = floor(tmax)-10min = T0+300min = a tumbling
+    # window END): the tumbling emission boundary (<= vs <, us vs ms)
+    # is exercised, not just the session timeout boundary.
+    for i in range(311):
         ev(T0 + i * MIN + 700 * US, 0, ["click", "view"][i % 2],
            float(i % 200))
-    tmax = T0 + 299 * MIN + 700 * US
+    tmax = T0 + 310 * MIN + 700 * US
     # user 1: close lands EXACTLY on the horizon (ms-for-ms) -> strict
     # '<' means NOT emitted; an oracle with '<=' would diverge here
     ev(tmax - 40 * MIN, 1)

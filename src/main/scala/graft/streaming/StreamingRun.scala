@@ -401,7 +401,14 @@ object StreamingRun {
 
   // append-mode watermark oracle: only windows whose END the final
   // watermark (max ts − 10 min) has passed are ever emitted by the
-  // streaming engine, so the oracle closes over the same horizon
+  // streaming engine, so the oracle closes over the same horizon.
+  // Boundary (pinned by the horizon corpus, whose clock span puts a
+  // window end EXACTLY on the ms-floored watermark): window eviction is
+  // NON-STRICT — a window ending exactly at the watermark IS emitted —
+  // which is the opposite polarity from GroupState timeouts (strict <).
+  // The oracle's `<=` encodes that; with hour-aligned window ends the
+  // µs-vs-ms floor gap is unreachable (a window end can never carry the
+  // sub-ms remainder the floor would drop)
   val oracles: Map[String, String] = Map(
     "events_stream_tumbling" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
