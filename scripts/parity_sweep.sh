@@ -1,9 +1,9 @@
 #!/usr/bin/env bash
 # Full oracle-parity matrix in one command: the driver fixture plus the
-# three adversarial probe corpora (nulls / degenerate / unicode), each
-# through Verify + the strict DuckDB selfcheck, plus the hostile-props
-# truth table (the classes the gate corpora must not contain).
-# Exit nonzero on the first failing leg. ~8 min on a warm sbt.
+# four adversarial probe corpora (nulls / degenerate / unicode /
+# horizon), each through Verify + the strict DuckDB selfcheck, plus the
+# hostile-props truth table (the classes the gate corpora must not
+# contain). Exit nonzero on the first failing leg. ~12 min on a warm sbt.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
