@@ -142,11 +142,13 @@ elif mode == "horizon":
     # say close < horizon (emitted); an oracle skipping the ms floor
     # diverges here
     ev(tmax - 40 * MIN - 600 * US, 3)
-    # user 4: session-gap and throttle-gap boundaries, == gap exactly
-    # (new session / dropped) and re-arm semantics
+    # user 4: session-gap and throttle-gap boundaries at == gap exactly —
+    # the polarity SPLIT this corpus caught: session_window MERGES the
+    # touching event (same session) while the throttle DROPS it (keep
+    # needs strictly past the gap); plus re-arm semantics
     ev(T0, 4)
-    ev(T0 + 30 * MIN, 4)        # gap == 30min: new session; throttle drops
-    ev(T0 + 61 * MIN, 4)        # > 30min from last kept: kept
+    ev(T0 + 30 * MIN, 4)        # == gap: session MERGES; throttle drops
+    ev(T0 + 61 * MIN, 4)        # > 30min from last kept: kept, new session
     # user 5: one us inside the gap on both steps -> ONE session of 3;
     # throttle: 2nd dropped (29:59.999999), 3rd kept (> 30min from T0)
     ev(T0 + 100 * MIN, 5)

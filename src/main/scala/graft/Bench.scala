@@ -76,6 +76,14 @@ object Bench {
     // regressed query (whose ratio moved AGAINST the pack) flagged. The
     // drift is clamped at >= 1: normalization may only EXCUSE global
     // slowness, never tighten the threshold on a faster-than-reference run.
+    // DELIBERATE BLIND SPOT + its guard: a REAL regression in shared
+    // infrastructure that slows every query by the same factor is
+    // indistinguishable from machine load in this record and would be
+    // normalized away — so a drift beyond the documented machine-variance
+    // band (25%) emits an explicit drift-alert demanding BenchIsolated
+    // adjudication, and BASELINE.md forbids refreshing bench_ref from an
+    // alerted sweep. Common-mode truth needs an isolated re-measure; only
+    // per-query deviations are machine-separable from the sweep alone.
     val ratios = results.toSeq.collect {
       case (n, v) if v > 0 && reference.get(n).exists(_ > 0) =>
         v / reference(n)
@@ -96,6 +104,11 @@ object Bench {
         f"""{"query":"$n","sec":$v%.3f,"ref_sec":${reference(n)}%.3f,"ratio":${v / reference(n)}%.2f,"norm_ratio":${v / (reference(n) * drift)}%.2f}"""
       }
     System.err.println(f"[bench] sweep drift vs reference: $drift%.2fx")
+    if (drift > 1.25)
+      System.err.println(f"[bench][drift-alert] whole-sweep drift $drift%.2fx " +
+        "exceeds the machine-variance band: either the machine was loaded " +
+        "or shared infrastructure regressed globally — adjudicate with " +
+        "graft.BenchIsolated before trusting flags or refreshing bench_ref")
     flagged.foreach(f => System.err.println(s"[bench][regression>1.5x] $f"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,12 +1,8 @@
 package graft
 
-import java.lang.ref.WeakReference
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.storage.StorageLevel
 
 /** Tracked persists for reused query intermediates.
@@ -20,25 +16,32 @@ import org.apache.spark.storage.StorageLevel
   * every internal persist goes through [[persistTracked]], and
   * [[releaseAll]] unpersists exactly those — nothing else.
   *
-  * Ownership is arranged so the registry never pins an abandoned session:
-  * the strong buffer of tracked frames lives in a no-op
-  * [[QueryExecutionListener]] registered ON the owning session, so the only
-  * strong path to the buffer runs through the session's own object graph
-  * (session → listener manager → holder → frames → session — a cycle
-  * contained entirely within the session). The global map holds the session
-  * WEAKLY as key and only a [[WeakReference]] to the holder as value, so it
-  * contributes no strong edge at all: abandon the session and the whole
-  * cycle is collectable as a unit (a plain strong-value WeakHashMap would
-  * pin the key forever here, because a Dataset strongly references its
-  * session). While the session is alive the holder is reachable through it,
-  * so [[releaseAll]] is reliable — nothing tracked can be lost to GC before
-  * release. Within a live session the buffer self-compacts on each new
-  * persist by dropping frames whose storage level has already reverted to
-  * NONE (e.g. via `clearCache()`), so it is bounded by the number of frames
-  * actually still cached.
+  * Ownership, stated precisely: the registry keys sessions WEAKLY and
+  * holds tracked frames STRONGLY, so [[releaseAll]] is fully reliable for
+  * a live session — nothing tracked can be lost to GC before release.
+  * The strong frame references DO keep an abandoned-without-release
+  * session's object graph reachable (a Dataset references its session),
+  * but that adds no retention beyond what `persist()` itself already
+  * created: Spark roots every cached plan in the context-wide SHARED
+  * `CacheManager`, and a parquet-backed plan references its session
+  * (`HadoopFsRelation.sparkSession`), so an un-released persisted frame
+  * pins its session and its cached blocks until `unpersist`/
+  * `clearCache()`/context stop REGARDLESS of any registry design — a
+  * weak-reference registry would merely forfeit reliable release while
+  * freeing nothing (and a buffer parked on the session's listener manager
+  * is no better: `ExecutionListenerManager.register` roots the listener
+  * bus in the context-shared `LiveListenerBus`). The real contract is
+  * therefore behavioral, not structural: **call [[releaseAll]] before
+  * abandoning a session**; the coarse backstop for a session abandoned
+  * without release is `spark.catalog.clearCache()`, exactly as for any
+  * other forgotten `persist()`.
   *
-  * One session's `releaseAll()` cannot unpersist another concurrent
-  * session's in-flight intermediates — isolation is per session key.
+  * Within a live session the buffer self-compacts on each new persist by
+  * dropping frames whose storage level has already reverted to NONE
+  * (e.g. via `clearCache()`), so it is bounded by the number of frames
+  * actually still cached. One session's `releaseAll()` cannot unpersist
+  * another concurrent session's in-flight intermediates — isolation is
+  * per session key.
   *
   * Contract: a query's returned DataFrame must be materialized before
   * [[releaseAll]] is called (releasing earlier is safe but forfeits the
@@ -47,37 +50,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
-  /** Per-session strong buffer of tracked frames, disguised as a no-op
-    * query listener so the SESSION holds it (see object doc). */
-  private final class Holder extends QueryExecutionListener {
-    val frames: mutable.ArrayBuffer[DataFrame] = mutable.ArrayBuffer.empty
-    override def onSuccess(funcName: String, qe: QueryExecution,
-                           durationNs: Long): Unit = ()
-    override def onFailure(funcName: String, qe: QueryExecution,
-                           exception: Exception): Unit = ()
-  }
-
   private val tracked =
-    mutable.WeakHashMap.empty[SparkSession, WeakReference[Holder]]
-
-  /** The session's holder, registering a fresh one on first use. The weak
-    * value can only be empty if the session itself was collectable — and
-    * then the map's weak KEY prevents this lookup — so re-registration
-    * cannot duplicate a live holder. */
-  private def holderFor(session: SparkSession): Holder =
-    tracked.get(session).flatMap(r => Option(r.get)) match {
-      case Some(h) => h
-      case None =>
-        val h = new Holder
-        session.listenerManager.register(h)
-        tracked(session) = new WeakReference(h)
-        h
-    }
+    mutable.WeakHashMap.empty[SparkSession, mutable.ArrayBuffer[DataFrame]]
 
   /** Persist `df` at MEMORY_AND_DISK and remember it for [[releaseAll]]
     * under its own session. */
   private[graft] def persistTracked(df: DataFrame): DataFrame = synchronized {
-    val buf = holderFor(df.sparkSession).frames
+    val buf = tracked.getOrElseUpdate(df.sparkSession,
+      mutable.ArrayBuffer.empty[DataFrame])
     buf.filterInPlace(f =>
       try f.storageLevel != StorageLevel.NONE catch { case _: Throwable => false })
     buf += df
@@ -86,17 +66,12 @@ object Caching {
 
   /** Unpersist every frame tracked for `session` and forget it. Blocking,
     * so storage is verifiably empty on return; idempotent, and a frame
-    * already released by `clearCache()` unpersists as a no-op. The holder
-    * stays registered (it is tiny when empty) so repeated persist/release
-    * rounds reuse it instead of stacking listeners. */
+    * already released by `clearCache()` unpersists as a no-op. */
   def releaseAll(session: SparkSession): Unit = synchronized {
-    tracked.get(session).flatMap(r => Option(r.get)).foreach { h =>
-      h.frames.foreach { df =>
-        try df.unpersist(blocking = true)
-        catch { case _: Throwable => () }
-      }
-      h.frames.clear()
-    }
+    tracked.remove(session).foreach(_.foreach { df =>
+      try df.unpersist(blocking = true)
+      catch { case _: Throwable => () }
+    })
   }
 
   /** [[releaseAll]] for the calling thread's active session, falling back
