@@ -392,11 +392,44 @@ object StreamingRun {
     drainToSink(joined).orderBy(col("imp_id"), col("clk_id"))
   }
 
+  /** Oracle-gated stream-static broadcast enrichment — the fifth
+    * streaming shape in the gate, and the stateless one: every
+    * micro-batch of the event stream left-outer joins a BROADCAST static
+    * dimension (customer segment by user id), the standard continuous
+    * dimension-enrichment topology. No streaming state store is
+    * involved; what the gate verifies is the stream-static join planning
+    * itself — the dimension rides the broadcast, the stream side never
+    * shuffles, and a drain reproduces the batch left join exactly (the
+    * per-batch join is pure, so emission is batch-split-invariant —
+    * unlike the stateful shapes, no single-drain caveat is needed).
+    * Left outer keeps events with no dimension row (and null-key events
+    * join nothing in either engine, so no owner filter is needed).
+    * With this, every oracle-able `StreamingDemo` surface is gated:
+    * windowed agg, arbitrary-state sessionization, one-value-state
+    * throttle, stream-stream join, stream-static enrich. The two
+    * remaining surfaces are structurally un-oracle-able:
+    * `runningCounts` needs update mode (no append-sink read-back), and
+    * `dropDuplicatesWithinWatermark` keeps an arbitrary FIRST-SEEN row
+    * per key — processing-order-dependent, so no deterministic
+    * cross-engine oracle exists (its behavior is pinned engine-side in
+    * `StreamingSpec`). */
+  def enrichAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(graft.Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = eventStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(dim, col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+    drainToSink(enriched).orderBy(col("event_id"))
+  }
+
   val queries: Map[String, graft.queries.Q] = Map(
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
     "events_stream_throttle" -> ((s, d) => throttleAvailableNow(s, d)),
-    "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d))
+    "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d)),
+    "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d))
   )
 
   // append-mode watermark oracle: only windows whose END the final
@@ -512,6 +545,17 @@ object StreamingRun {
       FROM v JOIN c ON v.user_id = c.user_id
        AND c.clk_ts >= v.imp_ts
        AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes'
-      ORDER BY imp_id, clk_id"""
+      ORDER BY imp_id, clk_id""",
+
+    // the plain batch left join over the streaming-timeline event set —
+    // stream-static enrichment is stateless and per-batch pure, so the
+    // drained output IS the batch join under any batch split
+    "events_stream_enrich" -> """
+      SELECT e.event_id, e.user_id, e.event_type,
+        c.c_mktsegment AS segment
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.ts IS NOT NULL
+        AND e.ts >= TIMESTAMP '1970-01-01 00:00:00'
+      ORDER BY e.event_id"""
   )
 }

@@ -175,6 +175,30 @@ class StreamSessionSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("enrichAvailableNow (stream-static broadcast join) equals the " +
+    "batch left join on the driver fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingRun.enrichAvailableNow(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("ts") >= timestamp_micros(lit(0L)))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val expected = ev
+      .join(dim, col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got.nonEmpty)
+    assert(got.exists(_._4.isDefined), "no event actually enriched")
+    assert(got === expected)
+  }
+
   test("sessionAvailableNow matches the gaps-and-islands + horizon " +
     "oracle semantics on the driver fixture") {
     val dir = "/root/testdata/sf0.001"
