@@ -4,7 +4,12 @@
 Usage: python3 scripts/salted_corpus.py <out_dir> [nulls|degenerate|unicode|horizon]
 
 Recreates the round-6 adversarial fixtures as parquet a DuckDB oracle can
-read (events.ts as real TIMESTAMP(NANOS), matching the driver layout):
+read. events.ts stays TIMESTAMP(NANOS) — the pre-round-8 driver layout —
+DELIBERATELY: the round-8 fixture regen moved the driver tables to
+TIMESTAMP(MICROS, naive), and Tables.events dispatches on the scanned
+encoding, so these probes keep the nanos-as-long ingest path (incl. the
+ns->us truncation contract and its sub-us salts) covered while the
+driver fixtures cover the micros path:
 
   nulls      - null text / embeddings / values / props / ts salted in
   degenerate - identical docs, all-zero embeddings, single-key

@@ -90,8 +90,9 @@ object ScaleCurve {
       .withColumn("embedding", expr(
         s"transform(embedding, (x, j) -> element_at(embedding, " +
           s"1 + (j + $i) % size(embedding)))")))
-    // events: ts is nanos-as-long in the raw file — copy it raw so the
-    // sf1 table round-trips through Tables.events identically
+    // events: copy ts in whatever physical encoding the fixture uses
+    // (nanos-as-long pre-r8, micros-NTZ from r8) so the sf1 table
+    // round-trips through Tables.events' encoding dispatch identically
     val ev = spark.read.parquet(s"$Sf01Dir/events.parquet")
     (0 until Copies).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * off))

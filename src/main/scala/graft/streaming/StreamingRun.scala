@@ -68,8 +68,10 @@ object StreamingRun {
     * Blocks until `Trigger.AvailableNow` drains the source (including the
     * no-data flush batch that evicts watermark-closed windows). */
   /** The shared streaming source over `dir/events.parquet` with the
-    * streaming-timeline contract applied: ts nanos→micros truncation
-    * (Tables.events convention), null-ts events off every timeline, and
+    * streaming-timeline contract applied: ts canonicalized through the
+    * same encoding dispatch as the batch reader (nanos-as-long truncation
+    * or micros-NTZ reinterpretation — `Tables.canonicalTs`), null-ts
+    * events off every timeline, and
     * pre-epoch events off the STREAMING timeline (Spark initializes the
     * event-time watermark to epoch 0, so a pre-1970 window is "late" in
     * the very first batch and silently dropped — found by salting 1965
@@ -83,14 +85,14 @@ object StreamingRun {
     val path = s"$dir/events.parquet"
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(path).schema
+    val batchTwin = s.read.parquet(path)
     val f = new java.io.File(path)
-    val reader = s.readStream.schema(rawSchema)
+    val reader = s.readStream.schema(batchTwin.schema)
     val src =
       if (f.isDirectory) reader.parquet(path)
       else reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
     src
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.canonicalTs(batchTwin))
       .filter(col("ts").isNotNull)
       .filter(col("ts") >= timestamp_micros(lit(0L)))
   }
