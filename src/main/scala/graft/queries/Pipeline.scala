@@ -340,6 +340,36 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- bloom-prefiltered decontamination: same contract (and oracle)
+    // as docs_decontaminate, the OTHER scale regime. The broadcast
+    // semi-join holds while the benchmark shingle set fits an exact
+    // per-executor hash set; past that (all eval suites — 1e8+ distinct
+    // shingles, GBs exact) the exact semi-join must shuffle BOTH sides,
+    // corpus included. The Bloom sketch stays broadcastable at any
+    // benchmark size, prefilters the corpus postings map-side, and only
+    // true matches + the fpp tail reach the shuffled exact-confirm join —
+    // whose output is EXACTLY the exact semi-join, so the same DuckDB
+    // oracle gates both plans. The sketch is sized from the persisted
+    // bench set's own count (executable sizing, like recommendedK — the
+    // count scans the already-materialized persist, not the corpus).
+    "docs_decontam_bloom" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      def postings(pred: org.apache.spark.sql.Column) =
+        Tables.documents(s, d).filter(pred)
+          .select(col("doc_id"), explode(
+            graft.functions.GraftFunctions.shingleHashes(col("text")))
+            .as("h"))
+      val bench = graft.Caching.persistTracked(
+        postings(col("doc_id") % 20 === 0).select(col("h")).distinct())
+      val nBench = math.max(bench.count(), 1L)
+      graft.operators.Bloom
+        .bloomSemiJoin(postings(col("doc_id") % 20 =!= 0), bench, "h",
+          expectedItems = nBench)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- data-mixing by source: each source gets a deterministic
     // sampling rate (a pure hash of the source name standing in for the
     // mixture weights a data recipe assigns), and a document survives iff
@@ -569,6 +599,17 @@ object Pipeline {
       ORDER BY doc_id, bucket""",
 
     "docs_decontaminate" -> s"""
+      WITH ${Dedup.hashedShingleCtes},
+      bench AS (SELECT DISTINCT h FROM hinv WHERE doc_id % 20 = 0)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM hinv JOIN bench USING (h)
+      WHERE doc_id % 20 <> 0
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    // identical to docs_decontaminate's oracle: the bloom prefilter is
+    // plan-level only — the exact-confirm join makes the result set equal
+    "docs_decontam_bloom" -> s"""
       WITH ${Dedup.hashedShingleCtes},
       bench AS (SELECT DISTINCT h FROM hinv WHERE doc_id % 20 = 0)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared

@@ -82,6 +82,18 @@ class PlanAuditSpec extends SparkSpec {
       "corpus postings shuffled for a merge join")
   }
 
+  test("bloom decontamination prefilters the corpus postings map-side " +
+    "before the exact-confirm semi-join") {
+    val p = plan("docs_decontam_bloom")
+    assert(p.contains("might_contain"),
+      "bloom prefilter missing from the corpus scan side")
+    assert(p.contains("LeftSemi"), "exact-confirm semi-join missing")
+    // the prefilter must sit BELOW the join: the Filter detail carrying
+    // might_contain appears, and no merge join shuffles raw postings
+    assert(!p.contains("SortMergeJoin"),
+      "corpus postings shuffled for a merge join at fixture scale")
+  }
+
   test("components rounds have no single-partition stage") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
