@@ -368,6 +368,28 @@ object Relational {
       all.exceptAll(urgent).orderBy(col("o_custkey"))
     }),
 
+    // ---- bucketed co-located join: both sides written `bucketBy` on the
+    // join key, so the JOIN and the per-key AGGREGATION need no exchange
+    // at all — the only shuffle in the whole plan is the final
+    // presentation sort (plan-audited). This is the pre-partitioned
+    // layout discipline for fact-fact joins at 100 TB: the layout job
+    // (repartition-by-key + bucketed write) runs ONCE per ingest, then
+    // every subsequent join/agg on the key is shuffle-free; here both
+    // phases run inside the query so the gate covers the writer and the
+    // bucket-aware scan together. The merge hint stands in for two sides
+    // too large to broadcast (the regime bucketing exists for); the
+    // merge join's per-side sorts are partition-local over one
+    // co-located bucket each (Spark 3.0+ no longer trusts scan-reported
+    // bucket sort order), never a shuffle.
+    "q27_join_bucketed" -> ((s, d) =>
+      bucketedCustomerOrders(s, d)
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("sum_spend"))
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"),
+          col("n_orders"), col("sum_spend"))
+        .orderBy(col("custkey"))),
+
     // ---- window: ntile quartiles per group (deterministic: the window
     // order is total via the orderkey tie-break, and ntile's
     // earlier-buckets-one-larger split is the same in every SQL engine)
@@ -384,6 +406,44 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("quartile"))
     })
   )
+
+  /** The bucketed-layout join behind `q27_join_bucketed`: write orders and
+    * customer bucketed (and per-bucket sorted) by the join key into a
+    * fresh external location, then sort-merge join the two bucketed tables
+    * — zero Exchange (bucket count and key match on both sides; the
+    * pre-write repartition gives one file per bucket). The SMJ's sorts
+    * are partition-local over already-sorted runs.
+    *
+    * The bucketed write needs a catalog entry (bucket specs live in table
+    * metadata, not in parquet footers), so each call registers the pair
+    * under names unique to its temp location — `saveAsTable` with an
+    * explicit `path` makes them EXTERNAL: data in the temp dir, metadata
+    * in the session catalog, nothing under the warehouse dir. The temp
+    * location must outlive the call (the returned frame scans it lazily),
+    * the same caller-visible-artifact convention as the streaming sink
+    * read-back. Returns the joined frame with all columns of both sides. */
+  private[graft] def bucketedCustomerOrders(s: SparkSession,
+                                            d: String): DataFrame = {
+    val buckets = 8
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val tag = loc.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val ordersTable = s"graft_orders_$tag"
+    val customerTable = s"graft_customer_$tag"
+    Tables.orders(s, d)
+      .repartition(buckets, col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$loc/orders")
+      .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(ordersTable)
+    Tables.customer(s, d)
+      .repartition(buckets, col("c_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$loc/customer")
+      .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(customerTable)
+    s.table(ordersTable).hint("merge")
+      .join(s.table(customerTable), col("o_custkey") === col("c_custkey"))
+  }
 
   /** HLL++ approximate distinct next to the exact count — the scale path
     * for q20 (fixed-size sketches, map-side merged, no Expand). Estimates
@@ -606,6 +666,15 @@ object Relational {
       EXCEPT ALL
       SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       ORDER BY o_custkey""",
+
+    // the bucketed layout is plan-level only: the join/agg result equals
+    // the plain join over the source tables
+    "q27_join_bucketed" -> """
+      SELECT c_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY custkey""",
 
     "q24_agg_stats_exact" -> """
       WITH g AS (
