@@ -489,7 +489,20 @@ object Dedup {
       simhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     "dedup_simhash_pairs" -> ((s, d) =>
-      simhashPairs(Tables.documents(s, d)))
+      simhashPairs(Tables.documents(s, d))),
+
+    // ---- incremental ingest dedup ([[incremental]]): the batch of "new"
+    // documents (doc_id % 10 != 0) against the known fingerprint set of
+    // the already-ingested corpus slice (doc_id % 10 == 0) — the
+    // continuous-ingest shape: one anti join + one groupBy, both
+    // hash-partitioned on the 128-bit fingerprint, never a rescan of the
+    // ingested corpus (only its fingerprint table)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val known = docs.filter(col("doc_id") % 10 === 0)
+        .select(fingerprint.as("fp")).distinct()
+      incremental(docs.filter(col("doc_id") % 10 =!= 0), known)
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -625,6 +638,20 @@ object Dedup {
     "dedup_simhash" -> s"""
       WITH $simhashCtes
       SELECT doc_id, simhash FROM sims ORDER BY doc_id""",
+
+    // fp expression identical to dedup_exact's; fp is never NULL (null
+    // text fingerprints as ''), so NOT IN is a safe anti-join
+    "dedup_incremental" -> """
+      WITH fp AS (
+        SELECT doc_id,
+          md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'), '')) AS fp
+        FROM documents),
+      known AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 = 0)
+      SELECT min(doc_id) AS keep_doc_id, fp
+      FROM fp
+      WHERE doc_id % 10 <> 0 AND fp NOT IN (SELECT fp FROM known)
+      GROUP BY fp
+      ORDER BY keep_doc_id""",
 
     "dedup_simhash_pairs" -> s"""
       WITH $simhashCtes,

@@ -28,6 +28,26 @@ import org.apache.spark.sql.functions._
 object Events {
 
   val queries: Map[String, Q] = Map(
+    // ---- salted two-phase sum ([[graft.operators.ScaleOps.saltedSum]]):
+    // the aggregation-skew tool in the gate. A hot event_type's rows
+    // spread over 16 content-hashed sub-keys for the heavy first
+    // aggregation; the tiny per-(key, salt) partials re-aggregate to the
+    // final sum. The result provably equals the direct groupBy sum
+    // BECAUSE the measure rides the exact integer cent grid in
+    // decimal(38,0) — re-grouping cannot change an integer sum — which is
+    // why the oracle is the plain one-level GROUP BY. Null event_type is
+    // a legitimate group; its sort position is pinned (nulls last) since
+    // the engines' defaults differ.
+    "events_salted_sum" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), cents(col("value"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("v"))
+      graft.operators.ScaleOps.saltedSum(ev, "event_type", col("v"), 16)
+        .select(col("event_type"),
+          (col("sum_value").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_last)
+    }),
+
     // ---- tumbling 1-hour windows per event type
     // null-ts events are off every timeline (same contract as the
     // debounce family and the streaming twin): filtered before any
@@ -327,6 +347,15 @@ object Events {
     "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
 
   val oracles: Map[String, String] = Map(
+    // the salted two-phase plan is cost-level only: the exact-grid sum is
+    // re-grouping-invariant, so the oracle is the direct one-level sum
+    "events_salted_sum" -> s"""
+      SELECT event_type,
+        $sumValue
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type NULLS LAST""",
+
     "events_tumbling" -> s"""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         count(*) AS n,
