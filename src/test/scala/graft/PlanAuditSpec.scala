@@ -94,6 +94,22 @@ class PlanAuditSpec extends SparkSpec {
       "corpus postings shuffled for a merge join at fixture scale")
   }
 
+  test("incremental dedup anti-joins on the fingerprint and the salted " +
+    "sum keeps its two aggregation levels, both fully partitioned") {
+    val inc = plan("dedup_incremental")
+    assert(inc.contains("LeftAnti"),
+      "known-fingerprint anti-join missing")
+    assert(!inc.contains("SinglePartition"))
+    val salted = plan("events_salted_sum")
+    // two-phase shape: partial+final HashAggregate for (key, salt), then
+    // partial+final for the key — fewer aggregate nodes means the salt
+    // level collapsed and the skew-spread is gone
+    val aggs = salted.linesIterator
+      .count(_.trim.matches("""\(\d+\) HashAggregate.*"""))
+    assert(aggs >= 3, s"salted sum lost an aggregation level ($aggs nodes)")
+    assert(!salted.contains("SinglePartition"))
+  }
+
   test("components rounds have no single-partition stage") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
