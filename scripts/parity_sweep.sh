@@ -10,6 +10,13 @@ cd "$(dirname "$0")/.."
 for mode in nulls degenerate unicode horizon; do
   python3 scripts/salted_corpus.py "/tmp/graft-$mode" "$mode"
 done
+# micros-encoded twins of the two ts-heaviest probe classes: the driver
+# fixtures moved to TIMESTAMP(MICROS) in round 8, so the adversarial
+# classes must hit that ingest path too (the ns legs keep covering the
+# nanos-as-long path and its sub-us boundary salts)
+for mode in nulls horizon; do
+  python3 scripts/salted_corpus.py "/tmp/graft-$mode-us" "$mode" us
+done
 
 run_leg() { # name corpus_dir
   local name="$1" corpus="$2" out="/tmp/graft-verify-$1"
@@ -26,6 +33,8 @@ run_leg nulls /tmp/graft-nulls
 run_leg degenerate /tmp/graft-degenerate
 run_leg unicode /tmp/graft-unicode
 run_leg horizon /tmp/graft-horizon
+run_leg nulls-us /tmp/graft-nulls-us
+run_leg horizon-us /tmp/graft-horizon-us
 
 echo "== [props] hostile-props truth table (DuckDB side)"
 python3 scripts/props_probe.py | tail -1

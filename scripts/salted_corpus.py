@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Build adversarial probe corpora for ORACLE-PARITY sweeps (dev tool).
 
-Usage: python3 scripts/salted_corpus.py <out_dir> [nulls|degenerate|unicode|horizon]
+Usage: python3 scripts/salted_corpus.py <out_dir> [nulls|degenerate|unicode|horizon] [ns|us]
 
 Recreates the round-6 adversarial fixtures as parquet a DuckDB oracle can
 read. events.ts stays TIMESTAMP(NANOS) — the pre-round-8 driver layout —
@@ -33,6 +33,15 @@ import pyarrow.parquet as pq
 
 out = sys.argv[1]
 mode = sys.argv[2] if len(sys.argv) > 2 else "nulls"
+# Optional 3rd arg: events.ts physical encoding — "ns" (default; the
+# pre-round-8 driver layout, exercises the nanos-as-long ingest path) or
+# "us" (the round-8+ driver layout, TIMESTAMP(MICROS, naive) read as NTZ).
+# The us variant truncates each salt toward zero to micros — exactly the
+# ns->us coercion both engines apply — so the same adversarial classes
+# probe the micros code path; sub-us discriminators become exact-us rows
+# (their boundary semantics stay pinned by the ns variant).
+enc = sys.argv[3] if len(sys.argv) > 3 else "ns"
+assert enc in ("ns", "us"), f"encoding must be ns or us, got {enc}"
 base = "/root/testdata/sf0.001"
 
 import os
@@ -205,7 +214,13 @@ pq.write_table(pa.table({
 
 pq.write_table(pa.table({
     "event_id": pa.array([r[0] for r in ev_rows], pa.int64()),
-    "ts": pa.array([r[1] for r in ev_rows], pa.timestamp("ns")),
+    "ts": (pa.array([r[1] for r in ev_rows], pa.timestamp("ns"))
+           if enc == "ns" else
+           # trunc toward zero (int // floors, so negate-divide-negate for
+           # pre-epoch ns) — the pinned cross-engine ns->us coercion
+           pa.array([None if r[1] is None else
+                     (r[1] // 1000 if r[1] >= 0 else -((-r[1]) // 1000))
+                     for r in ev_rows], pa.timestamp("us"))),
     "user_id": pa.array([r[2] for r in ev_rows], pa.int64()),
     "event_type": pa.array([r[3] for r in ev_rows], pa.string()),
     "value": pa.array([r[4] for r in ev_rows], pa.float64()),
