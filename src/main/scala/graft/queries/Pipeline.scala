@@ -236,6 +236,36 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- overlapping context-window chunking: each document becomes
+    // ceil-many 64-token windows at stride 48 (16-token overlap), the
+    // standard long-document preparation for training and retrieval
+    // indexing (overlap keeps boundary-spanning spans intact in at least
+    // one chunk). chunk_id i covers tokens [i*48+1, i*48+64]; the count is
+    // 1 + ceil((n-64)/48) so the final window is the only short one and
+    // every token is covered. Tokenization is the docs_truncate_tokens
+    // whitespace split (both engines normalize separators identically);
+    // all arithmetic is integer, so chunk boundaries are bit-equal cross-
+    // engine. A pure projection + generate — no shuffle at any corpus
+    // size; chunks inherit the document's partition, which is exactly the
+    // 100 TB shape (chunking never exchanges data). Null-text documents
+    // chunk to nothing in both engines (NULL token array -> no rows).
+    "docs_chunk_overlap" -> ((s, d) => {
+      val W = 64L; val S = 48L
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .withColumn("n_chunks", when(col("n") <= W, 1L)
+          .otherwise(expr(s"((n - $W + ${S - 1}) div $S) + 1")))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          least(col("n") - col("chunk_id") * S, lit(W)).as("n_tokens"),
+          array_join(slice(col("ws"),
+            (col("chunk_id") * S + 1).cast("int"), lit(W.toInt)), " ")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ---- the cleaning pipeline MATERIALIZED: compose exact dedup
     // (keep the min doc per content fingerprint) with the quality gate
     // (>= 20 words, stopword ratio < 0.4) and emit the surviving corpus —
@@ -388,6 +418,50 @@ object Pipeline {
           sum(when(col("hb") < col("rate_pct"), 1L).otherwise(0L))
             .as("n_kept"))
         .orderBy(col("source"))
+    }),
+
+    // ---- exact-budget mixture allocation: distribute a fixed document
+    // budget (100) across sources proportional to mixture weight using
+    // LARGEST-REMAINDER rounding — quotas are integers, sum to exactly the
+    // budget, and each is within 1 of the real-valued share, which is the
+    // apportionment guarantee rate-thinning (docs_mixture_sample) cannot
+    // give: Bernoulli rates only hit a budget in expectation, while a
+    // training-data recipe ships an exact token/doc budget per source.
+    // Weights reuse the hash-derived per-source weights of
+    // docs_mixture_sample; within a source the quota is filled by hash
+    // rank (same determinism as docs_stratified_sample). Scale shape: the
+    // allocation runs on the SOURCE dimension — #sources rows, tiny at any
+    // corpus size — so its unpartitioned windows are deliberate (documents
+    // never enter them); the quota table broadcasts back onto the corpus
+    // and the per-source rank is the bounded-group window. A source with
+    // fewer docs than its quota keeps them all (budget underfills rather
+    // than reallocating — deterministic and recipe-auditable). Null-source
+    // docs are unallocatable by contract (allocation needs a named
+    // source); the oracle mirrors the filter.
+    "docs_budget_sample" -> ((s, d) => {
+      val budget = 100L
+      val docs = Tables.documents(s, d).filter(col("source").isNotNull)
+      val all = Window.partitionBy(lit(1))
+      val alloc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("wt", lit(25L) + keyHash(col("source")) % 51)
+        .withColumn("sw", sum(col("wt")).over(all))
+        .withColumn("base", expr(s"($budget * wt) div sw"))
+        .withColumn("rem", expr(s"($budget * wt) % sw"))
+        .withColumn("extra", lit(budget) - sum(col("base")).over(all))
+        .withColumn("rrank", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source")))
+          .cast("long"))
+        .withColumn("quota",
+          col("base") + when(col("rrank") <= col("extra"), 1L).otherwise(0L))
+        .select(col("source"), col("quota"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      docs.select(col("source"), col("doc_id"), keyHash(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(alloc), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("source"), col("quota"), col("rn"), col("doc_id"))
+        .orderBy(col("source"), col("rn"))
     }),
 
     // ---- point-in-interval range join: events against 100 synthetic
@@ -545,6 +619,29 @@ object Pipeline {
       FROM t
       ORDER BY doc_id""",
 
+    // chunk arithmetic replicated on DuckDB's 1-based inclusive list
+    // slices: ws[i*48+1 : i*48+64] == Spark slice(ws, i*48+1, 64); both
+    // clamp at the array end. range(0, NULL) unnests to zero rows, which
+    // is Spark's explode(NULL) — null-text docs vanish in both engines.
+    "docs_chunk_overlap" -> """
+      WITH t AS (
+        SELECT doc_id, string_split_regex(text, '[ \t\n\x0B\f\r]+') AS ws
+        FROM documents),
+      m AS (
+        SELECT doc_id, ws, len(ws) AS n,
+          CASE WHEN len(ws) <= 64 THEN 1
+               ELSE (len(ws) - 64 + 47) // 48 + 1 END AS n_chunks
+        FROM t),
+      c AS (
+        SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_id
+        FROM m)
+      SELECT doc_id, chunk_id,
+        CAST(least(n - chunk_id * 48, 64) AS BIGINT) AS n_tokens,
+        array_to_string(ws[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')
+          AS chunk_text
+      FROM c
+      ORDER BY doc_id, chunk_id""",
+
     "docs_clean_corpus" -> """
       WITH keep AS (
         SELECT min(doc_id) AS doc_id
@@ -632,6 +729,41 @@ object Pipeline {
       FROM t
       GROUP BY source, rate_pct
       ORDER BY source""",
+
+    // the DuckDB windows sum BIGINT into HUGEINT — every comparison and
+    // the final quota stay integer-exact, matching Spark's long windows
+    "docs_budget_sample" -> """
+      WITH src AS (
+        SELECT source,
+          25 + CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 51
+            AS wt
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source),
+      alloc AS (
+        SELECT source, wt,
+          (100 * wt) // sum(wt) OVER () AS base,
+          (100 * wt) % sum(wt) OVER () AS rem
+        FROM src),
+      q AS (
+        SELECT source, base, rem,
+          row_number() OVER (ORDER BY rem DESC, source) AS rrank,
+          100 - sum(base) OVER () AS extra
+        FROM alloc),
+      quota AS (
+        SELECT source,
+          CAST(base + CASE WHEN rrank <= extra THEN 1 ELSE 0 END AS BIGINT)
+            AS quota
+        FROM q),
+      ranked AS (
+        SELECT source, doc_id,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+              15)) AS BIGINT), doc_id) AS BIGINT) AS rn
+        FROM documents WHERE source IS NOT NULL)
+      SELECT r.source, q.quota, r.rn, r.doc_id
+      FROM ranked r JOIN quota q USING (source)
+      WHERE r.rn <= q.quota
+      ORDER BY r.source, r.rn""",
 
     "events_range_join" -> """
       WITH win AS (

@@ -408,13 +408,11 @@ object StreamingRun {
     * join nothing in either engine, so no owner filter is needed).
     * With this, every oracle-able `StreamingDemo` surface is gated:
     * windowed agg, arbitrary-state sessionization, one-value-state
-    * throttle, stream-stream join, stream-static enrich. The two
-    * remaining surfaces are structurally un-oracle-able:
-    * `runningCounts` needs update mode (no append-sink read-back), and
-    * `dropDuplicatesWithinWatermark` keeps an arbitrary FIRST-SEEN row
-    * per key — processing-order-dependent, so no deterministic
-    * cross-engine oracle exists (its behavior is pinned engine-side in
-    * `StreamingSpec`). */
+    * throttle, stream-stream join, stream-static enrich — and
+    * [[dedupAvailableNow]] gates the dedup state store in its
+    * key-projected deterministic form. The one remaining surface is
+    * structurally un-oracle-able: `runningCounts` needs update mode
+    * (no append-sink read-back). */
   def enrichAvailableNow(s: SparkSession, dir: String): DataFrame = {
     val dim = broadcast(graft.Tables.table(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
@@ -426,12 +424,46 @@ object StreamingRun {
     drainToSink(enriched).orderBy(col("event_id"))
   }
 
+  /** Oracle-gated streaming ingest dedup — the sixth streaming shape in
+    * the hash gate, covering the last stateful operator class: the
+    * `dropDuplicatesWithinWatermark` dedup state store. The retry-dedup
+    * topology of continuous ingest (at-least-once delivery re-sends the
+    * same event id; state per key expires once the watermark passes the
+    * horizon, so the store is bounded by recent history instead of all
+    * ids ever seen).
+    *
+    * Determinism: earlier rounds classified this operator un-oracle-able
+    * because the FIRST-SEEN surviving row's payload is
+    * processing-order-dependent. That is true of the payload — and false
+    * of the KEY: projecting the output to the dedup key makes the
+    * emitted set exactly the distinct key set of the drain, which is
+    * order-independent. The payload-nondeterminism half stays pinned
+    * engine-side in `StreamingSpec`/`StreamDedupSpec`; the gate hashes
+    * the key-projected form.
+    *
+    * Emission: in the gate's single-data-batch drain the watermark is at
+    * epoch 0 while every row arrives, so no key state expires mid-drain
+    * and the emitted set is the GLOBAL distinct on the streaming
+    * timeline — which is the oracle (no horizon clause, like the join).
+    * Under multi-batch ingest a duplicate arriving after its key's state
+    * expired is re-admitted BY DESIGN (the "within watermark" contract —
+    * bounded state costs exactly re-admission beyond the horizon);
+    * `StreamDedupSpec` pins that boundary with MemoryStream. */
+  def dedupAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"))
+    drainToSink(deduped).orderBy(col("event_id"))
+  }
+
   val queries: Map[String, graft.queries.Q] = Map(
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
     "events_stream_throttle" -> ((s, d) => throttleAvailableNow(s, d)),
     "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d)),
-    "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d))
+    "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d)),
+    "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d))
   )
 
   // append-mode watermark oracle: only windows whose END the final
@@ -558,6 +590,14 @@ object StreamingRun {
       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       WHERE e.ts IS NOT NULL
         AND e.ts >= TIMESTAMP '1970-01-01 00:00:00'
-      ORDER BY e.event_id"""
+      ORDER BY e.event_id""",
+
+    // the global distinct key set over the streaming-timeline event set —
+    // no horizon clause, see dedupAvailableNow: a single-batch drain
+    // dedups every row before any key state can expire
+    "events_stream_dedup" -> """
+      SELECT DISTINCT event_id FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+      ORDER BY event_id"""
   )
 }

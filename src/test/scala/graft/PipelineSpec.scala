@@ -61,6 +61,75 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunk_overlap: boundary counts, 16-token overlap, full coverage, " +
+    "null text chunks to nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // token counts straddling every boundary: 1 and 64 (one chunk),
+    // 65 (first two-chunk count), 112 (last two-chunk count: 64+48),
+    // 113 (first three-chunk count), plus a null text
+    Seq((1L, words(1)), (3L, words(64)), (4L, words(65)),
+      (5L, words(112)), (6L, words(113)),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_chunk_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 1 && byDoc(3L).length == 1)
+    assert(byDoc(4L).length == 2 && byDoc(5L).length == 2)
+    assert(byDoc(6L).length == 3)
+    assert(!byDoc.contains(7L))
+    // n_tokens always equals the chunk's actual token count
+    out.foreach { case (_, _, nt, text) =>
+      assert(text.split(" ").length == nt)
+    }
+    // doc 4 (65 tokens): chunk 0 = tokens 1..64, chunk 1 = tokens 49..65;
+    // the 16-token overlap is bit-equal and concatenation re-covers the
+    // document in order
+    val c4 = byDoc(4L).sortBy(_._2)
+    assert(c4(0)._3 == 64 && c4(1)._3 == 17)
+    val t0 = c4(0)._4.split(" "); val t1 = c4(1)._4.split(" ")
+    assert(t0.takeRight(16).sameElements(t1.take(16)))
+    assert((t0 ++ t1.drop(16)).sameElements((1 to 65).map(i => s"w$i")))
+    // every token of the three-chunk doc lands in at least one chunk
+    assert(byDoc(6L).flatMap(_._4.split(" ")).toSet ==
+      (1 to 113).map(i => s"w$i").toSet)
+  }
+
+  test("budget_sample: quotas sum to the budget, each within 1 of its " +
+    "real-valued share, ranks contiguous") {
+    val out = SparkEntry.queries("docs_budget_sample")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val quotas = out.groupBy(_._1).map { case (src, rows) =>
+      assert(rows.map(_._2).distinct.length == 1, s"$src quota not constant")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"$src ranks not contiguous")
+      // at sf0.001 every source has more docs than its quota, so the
+      // quota is filled exactly and the global budget is hit exactly
+      assert(rows.length == rows.head._2, s"$src quota underfilled")
+      src -> rows.head._2
+    }
+    assert(quotas.values.sum == 100L)
+    // largest-remainder apportionment: every quota is floor(share) or
+    // floor(share)+1 of the real-valued proportional share
+    val wt = Tables.documents(spark, d).filter(col("source").isNotNull)
+      .select(col("source")).distinct()
+      .withColumn("wt", lit(25L) +
+        conv(substring(md5(col("source").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long") % 51)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sw = wt.values.sum
+    quotas.foreach { case (src, q) =>
+      val base = 100L * wt(src) / sw
+      assert(q == base || q == base + 1,
+        s"$src quota $q outside [{$base}, ${base + 1}]")
+    }
+  }
+
   test("tfidf: rn bounded by 5, score consistent with tf/df") {
     val rows = SparkEntry.queries("text_tfidf_top")(spark, d).collect()
     assert(rows.nonEmpty)

@@ -201,6 +201,29 @@ class PlanAuditSpec extends SparkSpec {
       "jaccard plan re-grew a window stage (hot-shingle skew risk)")
   }
 
+  test("chunking is projection + generate — no hash exchange at any " +
+    "corpus size") {
+    // the 100 TB property: chunks inherit the document's partition; the
+    // only exchange in the plan is the final presentation sort's range
+    // partitioning, never a hash shuffle or an aggregation
+    val p = plan("docs_chunk_overlap")
+    assert(p.contains("Generate"), "chunk explode missing")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking plan shuffles by hash")
+    assert(!p.contains("HashAggregate"))
+    assert(!p.contains("Join"))
+  }
+
+  test("budget allocation broadcasts the quota table onto the corpus") {
+    // the source-dimension windows deliberately run unpartitioned (the
+    // dim is #sources rows); what must NOT happen is the corpus meeting
+    // the quota table through a shuffle
+    val p = plan("docs_budget_sample")
+    assert(p.contains("BroadcastHashJoin"), "quota table not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to meet the quota table")
+  }
+
   test("docs_repetition is a pure projection before the final sort") {
     val p = plan("docs_repetition")
     assert(!p.contains("Generate"), "bigram explode reappeared")
