@@ -41,6 +41,16 @@ object Similarity {
     * — again one constant for both engines. */
   private[graft] val EmbGridScale = 1000000.0
 
+  /** Product-quantization geometry for [[pqTopKOf]]: 64-dim embeddings
+    * split into PqM=8 subspaces of PqDsub=8 dims, PqK=16 codes per
+    * subspace (an 8-byte code per vector — the 32× memory compression
+    * that makes billion-vector indexes RAM-resident). Interpolated into
+    * the oracle SQL AND used by the Scala call sites — one constant set
+    * for both engines. */
+  private[graft] val PqM = 8
+  private[graft] val PqDsub = 8
+  private[graft] val PqK = 16
+
   /** Loud-failure guard for packed-key domains: values a packed decimal
     * argmin/argmax would SILENTLY corrupt (null, negative, or ≥ the pack
     * base) instead raise a runtime error naming the site and the repair.
@@ -223,6 +233,11 @@ object Similarity {
     // centroids, and the floorDiv(d·|d|·10⁶, ‖·‖²) cosine ranking key
     // ([[graft.functions.CosRatioKey]]) — so DuckDB replays it bit-for-bit.
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, k = 10, nprobe = 3)),
+
+    // ---- product-quantization ADC top-10: per-subspace codebooks trained
+    // on the exact grid, corpus encoded to 8 nibbles, queries ranked by
+    // table-lookup distances — see [[pqTopK]] for the memory story
+    "sim_pq_topk" -> ((s, d) => pqTopK(s, d, k = 10)),
 
     // ---- Lloyd's k-means over the embedding corpus — the unsupervised
     // companion to the label-keyed `emb_centroids` (data-curation clustering:
@@ -481,6 +496,111 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Product-quantization ADC top-k — the memory-side leg of the ANN
+    * family ([[bruteTopK]] exact, [[ivfTopK]] scan-bounding, SRP-LSH
+    * candidate-bounding; PQ bounds BYTES: an 8-nibble code replaces 256
+    * bytes of float32, so a 10⁹-vector index fits executor RAM and the
+    * scan is table lookups instead of float dots).
+    *
+    * Pipeline, exact-integer end to end (the [[kmeansAssignOf]]
+    * discipline per subspace): gridded vectors split into [[PqM]]
+    * subvectors; per-subspace codebooks trained by one full Lloyd round
+    * (init = the subvectors of `vec_id < PqK` — the same dense-0-based-id
+    * PRECONDITION as k-means, loudly enforced; squared-L2 packed-decimal
+    * argmin; rounded-average integer update), corpus encoded against the
+    * trained books, and each query ranked by the ASYMMETRIC distance:
+    * adc2(q, v) = Σ_s ‖q_s − c_{s,code_s(v)}‖², computed by summing
+    * [[PqM]] entries of a per-query lookup table. Everything — training,
+    * codes, LUT, ranking — is int64/decimal-exact, so the DuckDB oracle
+    * replays it bit-for-bit: PQ is approximate as a NEIGHBOR algorithm
+    * but deterministic as a computation, exactly like [[ivfTopK]].
+    *
+    * Scale shape: codebooks are PqM·PqK = 128 tiny rows — always
+    * broadcast (training argmins are map-side-combinable packed decimal
+    * mins; the corpus is never shuffled by value); the LUT is
+    * #queries·PqM·PqK rows — broadcast; the ADC scan is one pass over the
+    * narrow code table with a per-query bounded rank window. Encoding
+    * costs O(N·PqM·PqK) integer dots with no shuffle wider than the
+    * (vec_id, s) partial — the standard distributed PQ build. */
+  def pqTopK(s: SparkSession, d: String, k: Int): DataFrame =
+    pqTopKOf(Tables.embeddings(s, d), k)
+
+  /** [[pqTopK]] over any (vec_id, embedding: array<float>) frame — the
+    * unit-testable core. With ≤ [[PqK]] distinct-subvector vectors, every
+    * vector is its own code and ADC degenerates to EXACT squared-L2
+    * ranking (the property `SimilaritySpec` pins). */
+  private[graft] def pqTopKOf(emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val gf = graft.functions.GraftFunctions
+    val dec = DecimalType(38, 0)
+    val packBase = 1 << 20
+    // null embeddings (failed encode) are off the index and off the query
+    // set, as everywhere in the vector family (oracle: unnest emits none)
+    val sub = graft.Caching.persistTracked(emb
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => grid(x.cast("double"), EmbGridScale).cast("long")).as("xg"))
+      .filter(gf.dotl(col("xg"), col("xg")).isNotNull)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(cast(m as bigint) AS s, " +
+          s"slice(xg, m*$PqDsub+1, $PqDsub) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .withColumn("ns2", gf.dotl(col("sv"), col("sv"))))
+    def withNorm(cb: DataFrame): DataFrame =
+      cb.withColumn("nc2", gf.dotl(col("cv"), col("cv")))
+    val c0 = withNorm(sub.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cv")))
+    // loud-failure guard on the dense-0-based-id precondition (the
+    // kmeansAssignOf convention; limit-1 probes over the persisted frame)
+    if (c0.isEmpty && !sub.isEmpty)
+      throw new IllegalArgumentException(
+        s"pqTopKOf: no init code has vec_id < PqK=$PqK — vec_ids are not " +
+          "dense 0-based; re-key them first (e.g. " +
+          "graft.queries.Pipeline.canonicalizeIds, or a row_number re-key)")
+    // nearest code per (vector, subspace): packed-decimal min —
+    // hash-aggregated with map-side partials, ties toward the smallest
+    // code_id (dist2 ≥ 0, so the pack needs no sign handling)
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "s")
+        .withColumn("dist2", col("ns2") + col("nc2") -
+          lit(2L) * gf.dotl(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("dist2").cast(dec) * lit(packBase) + col("code_id"))
+          .as("pk"))
+        .select(col("vec_id"), col("s"),
+          pmod(col("pk"), lit(packBase)).cast("long").as("code_id"))
+    // rounded-average integer update (the kmeans pmod recipe, exact for
+    // any sign); empty cells vanish in both engines
+    val c1 = withNorm(sub
+      .join(assign(c0), Seq("vec_id", "s"))
+      .select(col("s"), col("code_id"), posexplode(col("sv")))
+      .groupBy(col("s"), col("code_id"), col("pos"))
+      .agg(sum(col("col")).as("sj"), count(lit(1)).as("m"))
+      .withColumn("cj",
+        expr("(2*sj + m - pmod(2*sj + m, 2*m)) div (2*m)"))
+      .groupBy(col("s"), col("code_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cj")))).as("pc"))
+      .select(col("s"), col("code_id"),
+        transform(col("pc"), p => p.getField("cj")).as("cv")))
+    val codes = assign(c1)
+    // per-query distance lookup table: #queries × PqM × PqK tiny rows
+    val lut = sub.filter(col("vec_id") <= 4)
+      .join(broadcast(c1), "s")
+      .select(col("vec_id").as("qid"), col("s"), col("code_id"),
+        (col("ns2") + col("nc2") -
+          lit(2L) * gf.dotl(col("sv"), col("cv"))).as("d2"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("adc2").asc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc2"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc2"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -786,6 +906,63 @@ object Similarity {
     // floorDiv(d·|d|·1e6, n) cosine key — every value bit-equal to Spark's,
     // so even though IVF is an approximate ANN algorithm the oracle check
     // is an exact hash compare
+    // replays pqTopKOf step for step: subspace split on (j-1) div/mod,
+    // init books = subvectors of vec_id < PqK, squared-L2 argmin (ties →
+    // smallest code_id), rounded-average integer update (pmod trick),
+    // re-encode, per-query LUT, ADC sum, rank. Distances here are direct
+    // Σ(x−c)² in HUGEINT — integer-equal to the Spark side's
+    // ns2 + nc2 − 2·dot in int64.
+    "sim_pq_topk" -> s"""
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings),
+      sub AS (SELECT vec_id, (j-1) // $PqDsub AS s, (j-1) % $PqDsub AS jj,
+                xg
+              FROM e),
+      c0 AS (SELECT s, vec_id AS code_id, jj, xg AS cj FROM sub
+             WHERE vec_id < $PqK),
+      d0 AS (SELECT v.vec_id, v.s, c.code_id,
+               sum(CAST(v.xg - c.cj AS HUGEINT) * (v.xg - c.cj)) AS dist2
+             FROM sub v JOIN c0 c ON c.s = v.s AND c.jj = v.jj
+             GROUP BY v.vec_id, v.s, c.code_id),
+      a0 AS (SELECT vec_id, s, code_id FROM (
+               SELECT vec_id, s, code_id, row_number() OVER (
+                 PARTITION BY vec_id, s
+                 ORDER BY dist2 ASC, code_id ASC) AS rn
+               FROM d0) t WHERE rn = 1),
+      c1 AS (SELECT a.s, a.code_id, v.jj,
+               (2*sum(v.xg) + count(*)
+                  - (((2*sum(v.xg) + count(*)) % (2*count(*)) + 2*count(*))
+                     % (2*count(*)))) // (2*count(*)) AS cj
+             FROM sub v JOIN a0 a ON a.vec_id = v.vec_id AND a.s = v.s
+             GROUP BY a.s, a.code_id, v.jj),
+      d1 AS (SELECT v.vec_id, v.s, c.code_id,
+               sum(CAST(v.xg - c.cj AS HUGEINT) * (v.xg - c.cj)) AS dist2
+             FROM sub v JOIN c1 c ON c.s = v.s AND c.jj = v.jj
+             GROUP BY v.vec_id, v.s, c.code_id),
+      codes AS (SELECT vec_id, s, code_id FROM (
+                  SELECT vec_id, s, code_id, row_number() OVER (
+                    PARTITION BY vec_id, s
+                    ORDER BY dist2 ASC, code_id ASC) AS rn
+                  FROM d1) t WHERE rn = 1),
+      lut AS (SELECT q.vec_id AS qid, c.s, c.code_id,
+                sum(CAST(q.xg - c.cj AS HUGEINT) * (q.xg - c.cj)) AS d2
+              FROM sub q JOIN c1 c ON c.s = q.s AND c.jj = q.jj
+              WHERE q.vec_id <= 4
+              GROUP BY q.vec_id, c.s, c.code_id),
+      adc AS (SELECT l.qid, k.vec_id, sum(l.d2) AS adc2
+              FROM codes k JOIN lut l ON l.s = k.s AND l.code_id = k.code_id
+              GROUP BY l.qid, k.vec_id),
+      r AS (SELECT qid, vec_id, adc2, row_number() OVER (
+              PARTITION BY qid ORDER BY adc2 ASC, vec_id ASC) AS rank
+            FROM adc)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        CAST(adc2 AS BIGINT) AS adc2
+      FROM r WHERE rank <= 10
+      ORDER BY qid, rank""",
+
     "sim_ivf_topk" -> """
       WITH e AS (
         SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,

@@ -143,6 +143,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ training/encoding broadcasts the codebooks and keeps the " +
+    "packed argmin on the hash path") {
+    val p = plan("sim_pq_topk")
+    // codebooks and the per-query LUT are tiny — they must ride
+    // broadcasts; the corpus/code table is never shuffled to meet them
+    assert(p.contains("BroadcastHashJoin"),
+      "PQ codebook/LUT joins are not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "PQ shuffled the corpus to meet a codebook")
+    // the packed-decimal argmin must hash-aggregate (map-side partials);
+    // SortAggregate means a struct buffer crept back in
+    assert(!p.contains("SortAggregate"), "PQ argmin fell back to SortAggregate")
+  }
+
   test("k-means rounds broadcast the centroids and keep the packed " +
     "argmin on the hash path") {
     for (name <- Seq("emb_kmeans", "dedup_semantic")) {

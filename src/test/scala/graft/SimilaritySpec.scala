@@ -93,6 +93,42 @@ class SimilaritySpec extends SparkSpec {
     assert(S.recommendedK(Long.MaxValue / 2, 1) === (1 << 20) - 1)
   }
 
+  test("PQ with <= PqK distinct-subvector vectors degenerates to EXACT " +
+    "squared-L2 ranking") {
+    import spark.implicits._
+    // with every vector an init code, training assigns each subvector to
+    // itself (dist 0), the update reproduces it, and ADC sums the true
+    // per-subspace distances — so the PQ ranking must equal brute-force
+    // exact squared-L2, computable directly here
+    val vecs = (0 until 10).map { i =>
+      i.toLong -> (0 until 64).map(j =>
+        math.sin(i * 64 + j + 1.0).toFloat).toArray
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = graft.queries.Similarity.pqTopKOf(emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def gridded(v: Array[Float]) =
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val g = vecs.map { case (id, v) => id -> gridded(v) }.toMap
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (qid <- 0L to 4L) {
+      val want = g.keys.toSeq
+        .sortBy(v => (d2(g(qid), g(v)), v))
+      val have = got.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(have == want, s"qid $qid: PQ ranking != exact L2 ranking")
+    }
+  }
+
+  test("PQ raises loudly on non-dense vec_ids (no silent empty codebook)") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => math.sin(i + 1.0).toFloat).toArray
+    val emb = Seq((1000L, v), (2000L, v)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.queries.Similarity.pqTopKOf(emb, k = 10).collect())
+    assert(e.getMessage.contains("dense 0-based"))
+  }
+
   test("nn_per_label is symmetric-free and within-label") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
