@@ -239,6 +239,11 @@ object Similarity {
     // table-lookup distances — see [[pqTopK]] for the memory story
     "sim_pq_topk" -> ((s, d) => pqTopK(s, d, k = 10)),
 
+    // ---- IVF+PQ: probed cells bound WHAT is scanned, codes bound the
+    // BYTES per scanned vector — the production ANN layout, composed
+    // from the two gated halves (see [[ivfPqTopK]])
+    "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d, k = 10, nprobe = 3)),
+
     // ---- Lloyd's k-means over the embedding corpus — the unsupervised
     // companion to the label-keyed `emb_centroids` (data-curation clustering:
     // SemDeDup cells, domain discovery, diversity sampling). Two unrolled
@@ -419,19 +424,25 @@ object Similarity {
     * join scans only nprobe/k of the corpus — the standard ANN scale-out.
     * Centroid elements stay grid-bounded (≤ max|x|·10⁶) regardless of
     * cluster size, so the int64 dot products never grow with N. */
-  def ivfTopK(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+  /** Gridded (vec_id, label, xg, n2) corpus frame shared by the IVF
+    * paths. */
+  private[graft] def ivfGrid(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val gf = graft.functions.GraftFunctions
-    val g = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
       .withColumn("n2", gf.dotl(col("xg"), col("xg")))
-    // coarse quantizer: per-label rounded-average integer centroid.
-    // floorDiv via the pmod trick (the numerator becomes exactly divisible,
-    // so `div`'s truncation semantics don't matter) — same recipe as the
-    // DuckDB oracle, exact for any sign of the sum.
-    val cents = g.select(col("label"), posexplode(col("xg")))
+  }
+
+  /** Coarse quantizer: per-label rounded-average integer centroid.
+    * floorDiv via the pmod trick (the numerator becomes exactly divisible,
+    * so `div`'s truncation semantics don't matter) — same recipe as the
+    * DuckDB oracle, exact for any sign of the sum. */
+  private[graft] def ivfCents(g: DataFrame): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    g.select(col("label"), posexplode(col("xg")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col")).as("sj"), count(lit(1)).as("m"))
       .withColumn("cj",
@@ -442,45 +453,63 @@ object Similarity {
         transform(col("pc"), p => p.getField("cj")).as("cent"))
       .withColumn("nc2", gf.dotl(col("cent"), col("cent")))
       .filter(col("nc2") > 0)
-    // cents is referenced by both the assignment and probe cross joins,
-    // but the two broadcast exchanges share an identical child plan, so
-    // ReuseExchange computes the aggregation once — measured: an explicit
-    // persist adds nothing
-    // cell assignment: nearest centroid per corpus vector — the argmax is a
-    // single decimal max over a PACKED key `ckey·2²⁰ − cent_id`: max picks
-    // the largest ckey and breaks ties toward the SMALLEST cent_id (the
-    // row_number convention), and `pmod(−packed, 2²⁰)` recovers the winning
-    // cent_id for any sign of ckey. Packing matters for the plan: a
-    // max(struct(...)) argmax — with or without the xg array inside — has a
-    // struct aggregation buffer, which HashAggregate cannot hold, so Spark
-    // falls back to SortAggregate and sorts all N×k scored rows per
-    // partition. The packed form is a plain decimal max: hash-aggregated,
-    // map-side combined, no sort anywhere. Room check: ckey ≤ ‖x‖²·10⁶
-    // (≤ ~10³⁰ even at 1024 dims of |x| ≤ 30 on the 1e-6 grid), ×2²⁰ stays
-    // inside Decimal(38,0); cent_id < 2²⁰ is asserted by the pack.
+  }
+
+  /** Cell assignment: nearest centroid per corpus vector — the argmax is a
+    * single decimal max over a PACKED key `ckey·2²⁰ − cent_id`: max picks
+    * the largest ckey and breaks ties toward the SMALLEST cent_id (the
+    * row_number convention), and `pmod(−packed, 2²⁰)` recovers the winning
+    * cent_id for any sign of ckey. Packing matters for the plan: a
+    * max(struct(...)) argmax — with or without the xg array inside — has a
+    * struct aggregation buffer, which HashAggregate cannot hold, so Spark
+    * falls back to SortAggregate and sorts all N×k scored rows per
+    * partition. The packed form is a plain decimal max: hash-aggregated,
+    * map-side combined, no sort anywhere. Room check: ckey ≤ ‖x‖²·10⁶
+    * (≤ ~10³⁰ even at 1024 dims of |x| ≤ 30 on the 1e-6 grid), ×2²⁰ stays
+    * inside Decimal(38,0); cent_id < 2²⁰ is asserted by the pack. */
+  private[graft] def ivfAssign(g: DataFrame, cents: DataFrame): DataFrame = {
+    val gf = graft.functions.GraftFunctions
     val packBase = 1 << 20
-    val assignedIds = g.crossJoin(broadcast(cents))
+    g.crossJoin(broadcast(cents))
       .withColumn("ckey",
         gf.cosKey(gf.dotl(col("xg"), col("cent")), col("nc2")))
       .groupBy(col("vec_id"))
       .agg(max(col("ckey") * lit(packBase) - col("cent_id")).as("pk"))
       .select(col("vec_id"),
         pmod(-col("pk"), lit(packBase)).cast("long").as("cent_id"))
-    // probe: nprobe nearest centroids per query. The n2 > 0 guard drops
-    // null-embedding (null n2) and zero-norm queries: neither has a
-    // cosine, and without it a null query would rank ALL centroids with a
-    // null key and emit garbage probes (the oracle excludes such queries
-    // structurally — unnest of a null list emits no rows)
+  }
+
+  /** Probe: nprobe nearest centroids per query. The n2 > 0 guard drops
+    * null-embedding (null n2) and zero-norm queries: neither has a
+    * cosine, and without it a null query would rank ALL centroids with a
+    * null key and emit garbage probes (the oracle excludes such queries
+    * structurally — unnest of a null list emits no rows). */
+  private[graft] def ivfProbes(g: DataFrame, cents: DataFrame,
+                        nprobe: Int): DataFrame = {
+    val gf = graft.functions.GraftFunctions
     val q = g.filter(col("vec_id") <= 4 && col("n2") > 0)
       .select(col("vec_id").as("qid"), col("xg").as("qg"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qkey").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("qkey",
         gf.cosKey(gf.dotl(col("qg"), col("cent")), col("nc2")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qg"), col("cent_id"))
+  }
+
+  def ivfTopK(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val gf = graft.functions.GraftFunctions
+    val g = ivfGrid(s, d)
+    // cents is referenced by both the assignment and probe cross joins,
+    // but the two broadcast exchanges share an identical child plan, so
+    // ReuseExchange computes the aggregation once — measured: an explicit
+    // persist adds nothing
+    val cents = ivfCents(g)
+    val assignedIds = ivfAssign(g, cents)
+    val probes = ivfProbes(g, cents, nprobe)
     // search only probed cells; rank by the exact key (zero-norm corpus
     // vectors have no cosine — filtered identically in the oracle).
     // Join order: ids ⋈ probes first (narrow rows, broadcast), THEN pull
@@ -533,13 +562,30 @@ object Similarity {
     * vector is its own code and ADC degenerates to EXACT squared-L2
     * ranking (the property `SimilaritySpec` pins). */
   private[graft] def pqTopKOf(emb: DataFrame, k: Int): DataFrame = {
+    val sub = pqSubspaces(emb)
+    val c1 = pqTrain(sub)
+    val codes = pqAssign(sub, c1)
+    val lut = pqLut(sub, c1)
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("adc2").asc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc2"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adc2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The persisted (vec_id, s, sv, ns2) subspace frame: gridded vectors
+    * split into [[PqM]] subvectors. Persisted because training, encoding,
+    * and the LUT all re-read it. Null embeddings (failed encode) are off
+    * the index and off the query set, as everywhere in the vector family
+    * (oracle: unnest emits none). */
+  private def pqSubspaces(emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val gf = graft.functions.GraftFunctions
-    val dec = DecimalType(38, 0)
-    val packBase = 1 << 20
-    // null embeddings (failed encode) are off the index and off the query
-    // set, as everywhere in the vector family (oracle: unnest emits none)
-    val sub = graft.Caching.persistTracked(emb
+    graft.Caching.persistTracked(emb
       .select(col("vec_id"),
         transform(col("embedding"),
           x => grid(x.cast("double"), EmbGridScale).cast("long")).as("xg"))
@@ -550,33 +596,44 @@ object Similarity {
           s"slice(xg, m*$PqDsub+1, $PqDsub) AS sv))")).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
       .withColumn("ns2", gf.dotl(col("sv"), col("sv"))))
-    def withNorm(cb: DataFrame): DataFrame =
-      cb.withColumn("nc2", gf.dotl(col("cv"), col("cv")))
-    val c0 = withNorm(sub.filter(col("vec_id") < PqK)
+  }
+
+  private def pqWithNorm(cb: DataFrame): DataFrame =
+    cb.withColumn("nc2", graft.functions.GraftFunctions
+      .dotl(col("cv"), col("cv")))
+
+  /** Nearest code per (vector, subspace): packed-decimal min —
+    * hash-aggregated with map-side partials, ties toward the smallest
+    * code_id (dist2 ≥ 0, so the pack needs no sign handling). */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val dec = DecimalType(38, 0)
+    val packBase = 1 << 20
+    sub.join(broadcast(cb), "s")
+      .withColumn("dist2", col("ns2") + col("nc2") -
+        lit(2L) * gf.dotl(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("dist2").cast(dec) * lit(packBase) + col("code_id"))
+        .as("pk"))
+      .select(col("vec_id"), col("s"),
+        pmod(col("pk"), lit(packBase)).cast("long").as("code_id"))
+  }
+
+  /** One full Lloyd round per subspace: init books from `vec_id < PqK`
+    * (dense-0-based-id PRECONDITION, loudly enforced — the
+    * [[kmeansAssignOf]] convention; limit-1 probes over the persisted
+    * frame), then the rounded-average integer update (the kmeans pmod
+    * recipe, exact for any sign); empty cells vanish in both engines. */
+  private def pqTrain(sub: DataFrame): DataFrame = {
+    val c0 = pqWithNorm(sub.filter(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cv")))
-    // loud-failure guard on the dense-0-based-id precondition (the
-    // kmeansAssignOf convention; limit-1 probes over the persisted frame)
     if (c0.isEmpty && !sub.isEmpty)
       throw new IllegalArgumentException(
-        s"pqTopKOf: no init code has vec_id < PqK=$PqK — vec_ids are not " +
+        s"pqTrain: no init code has vec_id < PqK=$PqK — vec_ids are not " +
           "dense 0-based; re-key them first (e.g. " +
           "graft.queries.Pipeline.canonicalizeIds, or a row_number re-key)")
-    // nearest code per (vector, subspace): packed-decimal min —
-    // hash-aggregated with map-side partials, ties toward the smallest
-    // code_id (dist2 ≥ 0, so the pack needs no sign handling)
-    def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), "s")
-        .withColumn("dist2", col("ns2") + col("nc2") -
-          lit(2L) * gf.dotl(col("sv"), col("cv")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(col("dist2").cast(dec) * lit(packBase) + col("code_id"))
-          .as("pk"))
-        .select(col("vec_id"), col("s"),
-          pmod(col("pk"), lit(packBase)).cast("long").as("code_id"))
-    // rounded-average integer update (the kmeans pmod recipe, exact for
-    // any sign); empty cells vanish in both engines
-    val c1 = withNorm(sub
-      .join(assign(c0), Seq("vec_id", "s"))
+    pqWithNorm(sub
+      .join(pqAssign(sub, c0), Seq("vec_id", "s"))
       .select(col("s"), col("code_id"), posexplode(col("sv")))
       .groupBy(col("s"), col("code_id"), col("pos"))
       .agg(sum(col("col")).as("sj"), count(lit(1)).as("m"))
@@ -586,16 +643,48 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("cj")))).as("pc"))
       .select(col("s"), col("code_id"),
         transform(col("pc"), p => p.getField("cj")).as("cv")))
-    val codes = assign(c1)
-    // per-query distance lookup table: #queries × PqM × PqK tiny rows
-    val lut = sub.filter(col("vec_id") <= 4)
-      .join(broadcast(c1), "s")
+  }
+
+  /** Per-query distance lookup table: #queries × PqM × PqK tiny rows. */
+  private def pqLut(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    sub.filter(col("vec_id") <= 4)
+      .join(broadcast(cb), "s")
       .select(col("vec_id").as("qid"), col("s"), col("code_id"),
         (col("ns2") + col("nc2") -
           lit(2L) * gf.dotl(col("sv"), col("cv"))).as("d2"))
+  }
+
+  /** IVF+PQ — the production ANN layout, composed from the two gated
+    * halves: the coarse quantizer bounds WHAT is scanned (only vectors
+    * assigned to the nprobe cells nearest each query), the codes bound
+    * the BYTES per scanned vector (8 nibbles + a LUT sum instead of a
+    * float dot). The candidate set is [[ivfTopK]]'s exactly; the ranking
+    * distance is [[pqTopKOf]]'s exactly — so the oracle is the two
+    * existing CTE blocks joined. Zero-norm corpus vectors stay rankable
+    * (squared-L2 needs no norm guard; their cosine-keyed cell assignment
+    * ties to the smallest cell id identically in both engines).
+    *
+    * Scale shape: both index structures are broadcast-sized (cells,
+    * codebooks, LUT); the only corpus-wide exchanges are the hash
+    * partials behind assignment/encoding and the narrow candidate join —
+    * the code table never carries vectors, which is the point. */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int,
+                nprobe: Int): DataFrame = {
+    val g = ivfGrid(s, d)
+    val cents = ivfCents(g)
+    val cand = ivfAssign(g, cents)
+      .join(broadcast(ivfProbes(g, cents, nprobe)
+        .select(col("qid"), col("cent_id"))), "cent_id")
+      .select(col("qid"), col("vec_id"))
+    val sub = pqSubspaces(Tables.embeddings(s, d))
+    val c1 = pqTrain(sub)
+    val codes = pqAssign(sub, c1)
+    val lut = pqLut(sub, c1)
     val wR = Window.partitionBy(col("qid"))
       .orderBy(col("adc2").asc, col("vec_id").asc)
-    codes.join(broadcast(lut), Seq("s", "code_id"))
+    codes.join(cand.hint("shuffle_hash"), "vec_id")
+      .join(broadcast(lut), Seq("qid", "s", "code_id"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2")).as("adc2"))
       .withColumn("rank", row_number().over(wR).cast("long"))
@@ -739,6 +828,85 @@ object Similarity {
                    ORDER BY n2.n2 + nc1.nc2 - 2*d.dot ASC, d.cent_id ASC) AS rn
                FROM d2 d JOIN n2 ON n2.vec_id = d.vec_id
                JOIN nc1 ON nc1.cent_id = d.cent_id) t WHERE rn = 1)"""
+
+  /** PQ oracle CTE block replaying [[pqSubspaces]]/[[pqTrain]]/
+    * [[pqAssign]]/[[pqLut]] step for step — subspace split on (j-1)
+    * div/mod, init books = subvectors of vec_id < PqK, squared-L2 argmin
+    * (ties → smallest code_id), rounded-average integer update (pmod
+    * trick), re-encode, per-query LUT. Distances are direct Σ(x−c)² in
+    * HUGEINT — integer-equal to the Spark side's ns2 + nc2 − 2·dot in
+    * int64. Expects a prior CTE `e(vec_id, j, xg)` (extra columns
+    * harmless); shared by `sim_pq_topk` and `sim_ivfpq_topk` so the two
+    * oracles cannot drift. */
+  private val pqCtes = s"""
+      sub AS (SELECT vec_id, (j-1) // $PqDsub AS s, (j-1) % $PqDsub AS jj,
+                xg
+              FROM e),
+      c0 AS (SELECT s, vec_id AS code_id, jj, xg AS cj FROM sub
+             WHERE vec_id < $PqK),
+      d0 AS (SELECT v.vec_id, v.s, c.code_id,
+               sum(CAST(v.xg - c.cj AS HUGEINT) * (v.xg - c.cj)) AS dist2
+             FROM sub v JOIN c0 c ON c.s = v.s AND c.jj = v.jj
+             GROUP BY v.vec_id, v.s, c.code_id),
+      a0 AS (SELECT vec_id, s, code_id FROM (
+               SELECT vec_id, s, code_id, row_number() OVER (
+                 PARTITION BY vec_id, s
+                 ORDER BY dist2 ASC, code_id ASC) AS rn
+               FROM d0) t WHERE rn = 1),
+      c1 AS (SELECT a.s, a.code_id, v.jj,
+               (2*sum(v.xg) + count(*)
+                  - (((2*sum(v.xg) + count(*)) % (2*count(*)) + 2*count(*))
+                     % (2*count(*)))) // (2*count(*)) AS cj
+             FROM sub v JOIN a0 a ON a.vec_id = v.vec_id AND a.s = v.s
+             GROUP BY a.s, a.code_id, v.jj),
+      d1 AS (SELECT v.vec_id, v.s, c.code_id,
+               sum(CAST(v.xg - c.cj AS HUGEINT) * (v.xg - c.cj)) AS dist2
+             FROM sub v JOIN c1 c ON c.s = v.s AND c.jj = v.jj
+             GROUP BY v.vec_id, v.s, c.code_id),
+      codes AS (SELECT vec_id, s, code_id FROM (
+                  SELECT vec_id, s, code_id, row_number() OVER (
+                    PARTITION BY vec_id, s
+                    ORDER BY dist2 ASC, code_id ASC) AS rn
+                  FROM d1) t WHERE rn = 1),
+      lut AS (SELECT q.vec_id AS qid, c.s, c.code_id,
+                sum(CAST(q.xg - c.cj AS HUGEINT) * (q.xg - c.cj)) AS d2
+              FROM sub q JOIN c1 c ON c.s = q.s AND c.jj = q.jj
+              WHERE q.vec_id <= 4
+              GROUP BY q.vec_id, c.s, c.code_id)"""
+
+  /** IVF coarse-index oracle CTE block replaying [[ivfCents]]/
+    * [[ivfAssign]]/[[ivfProbes]] (per-label rounded-average centroids,
+    * cosine-ratio-key assignment, nprobe=3 probes for queries
+    * vec_id ≤ 4). Expects a prior CTE `e(vec_id, label, j, xg)`; shared
+    * by `sim_ivf_topk` and `sim_ivfpq_topk`. */
+  private val ivfCoarseCtes = """
+      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
+             FROM e GROUP BY vec_id),
+      c AS (SELECT label, j,
+              (2*sum(xg) + count(*)
+                 - (((2*sum(xg) + count(*)) % (2*count(*)) + 2*count(*))
+                    % (2*count(*)))) // (2*count(*)) AS cj
+            FROM e GROUP BY label, j),
+      nc2 AS (SELECT label, sum(CAST(cj AS HUGEINT) * cj) AS nc2
+              FROM c GROUP BY label
+              HAVING sum(CAST(cj AS HUGEINT) * cj) > 0),
+      ad AS (SELECT e.vec_id, c.label,
+               sum(CAST(e.xg AS HUGEINT) * c.cj) AS d
+             FROM e JOIN c ON e.j = c.j
+             GROUP BY e.vec_id, c.label),
+      akey AS (SELECT ad.vec_id, ad.label,
+                 (ad.d * abs(ad.d) * 1000000
+                    - ((ad.d * abs(ad.d) * 1000000) % nc2.nc2 + nc2.nc2)
+                      % nc2.nc2) // nc2.nc2 AS key
+               FROM ad JOIN nc2 ON ad.label = nc2.label),
+      assign AS (SELECT vec_id, label FROM (
+                   SELECT vec_id, label, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY key DESC, label ASC) AS rn
+                   FROM akey) t WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, label FROM (
+                   SELECT vec_id, label, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY key DESC, label ASC) AS rn
+                   FROM akey WHERE vec_id <= 4) t WHERE rn <= 3)"""
 
   val oracles: Map[String, String] = Map(
     "sim_knn_label" -> """
@@ -906,52 +1074,14 @@ object Similarity {
     // floorDiv(d·|d|·1e6, n) cosine key — every value bit-equal to Spark's,
     // so even though IVF is an approximate ANN algorithm the oracle check
     // is an exact hash compare
-    // replays pqTopKOf step for step: subspace split on (j-1) div/mod,
-    // init books = subvectors of vec_id < PqK, squared-L2 argmin (ties →
-    // smallest code_id), rounded-average integer update (pmod trick),
-    // re-encode, per-query LUT, ADC sum, rank. Distances here are direct
-    // Σ(x−c)² in HUGEINT — integer-equal to the Spark side's
-    // ns2 + nc2 − 2·dot in int64.
+    // e + the shared pqCtes block + ADC sum + rank
     "sim_pq_topk" -> s"""
       WITH e AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS j,
           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
             + 0.5) AS BIGINT) AS xg
         FROM embeddings),
-      sub AS (SELECT vec_id, (j-1) // $PqDsub AS s, (j-1) % $PqDsub AS jj,
-                xg
-              FROM e),
-      c0 AS (SELECT s, vec_id AS code_id, jj, xg AS cj FROM sub
-             WHERE vec_id < $PqK),
-      d0 AS (SELECT v.vec_id, v.s, c.code_id,
-               sum(CAST(v.xg - c.cj AS HUGEINT) * (v.xg - c.cj)) AS dist2
-             FROM sub v JOIN c0 c ON c.s = v.s AND c.jj = v.jj
-             GROUP BY v.vec_id, v.s, c.code_id),
-      a0 AS (SELECT vec_id, s, code_id FROM (
-               SELECT vec_id, s, code_id, row_number() OVER (
-                 PARTITION BY vec_id, s
-                 ORDER BY dist2 ASC, code_id ASC) AS rn
-               FROM d0) t WHERE rn = 1),
-      c1 AS (SELECT a.s, a.code_id, v.jj,
-               (2*sum(v.xg) + count(*)
-                  - (((2*sum(v.xg) + count(*)) % (2*count(*)) + 2*count(*))
-                     % (2*count(*)))) // (2*count(*)) AS cj
-             FROM sub v JOIN a0 a ON a.vec_id = v.vec_id AND a.s = v.s
-             GROUP BY a.s, a.code_id, v.jj),
-      d1 AS (SELECT v.vec_id, v.s, c.code_id,
-               sum(CAST(v.xg - c.cj AS HUGEINT) * (v.xg - c.cj)) AS dist2
-             FROM sub v JOIN c1 c ON c.s = v.s AND c.jj = v.jj
-             GROUP BY v.vec_id, v.s, c.code_id),
-      codes AS (SELECT vec_id, s, code_id FROM (
-                  SELECT vec_id, s, code_id, row_number() OVER (
-                    PARTITION BY vec_id, s
-                    ORDER BY dist2 ASC, code_id ASC) AS rn
-                  FROM d1) t WHERE rn = 1),
-      lut AS (SELECT q.vec_id AS qid, c.s, c.code_id,
-                sum(CAST(q.xg - c.cj AS HUGEINT) * (q.xg - c.cj)) AS d2
-              FROM sub q JOIN c1 c ON c.s = q.s AND c.jj = q.jj
-              WHERE q.vec_id <= 4
-              GROUP BY q.vec_id, c.s, c.code_id),
+      $pqCtes,
       adc AS (SELECT l.qid, k.vec_id, sum(l.d2) AS adc2
               FROM codes k JOIN lut l ON l.s = k.s AND l.code_id = k.code_id
               GROUP BY l.qid, k.vec_id),
@@ -963,39 +1093,41 @@ object Similarity {
       FROM r WHERE rank <= 10
       ORDER BY qid, rank""",
 
-    "sim_ivf_topk" -> """
+    // the composition: coarse candidates (shared ivfCoarseCtes) ranked by
+    // code distances (shared pqCtes) — a candidate pair is a probed
+    // (query, cell) meeting the cell's assigned vectors, and its rank key
+    // is the ADC sum over the vector's codes
+    "sim_ivfpq_topk" -> s"""
+      WITH e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings),
+      $ivfCoarseCtes,
+      $pqCtes,
+      cand AS (SELECT p.qid, a.vec_id
+               FROM probes p JOIN assign a ON a.label = p.label),
+      adc AS (SELECT cand.qid, cand.vec_id, sum(l.d2) AS adc2
+              FROM cand
+              JOIN codes k ON k.vec_id = cand.vec_id
+              JOIN lut l ON l.qid = cand.qid AND l.s = k.s
+                        AND l.code_id = k.code_id
+              GROUP BY cand.qid, cand.vec_id),
+      r AS (SELECT qid, vec_id, adc2, row_number() OVER (
+              PARTITION BY qid ORDER BY adc2 ASC, vec_id ASC) AS rank
+            FROM adc)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        CAST(adc2 AS BIGINT) AS adc2
+      FROM r WHERE rank <= 10
+      ORDER BY qid, rank""",
+
+    "sim_ivf_topk" -> s"""
       WITH e AS (
         SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
             AS BIGINT) AS xg
         FROM embeddings),
-      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
-             FROM e GROUP BY vec_id),
-      c AS (SELECT label, j,
-              (2*sum(xg) + count(*)
-                 - (((2*sum(xg) + count(*)) % (2*count(*)) + 2*count(*))
-                    % (2*count(*)))) // (2*count(*)) AS cj
-            FROM e GROUP BY label, j),
-      nc2 AS (SELECT label, sum(CAST(cj AS HUGEINT) * cj) AS nc2
-              FROM c GROUP BY label
-              HAVING sum(CAST(cj AS HUGEINT) * cj) > 0),
-      ad AS (SELECT e.vec_id, c.label,
-               sum(CAST(e.xg AS HUGEINT) * c.cj) AS d
-             FROM e JOIN c ON e.j = c.j
-             GROUP BY e.vec_id, c.label),
-      akey AS (SELECT ad.vec_id, ad.label,
-                 (ad.d * abs(ad.d) * 1000000
-                    - ((ad.d * abs(ad.d) * 1000000) % nc2.nc2 + nc2.nc2)
-                      % nc2.nc2) // nc2.nc2 AS key
-               FROM ad JOIN nc2 ON ad.label = nc2.label),
-      assign AS (SELECT vec_id, label FROM (
-                   SELECT vec_id, label, row_number() OVER (
-                     PARTITION BY vec_id ORDER BY key DESC, label ASC) AS rn
-                   FROM akey) t WHERE rn = 1),
-      probes AS (SELECT vec_id AS qid, label FROM (
-                   SELECT vec_id, label, row_number() OVER (
-                     PARTITION BY vec_id ORDER BY key DESC, label ASC) AS rn
-                   FROM akey WHERE vec_id <= 4) t WHERE rn <= 3),
+      $ivfCoarseCtes,
       fd AS (SELECT p.qid, a.vec_id,
                sum(CAST(eq.xg AS HUGEINT) * ec.xg) AS d
              FROM probes p

@@ -155,6 +155,12 @@ class PlanAuditSpec extends SparkSpec {
     // the packed-decimal argmin must hash-aggregate (map-side partials);
     // SortAggregate means a struct buffer crept back in
     assert(!p.contains("SortAggregate"), "PQ argmin fell back to SortAggregate")
+    // the IVF+PQ composition inherits both disciplines
+    val pc = plan("sim_ivfpq_topk")
+    assert(pc.contains("BroadcastHashJoin"))
+    assert(!pc.contains("SortMergeJoin"),
+      "IVF+PQ shuffled a broadcast-sized index structure")
+    assert(!pc.contains("SortAggregate"))
   }
 
   test("k-means rounds broadcast the centroids and keep the packed " +

@@ -120,6 +120,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ only ranks vectors whose assigned cell a query probed") {
+    val d = "/root/testdata/sf0.001"
+    val sim = graft.queries.Similarity
+    val g = sim.ivfGrid(spark, d)
+    val cents = sim.ivfCents(g)
+    val cellOf = sim.ivfAssign(g, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = sim.ivfProbes(g, cents, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = sim.ivfPqTopK(spark, d, k = 10, nprobe = 3).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qid, vec) = (r.getLong(0), r.getLong(2))
+      assert(probed(qid).contains(cellOf(vec)),
+        s"qid $qid ranked vec $vec from an unprobed cell ${cellOf(vec)}")
+    }
+    // ranks contiguous from 1, bounded by k
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rns = rows.map(_.getLong(1)).sorted.toSeq
+      assert(rns == (1L to rns.length) && rns.length <= 10)
+    }
+  }
+
   test("PQ raises loudly on non-dense vec_ids (no silent empty codebook)") {
     import spark.implicits._
     val v = (0 until 64).map(i => math.sin(i + 1.0).toFloat).toArray
