@@ -406,13 +406,12 @@ object StreamingRun {
     * unlike the stateful shapes, no single-drain caveat is needed).
     * Left outer keeps events with no dimension row (and null-key events
     * join nothing in either engine, so no owner filter is needed).
-    * With this, every oracle-able `StreamingDemo` surface is gated:
-    * windowed agg, arbitrary-state sessionization, one-value-state
-    * throttle, stream-stream join, stream-static enrich — and
-    * [[dedupAvailableNow]] gates the dedup state store in its
-    * key-projected deterministic form. The one remaining surface is
-    * structurally un-oracle-able: `runningCounts` needs update mode
-    * (no append-sink read-back). */
+    * With this, every `StreamingDemo` surface is gated: windowed agg,
+    * arbitrary-state sessionization, one-value-state throttle,
+    * stream-stream join, stream-static enrich — plus
+    * [[dedupAvailableNow]] (the dedup state store, key-projected) and
+    * [[countsAvailableNow]] (update-mode running counts via the
+    * memory-sink read-back). */
   def enrichAvailableNow(s: SparkSession, dir: String): DataFrame = {
     val dim = broadcast(graft.Tables.table(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
@@ -457,13 +456,51 @@ object StreamingRun {
     drainToSink(deduped).orderBy(col("event_id"))
   }
 
+  /** Oracle-gated UPDATE-MODE running counts — the seventh streaming
+    * shape, closing the LAST `StreamingDemo` surface: the
+    * `mapGroupsWithState` per-key accumulator
+    * ([[StreamingDemo.runningCounts]], the stream-side analog of the
+    * reference reducer's accumulator) emits updated totals in update
+    * mode, which has no append-sink read-back — the reason earlier
+    * rounds classified it un-oracle-able. The gate instead drives a
+    * MEMORY sink: in the single-data-batch drain each key is invoked
+    * exactly once, so the sink table holds one row per key carrying the
+    * full count — the batch aggregate, which is the oracle (the
+    * AvailableNow flush batch invokes no groups and appends nothing).
+    * Under multi-batch ingest the sink would hold one row per key PER
+    * BATCH (the update-mode contract; `StreamingSpec` pins the
+    * accumulation), so the oracle encodes the single-drain shape, like
+    * the stream-stream join.
+    *
+    * The memory sink is the gate-harness stand-in for the keyed store a
+    * production topology would `foreachBatch`-upsert into; the
+    * OPERATOR's state (one long per key) lives in the distributed state
+    * store either way. `value` is unused by the count but `StreamEvent`
+    * types it primitive, so null measures are coalesced before the typed
+    * boundary (the count is unaffected). */
+  def countsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .select(col("ts"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[StreamEvent]
+    val counts = StreamingDemo.runningCounts(typed).toDF("event_type", "n")
+    val name = "graft_stream_counts_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("event_type"))
+  }
+
   val queries: Map[String, graft.queries.Q] = Map(
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
     "events_stream_throttle" -> ((s, d) => throttleAvailableNow(s, d)),
     "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d)),
     "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d)),
-    "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d))
+    "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d)),
+    "events_stream_counts" -> ((s, d) => countsAvailableNow(s, d))
   )
 
   // append-mode watermark oracle: only windows whose END the final
@@ -598,6 +635,16 @@ object StreamingRun {
     "events_stream_dedup" -> """
       SELECT DISTINCT event_id FROM events
       WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+
+    // the plain batch count over the streaming-timeline event set — a
+    // single-batch drain invokes each key's accumulator exactly once, so
+    // the update-mode memory sink holds the batch aggregate (see
+    // countsAvailableNow)
+    "events_stream_counts" -> """
+      SELECT event_type, count(*) AS n FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+      GROUP BY event_type
+      ORDER BY event_type"""
   )
 }
