@@ -34,4 +34,29 @@ object ScaleOps {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("sum_value"))
   }
+
+  /** Skew-proof inner equi-join: the (skewed) fact side is salted by a
+    * content hash into `buckets` sub-keys; the dim side is replicated
+    * once per salt via `explode(sequence(...))`; the join key becomes
+    * (key, salt). A hot fact key's rows land in `buckets` shuffle
+    * partitions instead of one straggler task. The result is EXACTLY
+    * `fact ⋈ dim` on `key` (each fact row still matches its dim row
+    * exactly once — at its own salt), so correctness never depends on
+    * the salt. Cost: the dim side shuffles `buckets`× its size — size
+    * `buckets` to the skew, not the cluster, and only reach for this
+    * when the dim is too big to broadcast AND AQE's runtime skew split
+    * can't see the skew (first-shuffle skew, stream side, AQE off).
+    * Fact and dim column names (other than `key`) must be disjoint.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int, seed: Long = 42L): DataFrame = {
+    require(buckets > 0)
+    val rowHash = xxhash64(fact.columns.map(col) :+ lit(seed): _*)
+    val saltedFact = fact
+      .withColumn("__salt", pmod(rowHash, lit(buckets.toLong)))
+    val replDim = dim
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedFact.join(replDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -404,6 +404,95 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sumMoney(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderpriority"), col("quartile"))
+    }),
+
+    // ---- fixed-iteration PageRank (Brin/Page; the link-analysis family
+    // behind harmonic-centrality web-corpus curation à la CommonCrawl)
+    // over the part↔supplier bipartite graph from lineitem, on the exact
+    // integer grid. Contract: damping 85/100, 3 synchronous iterations,
+    // rank₀ = 10¹² div n per node, per-edge contribution rank div deg
+    // (integer-div-then-sum — order-insensitive), rankᵢ₊₁ =
+    // ((10¹² div n)·15) div 100 + (85·in_mass) div 100. Nodes without
+    // lineitems are dangling: they keep receiving the base term and their
+    // mass is NOT redistributed (documented leak — deterministic, and the
+    // standard simplification when dangling mass is negligible). Every
+    // operation is int64 — bit-equal cross-engine where float PageRank
+    // never is. Plan shape is Pregel's: the edge list (with out-degree
+    // pre-joined) is hash-partitioned ONCE and persisted; each iteration
+    // is one hash join (ranks onto edge sources) + one map-side-combinable
+    // groupBy(dst) — O(iters) shuffles total, no driver-side state, no
+    // growing lineage (3 unrolled steps). At 10¹⁰ edges each round is one
+    // co-partitioned join exactly like the production Pregel/GraphFrames
+    // loop; convergence-to-tolerance would add the dedup_components-style
+    // loud-failure iteration cap.
+    "q28_pagerank_parts" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .select(concat(lit("p:"), col("l_partkey")).as("a"),
+          concat(lit("s:"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = graft.Caching.persistTracked(
+        e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
+      val withDeg = graft.Caching.persistTracked(
+        edges.join(
+          edges.groupBy(col("a")).agg(count(lit(1)).as("deg")), "a"))
+      val nodes = graft.Caching.persistTracked(
+        Tables.part(s, d)
+          .select(concat(lit("p:"), col("p_partkey")).as("node"))
+          .union(Tables.supplier(s, d)
+            .select(concat(lit("s:"), col("s_suppkey")).as("node"))))
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      val r0 = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), col("n"),
+          expr("1000000000000 div n").as("rank"))
+      def step(r: DataFrame): DataFrame = {
+        val mass = withDeg
+          .join(r.select(col("node").as("a"), col("rank")), "a")
+          .select(col("b").as("node"), expr("rank div deg").as("contrib"))
+          .groupBy(col("node")).agg(sum(col("contrib")).as("in_mass"))
+        nodes.crossJoin(broadcast(nn))
+          .join(mass, Seq("node"), "left_outer")
+          .select(col("node"), col("n"), (
+            expr("((1000000000000 div n) * 15) div 100") +
+              expr("(85 * coalesce(in_mass, 0)) div 100")).as("rank"))
+      }
+      val r3 = step(step(step(r0)))
+      // global top-50 via the bounded heap (TakeOrderedAndProject), THEN
+      // a row_number over just the 50 survivors — a bare global
+      // row_number window would single-partition ALL nodes
+      val w = Window.orderBy(col("rank_grid").desc, col("node").asc)
+      r3.select(col("node"), col("rank").as("rank_grid"))
+        .orderBy(col("rank_grid").desc, col("node").asc)
+        .limit(50)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("rn"), col("node"), col("rank_grid"))
+        .orderBy(col("rn"))
+    }),
+
+    // ---- salted skew JOIN ([[graft.operators.ScaleOps.saltedJoin]]
+    // gated): lineitem is genuinely skewed on l_suppkey (only 10·sf
+    // suppliers → ~600 rows per key at every SF), the exact regime where
+    // one hot key strangles a shuffle join. The fact side salts by
+    // content hash into 16 sub-keys, the dim side replicates 16×, and
+    // the join runs on (key, salt) — here FORCED to a shuffled hash join
+    // (hint) because a broadcastable supplier table would never need
+    // salting; the gate proves the salted plan's result is EXACTLY the
+    // plain join's (the oracle is the unsalted SQL), the property that
+    // makes the tool safe to deploy. Measures ride the cents grid, so
+    // the re-grouped addition order cannot show through.
+    "q29_join_salted_skew" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        .hint("shuffle_hash")
+      graft.operators.ScaleOps.saltedJoin(fact, dim, "l_suppkey", 16)
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sumMoney(col("l_extendedprice")).as("sum_price"))
+        .select(col("l_suppkey").as("suppkey"), col("s_name"),
+          col("n_items"), col("sum_price"))
+        .orderBy(col("suppkey"))
     })
   )
 
@@ -458,6 +547,63 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   val oracles: Map[String, String] = Map(
+    // 3 PageRank iterations unrolled as one CTE per step; every factor is
+    // BIGINT (// = integer div), contributions divided BEFORE the sum in
+    // both engines, so ranks are bit-equal.
+    "q28_pagerank_parts" -> """
+      WITH e0 AS (SELECT DISTINCT 'p:' || l_partkey AS a,
+                    's:' || l_suppkey AS b FROM lineitem),
+      e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      deg AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+      nodes AS (SELECT 'p:' || p_partkey AS node FROM part
+                UNION ALL SELECT 's:' || s_suppkey AS node FROM supplier),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, 1000000000000 // n AS rank
+             FROM nodes CROSS JOIN nn),
+      m1 AS (SELECT e.b AS node, sum(r.rank // d.deg) AS in_mass
+             FROM e JOIN deg d ON d.a = e.a JOIN r0 r ON r.node = e.a
+             GROUP BY e.b),
+      r1 AS (SELECT nd.node,
+               ((1000000000000 // nn.n) * 15) // 100
+                 + (85 * coalesce(m.in_mass, 0)) // 100 AS rank
+             FROM nodes nd CROSS JOIN nn
+             LEFT JOIN m1 m ON m.node = nd.node),
+      m2 AS (SELECT e.b AS node, sum(r.rank // d.deg) AS in_mass
+             FROM e JOIN deg d ON d.a = e.a JOIN r1 r ON r.node = e.a
+             GROUP BY e.b),
+      r2 AS (SELECT nd.node,
+               ((1000000000000 // nn.n) * 15) // 100
+                 + (85 * coalesce(m.in_mass, 0)) // 100 AS rank
+             FROM nodes nd CROSS JOIN nn
+             LEFT JOIN m2 m ON m.node = nd.node),
+      m3 AS (SELECT e.b AS node, sum(r.rank // d.deg) AS in_mass
+             FROM e JOIN deg d ON d.a = e.a JOIN r2 r ON r.node = e.a
+             GROUP BY e.b),
+      r3 AS (SELECT nd.node,
+               ((1000000000000 // nn.n) * 15) // 100
+                 + (85 * coalesce(m.in_mass, 0)) // 100 AS rank
+             FROM nodes nd CROSS JOIN nn
+             LEFT JOIN m3 m ON m.node = nd.node),
+      ranked AS (SELECT node, rank AS rank_grid,
+                   CAST(row_number() OVER (
+                     ORDER BY rank DESC, node ASC) AS BIGINT) AS rn
+                 FROM r3)
+      SELECT rn, node, CAST(rank_grid AS BIGINT) AS rank_grid
+      FROM ranked WHERE rn <= 50
+      ORDER BY rn""",
+
+    // the UNSALTED join — the whole point of the gate: salting must not
+    // change the result
+    "q29_join_salted_skew" -> """
+      SELECT l.l_suppkey AS suppkey, s.s_name,
+        count(*) AS n_items,
+        CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY l.l_suppkey, s.s_name
+      ORDER BY suppkey""",
+
     "q20_agg_approx_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
       FROM lineitem

@@ -225,6 +225,40 @@ object Similarity {
         .orderBy(col("vec_id"), col("j"))
     }),
 
+    // ---- Gram-matrix sufficient statistics (the distributive aggregate
+    // behind PCA/whitening/covariance: S_jk = Σ_v x_j·x_k over the
+    // corpus, upper triangle). Elements snap to the 1e-6 grid BEFORE the
+    // product, so every term is an exact int64 product summed in
+    // decimal(38) (HUGEINT oracle-side) — bit-stable at any corpus size
+    // where float dot-product accumulation is not; the d×d eigensolve
+    // that follows is a driver-side O(d³) on this tiny output, never a
+    // cluster op. Plan shape: the pair expansion is generate-on-generate
+    // (a projection — both explodes inherit the scan partition, no
+    // shuffle before the d² groupBy, whose input is already collapsed to
+    // d²·n_partitions partials by the map-side combine). d is the
+    // embedding width (small, fixed); n scales freely.
+    "emb_covariance" -> ((s, d) => {
+      val e1 = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          (col("pos") + 1).cast("long").as("j"),
+          grid(col("col").cast("double"), 1000000.0)
+            .cast("long").as("xj"))
+      e1.select(col("vec_id"), col("j"), col("xj"),
+          posexplode(col("embedding")))
+        .select(col("j"), col("xj"),
+          (col("pos") + 1).cast("long").as("k"),
+          grid(col("col").cast("double"), 1000000.0)
+            .cast("long").as("xk"))
+        .filter(col("k") >= col("j"))
+        .groupBy(col("j"), col("k"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum((col("xj") * col("xk")).cast(DecimalType(38, 0)))
+            .cast("double") / lit(1e12)).as("gram"))
+        .orderBy(col("j"), col("k"))
+    }),
+
     // ---- IVF-style ANN top-k: assign corpus to nearest centroid, probe the
     // 3 centroids nearest each query, brute-force only within probed cells.
     // Approximate as a NEIGHBOR ALGORITHM, yet fully oracle-checkable: the
@@ -1157,6 +1191,21 @@ object Similarity {
           CAST(unnest(embedding) AS DOUBLE) AS x
         FROM embeddings)
       GROUP BY label, j
-      ORDER BY label, j"""
+      ORDER BY label, j""",
+
+    // grid-then-multiply replayed exactly: xg are BIGINT, products sum
+    // into HUGEINT (Spark: decimal(38)), surfaced as DOUBLE/1e12
+    "emb_covariance" -> """
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings)
+      SELECT a.j, b.j AS k, count(*) AS n_vecs,
+        CAST(sum(a.xg * b.xg) AS DOUBLE) / 1e12 AS gram
+      FROM e a
+      JOIN e b ON b.vec_id = a.vec_id AND b.j >= a.j
+      GROUP BY a.j, b.j
+      ORDER BY a.j, k"""
   )
 }

@@ -374,6 +374,68 @@ object TextOps {
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(30)
+    }),
+
+    // ---- BM25 retrieval top-k (Robertson/Spärck Jones; the ranking
+    // function behind every lexical retrieval stage of a RAG/eval
+    // pipeline), on the exact integer grid. Contract (documented, like
+    // text_tfidf_top's): k1 = 6/5, b = 3/4 folded into exact rational
+    // arithmetic —
+    //   tfn6  = (44·tf·Ā·10⁶) div (20·tf·Ā + 6·Ā + 18·dl)   [Ā = avgdl div]
+    //   idf3  = ((2(N−df)+1)·10³) div (2df+1)               [(N−df+½)/(df+½)]
+    //   score = Σ_terms (idf3·tfn6) div 10³                  [10⁶ grid]
+    // tfn6 is exactly tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with avgdl
+    // floored to whole tokens (multiply through by 20·Ā); idf3 is the
+    // BM25+ idf ratio before the log — the log is monotone, so per-term
+    // ranking is order-identical and the grid keeps every comparison
+    // bit-stable cross-engine where float log/division are not. Magnitude
+    // bound: idf3 < 2N·10³, tfn6 ≤ 2.2·10⁶ → the product stays inside
+    // int64 up to N ≈ 2·10⁹ docs; beyond that drop idf to a 10² grid (a
+    // constant, not a shape change). Plan shape is the 100 TB retrieval
+    // shape: the query-term table BROADCASTS onto the (doc,term,tf)
+    // postings — only postings of query terms ever reach scoring — df/dl
+    // join hash-partitioned, per-query top-10 plans as WindowGroupLimit.
+    // One corpus tokenize pass (the postings frame is persisted and
+    // reused for dl, the corpus stats, df, and scoring); a production
+    // index would materialize that frame once and serve every query from
+    // it.
+    "text_bm25_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      import s.implicits._
+      val qterms = Seq(
+        0L -> "scan", 0L -> "column",
+        1L -> "window", 1L -> "order",
+        2L -> "hash", 2L -> "join",
+        3L -> "stream", 3L -> "filter",
+        4L -> "spark", 4L -> "merge").toDF("query_id", "qterm")
+      val tf = graft.Caching.persistTracked(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "term", "tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        expr("sum(dl) div count(1)").as("avgdl"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score_grid").desc, col("doc_id").asc)
+      tf.join(broadcast(qterms), col("term") === col("qterm"))
+        .join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf3",
+          expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+        .withColumn("tfn6", expr(
+          "(44 * tf * avgdl * 1000000) div " +
+            "(20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr("(idf3 * tfn6) div 1000")).as("score_grid"),
+          count(lit(1)).as("n_terms_matched"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("rn"), col("doc_id"),
+          col("score_grid"), col("n_terms_matched"))
+        .orderBy(col("query_id"), col("rn"))
     })
   )
 
@@ -388,6 +450,53 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "wordcount_topn" -> wcOracle(20),
+
+    // BM25 grid arithmetic replayed term-for-term: every factor is BIGINT
+    // math (// is DuckDB's integer div), so scores are bit-equal. The
+    // per-term (idf3*tfn6)//1000 happens BEFORE the sum in both engines —
+    // integer-div-then-sum is order-insensitive, sum-then-div is not.
+    "text_bm25_topk" -> """
+      WITH qt(query_id, qterm) AS (VALUES
+        (0, 'scan'), (0, 'column'), (1, 'window'), (1, 'order'),
+        (2, 'hash'), (2, 'join'), (3, 'stream'), (3, 'filter'),
+        (4, 'spark'), (4, 'merge')),
+      tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl
+                FROM dl),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT qt.query_id, tf.doc_id,
+          ((2 * (s.n_docs - df.df) + 1) * 1000) // (2 * df.df + 1) AS idf3,
+          (44 * tf.tf * s.avgdl * 1000000) //
+            (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * dl.dl) AS tfn6
+        FROM qt
+        JOIN tf ON tf.term = qt.qterm
+        JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT query_id, doc_id,
+          sum((idf3 * tfn6) // 1000) AS score_grid,
+          count(*) AS n_terms_matched
+        FROM scored GROUP BY query_id, doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score_grid, n_terms_matched,
+          CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_grid DESC, doc_id ASC) AS BIGINT) AS rn
+        FROM agg)
+      SELECT CAST(query_id AS BIGINT) AS query_id, rn, doc_id,
+        CAST(score_grid AS BIGINT) AS score_grid,
+        CAST(n_terms_matched AS BIGINT) AS n_terms_matched
+      FROM ranked
+      WHERE rn <= 10
+      ORDER BY query_id, rn""",
 
     "docs_boilerplate_ngrams" -> s"""
       WITH ${Dedup.hashedShingleCtes},
