@@ -124,6 +124,27 @@ object StreamingRun {
     s.read.schema(df.schema).parquet(out)
   }
 
+  /** Oracle-gated streaming SLIDING windows — the eighth streaming shape
+    * in the hash gate: where tumbling assigns each event to exactly one
+    * window, the 2h/1h slide assigns it to two overlapping ones, which
+    * exercises the multi-assignment path of the streaming window state
+    * store (each window is separate state, evicted independently once
+    * the watermark passes ITS end — the trailing window of the pair
+    * survives one watermark step longer, so the horizon clause prunes a
+    * different set than tumbling's). Same append-mode eviction polarity
+    * as tumbling: NON-STRICT (a window ending exactly at the watermark
+    * is emitted). */
+  def slidingAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("n"), col("sum_value"))
+    drainToSink(agg).orderBy(col("wstart"))
+  }
+
   def tumblingAvailableNow(s: SparkSession, dir: String): DataFrame = {
     val agg = eventStream(s, dir)
       .withWatermark("ts", "10 minutes")
@@ -495,6 +516,7 @@ object StreamingRun {
 
   val queries: Map[String, graft.queries.Q] = Map(
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
+    "events_stream_sliding" -> ((s, d) => slidingAvailableNow(s, d)),
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
     "events_stream_throttle" -> ((s, d) => throttleAvailableNow(s, d)),
     "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d)),
@@ -524,6 +546,23 @@ object StreamingRun {
       HAVING wstart + INTERVAL '1 hour' <=
         (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
       ORDER BY wstart, event_type""",
+
+    // the batch events_sliding two-offset expansion over the streaming
+    // timeline, with the same non-strict horizon clause as tumbling but
+    // against each window's OWN end (wstart + 2h) — the trailing member
+    // of each event's window pair is evicted one slide later
+    "events_stream_sliding" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour'
+          AS wstart,
+        count(*) AS n,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events CROSS JOIN (VALUES (0), (1)) off(o)
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+      GROUP BY wstart
+      HAVING wstart + INTERVAL '2 hours' <=
+        (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+      ORDER BY wstart""",
 
     // gaps-and-islands sessions (same recipe as the batch events_session
     // oracle, per user) plus the APPEND-MODE EMISSION CLAUSE: a session

@@ -35,6 +35,32 @@ class StreamingRunSpec extends SparkSpec {
     assert(full > streamed.length)
   }
 
+  test("AvailableNow streaming sliding equals batch restricted to " +
+    "watermark-closed windows — and each event lands in two windows") {
+    val d = SparkEntry.smokeDir
+    val streamed = graft.streaming.StreamingRun
+      .slidingAvailableNow(spark, d).collect()
+    val maxTs = Tables.events(spark, d)
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    // semantic model: the batch 2h/1h sliding agg, restricted to windows
+    // whose end (wstart + 2h) the final watermark passed (non-strict)
+    val expected = graft.queries.Events.queries("events_sliding")(spark, d)
+      .filter(unix_micros(col("wstart").cast("timestamp")) +
+        lit(7200000000L) <= lit(maxTs) - lit(600000000L))
+      .collect()
+    assert(streamed.length == expected.length)
+    assert(streamed.map(_.toString).sorted
+      .sameElements(expected.map(_.toString).sorted))
+    // multi-assignment really happened: total per-window counts sum to
+    // ~2× the event count over fully-covered interior windows, i.e. the
+    // window count exceeds the tumbling window count
+    val tumbling = graft.streaming.StreamingRun
+      .tumblingAvailableNow(spark, d)
+      .select(col("wstart")).distinct().count()
+    assert(streamed.length > tumbling,
+      "sliding emitted no more windows than tumbling — slide inactive")
+  }
+
   test("pre-epoch events are off the streaming timeline (and only the " +
     "streaming one)") {
     import spark.implicits._
