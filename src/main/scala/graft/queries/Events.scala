@@ -89,6 +89,104 @@ object Events {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- funnel analysis (view → click → purchase): the product-
+    // analytics conversion shape. Stage k's entry time is the user's
+    // earliest stage-k event AT OR AFTER their stage-(k−1) entry (>=:
+    // same-instant progression counts, mirrored in the oracle); users
+    // who never reach a stage carry NULL from there on. Timeline
+    // contract: null ts is off every timeline, and a funnel needs an
+    // owner (null user off, as in sessionization). Scale shape: three
+    // filtered aggregations and two left joins, ALL keyed on user_id —
+    // one hash partitioning reused end to end (AQE coalesces the
+    // co-partitioned exchanges); per-stage state is one timestamp per
+    // user, never an event list.
+    "events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          col("t_view").cast("timestamp_ntz").as("t_view"),
+          col("t_click").cast("timestamp_ntz").as("t_click"),
+          col("t_purchase").cast("timestamp_ntz").as("t_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- time-RANGE window frame: each event's trailing-1-hour sum and
+    // count for the same user — the moving-aggregate/feature-engineering
+    // shape (rate limits, rolling spend, burst detection). This is the
+    // RANGE frame the rest of the window family doesn't exercise: the
+    // frame is bounded by event-TIME distance, not row count, and
+    // same-instant events are PEERS (both engines include the full peer
+    // group at the frame head — deterministic without a tie-break
+    // because no prefix can split peers). Values ride the cent grid;
+    // the frame sum is an exact integer in both engines. One hash
+    // exchange on user_id; the per-partition frame scan is linear (both
+    // frame ends advance monotonically).
+    "events_moving_sum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"),
+          cents(col("value")).cast("long").as("c"))
+        .withColumn("mov_sum", sum(col("c")).over(w).cast("double") / 100.0)
+        .withColumn("n_window", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("mov_sum"), col("n_window"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- chi-square independence panel (event_type × value bucket):
+    // the drift/dependence monitor a data pipeline runs between a
+    // categorical feature and a bucketed measure. Everything rides
+    // exact integer arithmetic so the statistic is bit-equal
+    // cross-engine (float chi-square never is): per cell, dev = O·T −
+    // R·C and chi2_grid = (dev²·1000) div (R·C·T) — this is
+    // (O−E)²/E·T·1000 div'd exactly, since E = R·C/T. Carried in
+    // decimal(38)/HUGEINT: |dev| ≤ T² keeps dev²·10³ inside 38 digits
+    // up to T ≈ 3·10⁸ events per gate run; beyond that drop the 10³
+    // factor (a constant, not a shape change). The margins are two
+    // tiny re-aggregations of the O cells (never a second fact pass),
+    // broadcast back onto the cell table. Buckets are when-cascade
+    // thresholds (NaN lands in the tail bucket in both engines);
+    // null value/event_type are off the table by contract (mirrored).
+    "events_chi2" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val o = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          when(col("value") < 50.0, "low")
+            .when(col("value") < 150.0, "mid")
+            .otherwise("high").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val cm = o.groupBy(col("bucket")).agg(sum(col("o")).as("c"))
+      val t = o.agg(sum(col("o")).as("t"))
+      o.join(broadcast(r), "event_type")
+        .join(broadcast(cm), "bucket")
+        .crossJoin(broadcast(t))
+        .withColumn("dev", (col("o") * col("t")).cast(dec) -
+          (col("r") * col("c")).cast(dec))
+        .select(col("event_type"), col("bucket"), col("o"),
+          expr("(r * c * 1000) div t").as("e_grid"),
+          expr("(dev * dev * 1000) div (r * c * t)").as("chi2_grid"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // ---- time-series resample with gap fill: hourly counts/sums left
     // joined onto the full 720-slot hour grid (Jan 2024), empty hours
     // filled with zero — the standard regularization step before any
@@ -364,6 +462,71 @@ object Events {
       WHERE ts IS NOT NULL
       GROUP BY wstart, event_type
       ORDER BY wstart, event_type""",
+
+    // stage entry = earliest stage event at-or-after the previous stage's
+    // entry (>=); both engines walk the identical three-CTE chain
+    "events_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      v AS (SELECT user_id, min(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click
+            FROM ev e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM ev e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      FROM v
+      LEFT JOIN c ON c.user_id = v.user_id
+      LEFT JOIN p ON p.user_id = v.user_id
+      ORDER BY v.user_id""",
+
+    // RANGE frame on exact micros; same-instant events are peers and the
+    // full peer group sits inside the frame in both engines
+    "events_moving_sum" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+      SELECT event_id, user_id, ts,
+        CAST(sum(c) OVER w AS DOUBLE) / 100.0 AS mov_sum,
+        count(*) OVER w AS n_window
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    // dev = O·T − R·C and (dev²·1000) // (R·C·T) in HUGEINT — the same
+    // exact integers Spark carries in decimal(38); DuckDB NaN sorts
+    // greater-than-everything so the when-cascade tail bucket matches
+    "events_chi2" -> """
+      WITH o AS (
+        SELECT event_type,
+          CASE WHEN value < 50.0 THEN 'low'
+               WHEN value < 150.0 THEN 'mid'
+               ELSE 'high' END AS bucket,
+          count(*) AS o
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type, bucket),
+      r AS (SELECT event_type, sum(o) AS r FROM o GROUP BY event_type),
+      cm AS (SELECT bucket, sum(o) AS c FROM o GROUP BY bucket),
+      t AS (SELECT sum(o) AS t FROM o)
+      SELECT o.event_type, o.bucket, o.o,
+        CAST((r.r * cm.c * 1000) // t.t AS BIGINT) AS e_grid,
+        CAST(((CAST(o.o AS HUGEINT) * t.t - r.r * cm.c)
+            * (CAST(o.o AS HUGEINT) * t.t - r.r * cm.c) * 1000)
+          // (CAST(r.r AS HUGEINT) * cm.c * t.t) AS BIGINT) AS chi2_grid
+      FROM o
+      JOIN r USING (event_type)
+      JOIN cm USING (bucket)
+      CROSS JOIN t
+      ORDER BY o.event_type, o.bucket""",
 
     "events_sliding" -> s"""
       SELECT time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour' AS wstart,

@@ -402,6 +402,43 @@ object Pipeline {
 
     // ---- data-mixing by source: each source gets a deterministic
     // sampling rate (a pure hash of the source name standing in for the
+    // ---- distribution-drift monitor: each source's language mix scored
+    // against the corpus mix by TOTAL-VARIATION distance — the exact-
+    // integer member of the drift-divergence family (KL/JS need logs and
+    // can never hash cross-engine; TV = ½·Σ|p−q| is a sum of integer
+    // absolute deviations over one common denominator):
+    //   tvd_grid = (Σ_lang |n_sl·N − n_s·C_l| · 10⁶) div (2·n_s·N)
+    // with n_sl the (source, lang) count, n_s/C_l the margins, N the
+    // corpus total — carried in decimal(38)/HUGEINT so products are
+    // exact at any corpus size. A missing (source, lang) cell still
+    // contributes |0 − n_s·C_l| — the source×lang grid is the cross of
+    // the two TINY margin tables (left-joined back onto the cells and
+    // broadcast), never a second corpus pass. Null source/lang rows are
+    // off the panel by contract (mirrored). The 100 TB shape: one
+    // hash-partitioned cell aggregation, then dimension-only arithmetic.
+    "docs_source_tvd" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cnt = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_sl"))
+      val ns = cnt.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
+      val cl = cnt.groupBy(col("lang")).agg(sum(col("n_sl")).as("c_l"))
+      val tot = cnt.agg(sum(col("n_sl")).as("n"))
+      ns.crossJoin(broadcast(cl))
+        .join(cnt, Seq("source", "lang"), "left_outer")
+        .na.fill(0L, Seq("n_sl"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          abs((col("n_sl") * col("n")).cast(dec) -
+            (col("n_s") * col("c_l")).cast(dec)))
+        .groupBy(col("source"), col("n_s"), col("n"))
+        .agg(sum(col("term")).as("sum_term"))
+        .select(col("source"), col("n_s").as("n_docs"),
+          expr("(sum_term * 1000000) div (2 * n_s * n)").as("tvd_grid"))
+        .orderBy(col("source"))
+    }),
+
     // mixture weights a data recipe assigns), and a document survives iff
     // hash(doc_id) % 100 < rate — Bernoulli-by-hash, the only sampling
     // scheme that is exactly reproducible, partition-independent, and
@@ -714,6 +751,27 @@ object Pipeline {
       WHERE doc_id % 20 <> 0
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // same grid: HUGEINT products, abs-deviation sum, one integer div
+    "docs_source_tvd" -> """
+      WITH cnt AS (
+        SELECT source, lang, count(*) AS n_sl FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY source, lang),
+      ns AS (SELECT source, sum(n_sl) AS n_s FROM cnt GROUP BY source),
+      cl AS (SELECT lang, sum(n_sl) AS c_l FROM cnt GROUP BY lang),
+      tot AS (SELECT sum(n_sl) AS n FROM cnt),
+      g AS (
+        SELECT ns.source, ns.n_s, cl.lang, cl.c_l,
+          coalesce(cnt.n_sl, 0) AS n_sl
+        FROM ns CROSS JOIN cl
+        LEFT JOIN cnt ON cnt.source = ns.source AND cnt.lang = cl.lang)
+      SELECT g.source, CAST(g.n_s AS BIGINT) AS n_docs,
+        CAST((sum(abs(CAST(g.n_sl AS HUGEINT) * t.n - g.n_s * g.c_l))
+            * 1000000) // (2 * g.n_s * t.n) AS BIGINT) AS tvd_grid
+      FROM g CROSS JOIN tot t
+      GROUP BY g.source, g.n_s, t.n
+      ORDER BY g.source""",
 
     "docs_mixture_sample" -> """
       WITH t AS (

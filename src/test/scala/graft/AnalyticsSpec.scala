@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 analytics operators: funnel progression, the time-RANGE
+  * moving aggregate, the exact-integer chi-square panel, and the
+  * total-variation drift monitor. The DuckDB gate owns cross-engine
+  * equality; these pin the semantics. */
+class AnalyticsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("funnel: stage times are monotone and stages only narrow") {
+    val rows = SparkEntry.queries("events_funnel")(spark, d).collect()
+    assert(rows.nonEmpty)
+    var nView = 0; var nClick = 0; var nPurchase = 0
+    rows.foreach { r =>
+      // timestamp_ntz surfaces as LocalDateTime
+      val v = r.getAs[java.time.LocalDateTime](1)
+      val c = r.getAs[java.time.LocalDateTime](2)
+      val p = r.getAs[java.time.LocalDateTime](3)
+      assert(v != null, "funnel row without a view stage")
+      nView += 1
+      if (c != null) { nClick += 1; assert(!c.isBefore(v)) }
+      else assert(p == null, "purchase stage reached without click")
+      if (p != null) { nPurchase += 1; assert(!p.isBefore(c)) }
+    }
+    assert(nView >= nClick && nClick >= nPurchase)
+    assert(nPurchase > 0, "fixture never converts — funnel untestable")
+  }
+
+  test("funnel: stage entry is at-or-after the previous stage " +
+    "(hand-built timeline)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-funnel").toString
+    // user 1: click BEFORE first view must not count; the click at t=30
+    //         (same instant as nothing) enters; purchase at t=30 equals
+    //         click time → same-instant progression counts (>=)
+    // user 2: view only
+    val base = 1704067200000000L
+    Seq(
+      (1L, base + 10L, 1L, "click", 1.0, "{}"),   // pre-view click: ignored
+      (2L, base + 20L, 1L, "view", 1.0, "{}"),
+      (3L, base + 30L, 1L, "click", 1.0, "{}"),
+      (4L, base + 30L, 1L, "purchase", 1.0, "{}"), // same instant as click
+      (5L, base + 40L, 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[java.time.LocalDateTime](1),
+          r.getAs[java.time.LocalDateTime](2),
+          r.getAs[java.time.LocalDateTime](3))).toMap
+    val u1 = out(1L)
+    assert(u1._2 != null && u1._2.isAfter(u1._1),
+      "pre-view click leaked into the funnel")
+    assert(u1._3 != null && u1._3.equals(u1._2),
+      "same-instant purchase after click must count (>= contract)")
+    val u2 = out(2L)
+    assert(u2._2 == null && u2._3 == null)
+  }
+
+  test("moving sum: frame is trailing one hour inclusive, peers included") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-movsum").toString
+    val base = 1704067200000000L
+    val hour = 3600000000L
+    Seq(
+      (1L, base, 1L, "view", 1.00, "{}"),
+      (2L, base + hour, 1L, "view", 2.00, "{}"),        // exactly 1h later
+      (3L, base + hour, 1L, "view", 4.00, "{}"),        // peer of event 2
+      (4L, base + 2 * hour + 1L, 1L, "view", 8.00, "{}") // just past frame
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_moving_sum")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == (1.0, 1L))
+    // frame start is INCLUSIVE (RANGE 1h PRECEDING): event 1 still in;
+    // peers 2 and 3 both in each other's frame
+    assert(out(2L) == (7.0, 3L))
+    assert(out(3L) == (7.0, 3L))
+    // 2h+1µs later: events 2,3 are 1h−… wait: 4 is 1h+1µs after 2/3 —
+    // outside the trailing hour; only itself
+    assert(out(4L) == (8.0, 1L))
+  }
+
+  test("chi2: cells are exhaustive, margins consistent, statistic " +
+    "matches a direct computation") {
+    val rows = SparkEntry.queries("events_chi2")(spark, d).collect()
+    val t = rows.map(_.getLong(2)).sum
+    assert(t > 0)
+    // recompute margins from the cells and check each chi2_grid
+    val byType = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val byBucket = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    rows.foreach { row =>
+      val o = BigInt(row.getLong(2))
+      val r = BigInt(byType(row.getString(0)))
+      val c = BigInt(byBucket(row.getString(1)))
+      val dev = o * t - r * c
+      assert(BigInt(row.getLong(4)) == dev * dev * 1000 / (r * c * t))
+      assert(BigInt(row.getLong(3)) == r * c * 1000 / t)
+    }
+  }
+
+  test("tvd: zero for an identically-mixed corpus, bounded by the grid, " +
+    "and positive when a source deviates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tvd").toString
+    // srcA and srcB share the corpus mix exactly (1:1 en/de) → tvd 0;
+    // srcC is all-en → tvd strictly positive
+    Seq(
+      (1L, "t", "en", "srcA", 1L), (2L, "t", "de", "srcA", 1L),
+      (3L, "t", "en", "srcB", 1L), (4L, "t", "de", "srcB", 1L),
+      (5L, "t", "en", "srcC", 1L), (6L, "t", "en", "srcC", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_source_tvd")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // corpus: srcA 1en/1de, srcB 1en/1de, srcC 2en → mix 4en:2de
+    // srcA p=(.5,.5) vs q=(2/3,1/3): tv=1/6 → 166666
+    assert(out("srcA") == 166666L)
+    assert(out("srcB") == 166666L)
+    // srcC p=(1,0) vs q=(2/3,1/3): tv=1/3 → 333333
+    assert(out("srcC") == 333333L)
+    // fixture sweep: every tvd in [0, 1e6]
+    val fix = SparkEntry.queries("docs_source_tvd")(spark, d).collect()
+    assert(fix.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+  }
+}
