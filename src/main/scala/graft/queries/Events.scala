@@ -392,6 +392,66 @@ object Events {
         .orderBy(col("event_type"))
     }),
 
+    // ---- exact multi-quantile panel (p25/p50/p75/p95 per event type),
+    // type-1 (lower) quantiles: q_p = the value at rank ⌈n·p/100⌉ in the
+    // per-type value order. Rank-based like events_median_value, so the
+    // answer is a VALUE THAT EXISTS in the data — deterministic under
+    // ties (row_number may permute equal values, but the value at any
+    // rank is unchanged) and bit-equal cross-engine, where interpolated
+    // quantiles (percentile_cont) are float arithmetic that drifts in
+    // final ulps. The tiny p-dimension broadcasts onto the ranked rows;
+    // one window exchange on event_type total. At scale this is the
+    // same single-sort-per-group cost as the median — for sketched
+    // quantiles at much larger groups, q24's HLL family shows the
+    // approximate-path pattern (rank gates can't hash approximate
+    // answers, so the exact path is what the gate owns).
+    "events_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val ps = Seq(25L, 50L, 75L, 95L).toDF("p")
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).cast("long").as("v"))
+        .withColumn("rn", row_number().over(byType.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .crossJoin(broadcast(ps))
+        .filter(expr("rn = (n * p + 99) div 100"))
+        .select(col("event_type"), col("p"),
+          (col("v").cast("double") / 100.0).as("quantile"))
+        .orderBy(col("event_type").asc_nulls_last, col("p"))
+    }),
+
+    // ---- next-event transition matrix (the Markov-chain view of user
+    // flows: which event type follows which, with exact transition
+    // probabilities). Per user, events pair with their successor via one
+    // lead window over the (ts, event_id) total order — the same
+    // partitioned sequence scan as the debounce family, no self-join —
+    // then one tiny (k² rows) aggregation. Probabilities ride the 1e6
+    // grid: p = (n·10⁶) div row_total, integer-exact. Timeline contract:
+    // null ts off the timeline, transitions need an owner (null user
+    // off), and null event_type is excluded from the matrix (mirrored).
+    "events_transitions" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      pairs.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 1000000) div row_total").as("p_grid"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // ---- string-function surface over part names
     "part_strings" -> ((s, d) => {
       Tables.part(s, d)
@@ -462,6 +522,46 @@ object Events {
       WHERE ts IS NOT NULL
       GROUP BY wstart, event_type
       ORDER BY wstart, event_type""",
+
+    // type-1 quantiles: the value at rank ceil(n*p/100) — rank arithmetic
+    // in integer div, values on the cent grid
+    "events_quantiles" -> """
+      WITH g AS (
+        SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+          row_number() OVER (PARTITION BY event_type ORDER BY
+            CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL),
+      ps(p) AS (VALUES (25), (50), (75), (95))
+      SELECT event_type, CAST(p AS BIGINT) AS p,
+        CAST(v AS DOUBLE) / 100.0 AS quantile
+      FROM g CROSS JOIN ps
+      WHERE rn = (n * p + 99) // 100
+      ORDER BY event_type NULLS LAST, p""",
+
+    // one lead window over the same (ts, event_id) total order, then the
+    // k-squared aggregation with integer-grid probabilities
+    "events_transitions" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type AS from_type FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      pairs AS (
+        SELECT from_type,
+          lead(from_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS to_type
+        FROM ev),
+      cells AS (
+        SELECT from_type, to_type, count(*) AS n FROM pairs
+        WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type),
+      totals AS (
+        SELECT from_type, sum(n) AS row_total FROM cells
+        GROUP BY from_type)
+      SELECT c.from_type, c.to_type, c.n,
+        CAST((c.n * 1000000) // t.row_total AS BIGINT) AS p_grid
+      FROM cells c JOIN totals t ON t.from_type = c.from_type
+      ORDER BY c.from_type, c.to_type""",
 
     // stage entry = earliest stage event at-or-after the previous stage's
     // entry (>=); both engines walk the identical three-CTE chain

@@ -468,6 +468,35 @@ object Relational {
         .orderBy(col("rn"))
     }),
 
+    // ---- cohort retention (the classic activation/retention analytics
+    // matrix): customers are cohorted by the month of their FIRST order;
+    // each later order lands at an integer month offset from the cohort
+    // month; the output counts distinct active customers per (cohort,
+    // offset). Month arithmetic is pure integers — offset = (y·12+m) −
+    // (y₀·12+m₀) — never interval/float. Two hash exchanges on
+    // o_custkey (first-order agg, then the distinct-count agg regrouped
+    // by cohort), both map-side combinable; the first-order table joins
+    // back by key, the standard self-aggregation-join shape at any
+    // order-table size.
+    "q30_cohort_retention" -> ((s, d) => {
+      val ym = (t: org.apache.spark.sql.Column) => year(t) * 12 + month(t)
+      val first = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_dt"))
+        .select(col("o_custkey"),
+          date_trunc("month", col("first_dt")).as("cohort_ts"),
+          ym(col("first_dt")).as("ym0"))
+      Tables.orders(s, d)
+        .join(first, "o_custkey")
+        .select(col("o_custkey"), col("cohort_ts"),
+          (ym(col("o_orderdate")) - col("ym0")).cast("long").as("offset"))
+        .groupBy(col("cohort_ts"), col("offset"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+        .select(col("cohort_ts").cast("timestamp_ntz").as("cohort_month"),
+          col("offset"), col("n_customers"))
+        .orderBy(col("cohort_month"), col("offset"))
+    }),
+
     // ---- salted skew JOIN ([[graft.operators.ScaleOps.saltedJoin]]
     // gated): lineitem is genuinely skewed on l_suppkey (only 10·sf
     // suppliers → ~600 rows per key at every SF), the exact regime where
@@ -591,6 +620,24 @@ object Relational {
       SELECT rn, node, CAST(rank_grid AS BIGINT) AS rank_grid
       FROM ranked WHERE rn <= 50
       ORDER BY rn""",
+
+    // integer month arithmetic replayed: (y*12+m) deltas, never intervals
+    "q30_cohort_retention" -> """
+      WITH first AS (
+        SELECT o_custkey, min(o_orderdate) AS first_dt
+        FROM orders GROUP BY o_custkey),
+      f AS (
+        SELECT o_custkey,
+          CAST(date_trunc('month', first_dt) AS TIMESTAMP) AS cohort_ts,
+          year(first_dt) * 12 + month(first_dt) AS ym0
+        FROM first)
+      SELECT f.cohort_ts AS cohort_month,
+        CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.ym0
+          AS BIGINT) AS "offset",
+        count(DISTINCT o.o_custkey) AS n_customers
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+      GROUP BY cohort_month, "offset"
+      ORDER BY cohort_month, "offset"""",
 
     // the UNSALTED join — the whole point of the gate: salting must not
     // change the result

@@ -376,6 +376,33 @@ object TextOps {
         .limit(30)
     }),
 
+    // ---- inverted-index build (the materialization step a deployed
+    // BM25/keyword retrieval system runs once per corpus snapshot): per
+    // term, its document frequency and the FIRST 20 postings by doc id.
+    // The scale-honest shape: the posting cap happens via a rank filter
+    // BEFORE any list materializes (WindowGroupLimit bounds each term's
+    // rows to 20 inside the exchange) — a bare collect_list-then-slice
+    // would buffer a hot term's millions of postings in one aggregation
+    // state. df comes from the same postings frame's count aggregate
+    // (map-side combined), joined back on term; the array_sort on ≤ 20
+    // elements makes collect_list's arrival order irrelevant.
+    "text_inverted_index" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("doc_id"))
+      val postings = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+      val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      postings
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .groupBy(col("term"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
+        .join(df, "term")
+        .select(col("term"), col("df"), col("postings_head"))
+        .orderBy(col("term"))
+    }),
+
     // ---- BM25 retrieval top-k (Robertson/Spärck Jones; the ranking
     // function behind every lexical retrieval stage of a RAG/eval
     // pipeline), on the exact integer grid. Contract (documented, like
@@ -450,6 +477,25 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "wordcount_topn" -> wcOracle(20),
+
+    // per-term df over distinct (doc, term) postings; the posting head is
+    // the 20 smallest doc ids (rank filter, then sort — both engines)
+    "text_inverted_index" -> """
+      WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+      ranked AS (
+        SELECT term, doc_id,
+          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM tok),
+      heads AS (
+        SELECT term, list_sort(list(doc_id)) AS postings_head
+        FROM ranked WHERE rn <= 20 GROUP BY term)
+      SELECT h.term, d.df, h.postings_head
+      FROM heads h JOIN df d ON d.term = h.term
+      ORDER BY h.term""",
 
     // BM25 grid arithmetic replayed term-for-term: every factor is BIGINT
     // math (// is DuckDB's integer div), so scores are bit-equal. The

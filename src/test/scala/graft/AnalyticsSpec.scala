@@ -111,6 +111,87 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantiles: non-decreasing in p, values exist in the data, " +
+    "p50 matches the rank-median for odd groups") {
+    val rows = SparkEntry.queries("events_quantiles")(spark, d).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      assert(sorted == sorted.sorted, "quantiles not monotone in p")
+    }
+    // every quantile is a value that exists for its type (type-1 contract)
+    val vals = Tables.events(spark, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (floor(col("value") * 100.0 + 0.5) / 100.0).as("v"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).toSet).toMap
+    rows.foreach(r => assert(vals(r.getString(0)).contains(r.getDouble(2))))
+  }
+
+  test("transitions: per-row probabilities sum to ~1e6 and pair counts " +
+    "equal events minus chain starts") {
+    val rows = SparkEntry.queries("events_transitions")(spark, d).collect()
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (from, rs) =>
+      val psum = rs.map(_.getLong(3)).sum
+      // each cell floors individually: total in (1e6 - k, 1e6]
+      assert(psum <= 1000000L && psum > 1000000L - rs.length,
+        s"$from probabilities sum to $psum")
+    }
+    val nPairs = rows.map(_.getLong(2)).sum
+    val base = Tables.events(spark, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+    val nEvents = base.count()
+    val nUsers = base.select(col("user_id")).distinct().count()
+    assert(nPairs == nEvents - nUsers,
+      "every non-final event must contribute exactly one transition")
+  }
+
+  test("cohort retention: offsets non-negative and offset-0 covers the " +
+    "whole cohort") {
+    val rows = SparkEntry.queries("q30_cohort_retention")(spark, d)
+      .collect()
+    assert(rows.forall(_.getLong(1) >= 0L))
+    // offset 0 row of each cohort counts every customer whose first
+    // order is in that month
+    val first = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"))
+      .select(date_trunc("month", col("f")).as("m"))
+      .groupBy(col("m")).count()
+      .collect().map(r => r.getTimestamp(0).toInstant -> r.getLong(1))
+      .toMap
+    val zero = rows.filter(_.getLong(1) == 0L)
+    assert(zero.nonEmpty)
+    zero.foreach { r =>
+      val m = r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC)
+      assert(first(m) == r.getLong(2),
+        s"cohort $m offset-0 count ${r.getLong(2)} != cohort size")
+    }
+  }
+
+  test("inverted index: heads are the 20 smallest postings, df " +
+    "consistent, and a term's head matches a direct scan") {
+    val rows = SparkEntry.queries("text_inverted_index")(spark, d)
+      .collect()
+    rows.foreach { r =>
+      val head = r.getSeq[Long](2)
+      assert(head.length <= 20 && head.nonEmpty)
+      assert(head == head.sorted, "posting head not sorted")
+      assert(r.getLong(1) >= head.length)
+      if (r.getLong(1) <= 20) assert(r.getLong(1) == head.length)
+    }
+    val term = rows.head.getString(0)
+    val direct = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.queries.TextOps.tokens(col("text")).as("toks"))
+      .filter(array_contains(col("toks"), term))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.take(20)
+    assert(rows.head.getSeq[Long](2) == direct.toSeq)
+  }
+
   test("tvd: zero for an identically-mixed corpus, bounded by the grid, " +
     "and positive when a source deviates") {
     import spark.implicits._
