@@ -113,6 +113,17 @@ object Dedup {
   private[graft] def jaccardPairsUnsorted(docs: DataFrame, minJ: Double,
                                           idCol: String = "doc_id",
                                           textCol: String = "text"): DataFrame = {
+    val (common, sizes) = cappedCommon(docs, idCol, textCol)
+    jaccardFilter(common, sizes, minJ)
+  }
+
+  /** The shared candidate machinery of the pairwise near-dup family:
+    * df-capped hashed-shingle postings self-joined into per-pair
+    * intersection counts, plus the per-doc distinct-shingle-set sizes.
+    * Consumers apply their own similarity filter (symmetric Jaccard or
+    * asymmetric containment) — the candidate cost is identical. */
+  private def cappedCommon(docs: DataFrame, idCol: String,
+                           textCol: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // the per-doc shingle-hash kernel is the expensive projection and is
     // read by THREE consumers (df count, capped postings, set sizes) —
@@ -146,8 +157,31 @@ object Dedup {
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
-    jaccardFilter(common,
-      sh.select(col("doc_id"), size(col("hs")).as("n")), minJ)
+    (common, sh.select(col("doc_id"), size(col("hs")).as("n")))
+  }
+
+  /** Containment near-dup pairs (asymmetric Jaccard |A∩B|/|A|): catches
+    * quote-inclusion / near-superset duplication that symmetric Jaccard
+    * structurally misses — a short doc fully embedded in a long one
+    * scores |A|/|B| ≪ 1 on Jaccard but 1.0 on its own containment. A
+    * pair surfaces when EITHER side's containment clears `minC`; the
+    * threshold compares on the 10⁶ integer grid ((common·10⁶) div n —
+    * bit-stable), the surfaced ratios are correctly-rounded long/long
+    * doubles. Same df-capped candidate cost as [[jaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, minC: Double,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val gridC = math.round(minC * 1e6)
+    val (common, sizes) = cappedCommon(docs, idCol, textCol)
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(expr(s"(common * 1000000) div na >= $gridC OR " +
+        s"(common * 1000000) div nb >= $gridC"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
+        (col("common") * lit(1.0) / col("na")).as("cont_a"),
+        (col("common") * lit(1.0) / col("nb")).as("cont_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup pairs, verified
@@ -485,6 +519,9 @@ object Dedup {
       components(docs, pairs)
     }),
 
+    "dedup_containment" -> ((s, d) =>
+      containmentPairs(Tables.documents(s, d), 0.8)),
+
     "dedup_simhash" -> ((s, d) =>
       simhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -602,6 +639,26 @@ object Dedup {
       JOIN hsz sa ON sa.doc_id = c.a
       JOIN hsz sb ON sb.doc_id = c.b
       WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6
+      ORDER BY doc_a, doc_b""",
+
+    // same candidate CTEs; the filter is the 10^6-grid containment on
+    // EITHER side, ratios surfaced as long/long doubles
+    "dedup_containment" -> s"""
+      WITH $hashedShingleCtes,
+      df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
+      invc AS (SELECT hinv.doc_id, hinv.h FROM hinv
+               JOIN df ON df.h = hinv.h WHERE df.df <= 1000),
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                 FROM invc a JOIN invc b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+      SELECT c.a AS doc_a, c.b AS doc_b, CAST(c.common AS BIGINT) AS common,
+        c.common * 1.0 / sa.n AS cont_a,
+        c.common * 1.0 / sb.n AS cont_b
+      FROM common c
+      JOIN hsz sa ON sa.doc_id = c.a
+      JOIN hsz sb ON sb.doc_id = c.b
+      WHERE (c.common * 1000000) // sa.n >= 800000
+         OR (c.common * 1000000) // sb.n >= 800000
       ORDER BY doc_a, doc_b""",
 
     "dedup_minhash_lsh" -> s"""

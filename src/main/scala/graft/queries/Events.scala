@@ -392,6 +392,36 @@ object Events {
         .orderBy(col("event_type"))
     }),
 
+    // ---- z-score anomaly detection (|x − μ| > 3σ per event type), the
+    // telemetry-outlier monitor — with NO floating-point μ or σ anywhere:
+    // the flag inequality cross-multiplies to exact integers,
+    //   (x·n − S)² > 9·(n·Q − S²)      [S = Σv, Q = Σv², v on the cent
+    // grid, carried in decimal(38)/HUGEINT]
+    // which is |x−μ| > 3σ_pop exactly — so the flagged SET hash-matches
+    // cross-engine, where any float z-score comparison can flip on the
+    // boundary ulp. Window sums over event_type (null type is its own
+    // partition in both engines — no join, so no null-key drop); a
+    // zero-variance group flags nothing (0 > 0 false), n = 1 likewise.
+    // One hash exchange; the moment sums are the same distributive
+    // aggregates as q24's exact-stats family.
+    "events_anomaly" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          cents(col("value")).cast(dec).as("v"))
+        .withColumn("n", count(lit(1)).over(w).cast(dec))
+        .withColumn("sv", sum(col("v")).over(w))
+        .withColumn("q", sum(col("v") * col("v")).over(w))
+        .withColumn("dev", col("v") * col("n") - col("sv"))
+        .filter(col("dev") * col("dev") >
+          lit(9) * (col("n") * col("q") - col("sv") * col("sv")))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- exact multi-quantile panel (p25/p50/p75/p95 per event type),
     // type-1 (lower) quantiles: q_p = the value at rank ⌈n·p/100⌉ in the
     // per-type value order. Rank-based like events_median_value, so the
@@ -522,6 +552,25 @@ object Events {
       WHERE ts IS NOT NULL
       GROUP BY wstart, event_type
       ORDER BY wstart, event_type""",
+
+    // the cross-multiplied |x−μ| > 3σ inequality in HUGEINT — the exact
+    // integers Spark carries in decimal(38)
+    "events_anomaly" -> """
+      WITH g AS (
+        SELECT event_id, event_type, value,
+          CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS HUGEINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT event_id, event_type, value, v,
+          count(*) OVER w AS n,
+          sum(v) OVER w AS sv,
+          sum(v * v) OVER w AS q
+        FROM g
+        WINDOW w AS (PARTITION BY event_type))
+      SELECT event_id, event_type, value
+      FROM m
+      WHERE (v * n - sv) * (v * n - sv) > 9 * (n * q - sv * sv)
+      ORDER BY event_id""",
 
     // type-1 quantiles: the value at rank ceil(n*p/100) — rank arithmetic
     // in integer div, values on the cent grid

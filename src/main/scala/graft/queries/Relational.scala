@@ -497,6 +497,76 @@ object Relational {
         .orderBy(col("cohort_month"), col("offset"))
     }),
 
+    // ---- RFM customer segmentation (recency / frequency / monetary with
+    // quintile scores — the classic CRM/value segmentation): one
+    // aggregation of orders to the customer dimension (recency in whole
+    // days vs the corpus max order date — integer date_diff, never
+    // intervals), then three global ntile(5) windows WITH total
+    // tie-break orders, so every score is deterministic (ntile's
+    // earlier-buckets-one-larger split is the same in every SQL engine,
+    // q23's contract). The global windows run on the CUSTOMER DIMENSION
+    // (|customers| ≪ |orders| — the aggregation collapsed the fact
+    // table first); at a dimension too big for one partition, the
+    // quintile boundaries would come from rank targets à la
+    // events_quantiles and broadcast back — same contract, two-pass.
+    "q32_rfm_segments" -> ((s, d) => {
+      val rfm = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("frequency"),
+          sumMoney(col("o_totalprice")).as("monetary"))
+      val mx = Tables.orders(s, d).agg(max(col("o_orderdate")).as("max_dt"))
+      val wr = Window.orderBy(col("recency_days").asc, col("o_custkey").asc)
+      val wf = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
+      val wm = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
+      rfm.crossJoin(broadcast(mx))
+        .withColumn("recency_days",
+          datediff(to_date(col("max_dt")), to_date(col("last_dt")))
+            .cast("long"))
+        .withColumn("r_score", ntile(5).over(wr).cast("long"))
+        .withColumn("f_score", ntile(5).over(wf).cast("long"))
+        .withColumn("m_score", ntile(5).over(wm).cast("long"))
+        .select(col("o_custkey").as("custkey"), col("recency_days"),
+          col("frequency"), col("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- market-basket co-occurrence with lift (the association-rule
+    // mining shape): part pairs appearing in the same order, scored by
+    //   lift_grid = (n_ab·N·10⁶) div (n_a·n_b)      [lift = P(ab)/P(a)P(b)]
+    // on the integer grid, top-50 pairs by support with a total
+    // tie-break. The pair expansion is the per-order self-join on
+    // o_orderkey — bounded by basket size (items per order), NOT corpus
+    // size, which is what makes basket mining linear at any order count;
+    // the margins are one distinct-count aggregate joined back (the
+    // n_a/n_b sides ride broadcast when the part dimension allows, hash
+    // otherwise). Products stay inside int64 while n_ab·N < 9·10¹²·10⁶ —
+    // beyond ~10⁹ orders carry the numerator in decimal (a cast, not a
+    // shape change).
+    "q31_basket_lift" -> ((s, d) => {
+      val items = graft.Caching.persistTracked(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+      val tot = items.agg(countDistinct(col("o")).as("n_orders"))
+      val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val pairs = items.select(col("o"), col("p").as("pa"))
+        .join(items.select(col("o"), col("p").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(freq.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
+        .join(freq.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
+        .crossJoin(broadcast(tot))
+        .select(col("pa").as("part_a"), col("pb").as("part_b"),
+          col("n_ab"), col("n_a"), col("n_b"),
+          expr("(n_ab * n_orders * 1000000) div (n_a * n_b)")
+            .as("lift_grid"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    }),
+
     // ---- salted skew JOIN ([[graft.operators.ScaleOps.saltedJoin]]
     // gated): lineitem is genuinely skewed on l_suppkey (only 10·sf
     // suppliers → ~600 rows per key at every SF), the exact regime where
@@ -620,6 +690,56 @@ object Relational {
       SELECT rn, node, CAST(rank_grid AS BIGINT) AS rank_grid
       FROM ranked WHERE rn <= 50
       ORDER BY rn""",
+
+    // whole-day integer recency; the three ntile windows carry the same
+    // total tie-break orders as the engine side
+    "q32_rfm_segments" -> """
+      WITH rfm AS (
+        SELECT o_custkey, max(o_orderdate) AS last_dt,
+          count(*) AS frequency,
+          CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS monetary
+        FROM orders GROUP BY o_custkey),
+      mx AS (SELECT max(o_orderdate) AS max_dt FROM orders),
+      base AS (
+        SELECT o_custkey,
+          date_diff('day', CAST(last_dt AS DATE), CAST(max_dt AS DATE))
+            AS recency_days,
+          frequency, monetary
+        FROM rfm CROSS JOIN mx)
+      SELECT o_custkey AS custkey, CAST(recency_days AS BIGINT)
+          AS recency_days,
+        frequency, monetary,
+        CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+          AS BIGINT) AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+          AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+          AS BIGINT) AS m_score
+      FROM base
+      ORDER BY custkey""",
+
+    // per-order self-join pair expansion + integer-grid lift; the top-50
+    // ordering is (support desc, part_a, part_b) — total
+    "q31_basket_lift" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      tot AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+      freq AS (SELECT p, count(*) AS n_p FROM items GROUP BY p),
+      pairs AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p)
+      SELECT pr.pa AS part_a, pr.pb AS part_b, pr.n_ab,
+        fa.n_p AS n_a, fb.n_p AS n_b,
+        CAST((pr.n_ab * t.n_orders * 1000000) // (fa.n_p * fb.n_p)
+          AS BIGINT) AS lift_grid
+      FROM pairs pr
+      JOIN freq fa ON fa.p = pr.pa
+      JOIN freq fb ON fb.p = pr.pb
+      CROSS JOIN tot t
+      ORDER BY pr.n_ab DESC, part_a, part_b
+      LIMIT 50""",
 
     // integer month arithmetic replayed: (y*12+m) deltas, never intervals
     "q30_cohort_retention" -> """

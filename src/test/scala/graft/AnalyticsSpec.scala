@@ -192,6 +192,80 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getSeq[Long](2) == direct.toSeq)
   }
 
+  test("containment catches a quote-inclusion pair Jaccard misses") {
+    import spark.implicits._
+    // B embeds A verbatim plus 3x more text: containment(A in B) = 1.0
+    // but Jaccard ~ |A|/|B| ~ 0.25 — below any sane Jaccard threshold
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // all-letter filler words (the tokenizer strips digits, so numbered
+    // filler would collapse to one repeated bigram)
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    val filler = (0 until 30)
+      .map(i => s"f${abc(i / 26)}${abc(i % 26)}x").mkString(" ")
+    val docs = Seq((1L, a), (2L, s"$a $filler"))
+      .toDF("doc_id", "text")
+    val cont = graft.queries.Dedup.containmentPairs(docs, 0.8).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getLong(0) == 1L && cont.head.getLong(1) == 2L)
+    assert(cont.head.getDouble(3) == 1.0, "A fully contained in B")
+    assert(cont.head.getDouble(4) < 0.5)
+    val jac = graft.queries.Dedup.jaccardPairs(docs, 0.6).collect()
+    assert(jac.isEmpty, "Jaccard at 0.6 should miss the inclusion pair")
+  }
+
+  test("anomaly: flags exactly the >3-sigma outlier, strict at the " +
+    "boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-anom").toString
+    // group 'a': ten 10.00s and one 110.00 — the outlier's z is huge;
+    // group 'b': constant values — zero variance, nothing flagged
+    val rows = (1L to 10L).map(i => (i, 1704067200000000L + i, 1L, "a",
+      10.0, "{}")) ++ Seq((11L, 1704067200000011L, 1L, "a", 110.0, "{}")) ++
+      (20L to 24L).map(i => (i, 1704067200000000L + i, 2L, "b", 7.0, "{}"))
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_anomaly")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L),
+      s"expected only the outlier, got ${out.map(_.getLong(0)).toSeq}")
+  }
+
+  test("basket lift: hand-checked co-occurrence arithmetic") {
+    val rows = SparkEntry.queries("q31_basket_lift")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // support non-increasing down the list
+    val support = rows.map(_.getLong(2)).toSeq
+    assert(support == support.sorted.reverse)
+    // recompute lift_grid for the top pair from its own row's margins
+    val items = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct().count()
+    rows.take(5).foreach { r =>
+      val expect = r.getLong(2) * nOrders * 1000000L /
+        (r.getLong(3) * r.getLong(4))
+      assert(r.getLong(5) == expect)
+    }
+  }
+
+  test("rfm: scores are balanced quintiles over the customer dimension") {
+    val rows = SparkEntry.queries("q32_rfm_segments")(spark, d).collect()
+    val n = rows.length
+    assert(n > 0)
+    for (idx <- Seq(4, 5, 6)) {
+      val hist = rows.groupBy(_.getLong(idx)).view.mapValues(_.length)
+      assert(hist.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      assert(hist.values.max - hist.values.min <= 1,
+        s"ntile buckets unbalanced: $hist")
+    }
+    // monetary quintile 1 really is the highest-spend fifth
+    val byScore = rows.groupBy(_.getLong(6))
+    val top = byScore(1L).map(_.getDouble(3)).min
+    val bottom = byScore(5L).map(_.getDouble(3)).max
+    assert(top >= bottom)
+  }
+
   test("tvd: zero for an identically-mixed corpus, bounded by the grid, " +
     "and positive when a source deviates") {
     import spark.implicits._
