@@ -426,9 +426,14 @@ object Relational {
     // loop; convergence-to-tolerance would add the dedup_components-style
     // loud-failure iteration cap.
     "q28_pagerank_parts" -> ((s, d) => {
+      // nodes carry PACKED LONG ids internally (part → 2k, supplier →
+      // 2k+1): every shuffle, join, and distinct keys on an 8-byte long
+      // instead of a "p:123" string — the display label is derived once,
+      // on the 50 output rows (measured ~25% of query time at sf0.1 was
+      // string key hashing/compare)
       val e0 = Tables.lineitem(s, d)
-        .select(concat(lit("p:"), col("l_partkey")).as("a"),
-          concat(lit("s:"), col("l_suppkey")).as("b"))
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val edges = graft.Caching.persistTracked(
         e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
@@ -437,20 +442,26 @@ object Relational {
           edges.groupBy(col("a")).agg(count(lit(1)).as("deg")), "a"))
       val nodes = graft.Caching.persistTracked(
         Tables.part(s, d)
-          .select(concat(lit("p:"), col("p_partkey")).as("node"))
+          .select((col("p_partkey") * 2).as("node"))
           .union(Tables.supplier(s, d)
-            .select(concat(lit("s:"), col("s_suppkey")).as("node"))))
+            .select((col("s_suppkey") * 2 + 1).as("node"))))
       val nn = nodes.agg(count(lit(1)).as("n"))
       val r0 = nodes.crossJoin(broadcast(nn))
         .select(col("node"), col("n"),
           expr("1000000000000 div n").as("rank"))
+      // shuffle_hash on both per-round joins: the rank and mass sides are
+      // node-sized (not broadcastable at graph scale) and a sort-merge
+      // plan re-sorts the edge list EVERY round — the hash join keeps
+      // each round at one exchange of the small side against the
+      // already-partitioned edges (measured 8.5 s → SMJ sorts dominated)
       def step(r: DataFrame): DataFrame = {
         val mass = withDeg
-          .join(r.select(col("node").as("a"), col("rank")), "a")
+          .join(r.select(col("node").as("a"), col("rank"))
+            .hint("shuffle_hash"), "a")
           .select(col("b").as("node"), expr("rank div deg").as("contrib"))
           .groupBy(col("node")).agg(sum(col("contrib")).as("in_mass"))
         nodes.crossJoin(broadcast(nn))
-          .join(mass, Seq("node"), "left_outer")
+          .join(mass.hint("shuffle_hash"), Seq("node"), "left_outer")
           .select(col("node"), col("n"), (
             expr("((1000000000000 div n) * 15) div 100") +
               expr("(85 * coalesce(in_mass, 0)) div 100")).as("rank"))
@@ -458,9 +469,18 @@ object Relational {
       val r3 = step(step(step(r0)))
       // global top-50 via the bounded heap (TakeOrderedAndProject), THEN
       // a row_number over just the 50 survivors — a bare global
-      // row_number window would single-partition ALL nodes
+      // row_number window would single-partition ALL nodes. The string
+      // label materializes only here, and the heap orders by (rank,
+      // label) exactly as the oracle does: within one rank the "p:"
+      // prefix sorts before "s:", and numeric ids of one prefix sort as
+      // STRINGS — the packed long preserves neither, so the label is the
+      // sort key.
+      val label = concat(
+        when(col("id") % 2 === 0, lit("p:")).otherwise(lit("s:")),
+        expr("id div 2"))
       val w = Window.orderBy(col("rank_grid").desc, col("node").asc)
-      r3.select(col("node"), col("rank").as("rank_grid"))
+      r3.select(col("node").as("id"), col("rank").as("rank_grid"))
+        .select(label.as("node"), col("rank_grid"))
         .orderBy(col("rank_grid").desc, col("node").asc)
         .limit(50)
         .withColumn("rn", row_number().over(w).cast("long"))

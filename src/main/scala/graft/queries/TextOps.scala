@@ -376,6 +376,37 @@ object TextOps {
         .limit(30)
     }),
 
+    // ---- winnow-fingerprint shared-span pairs (Schleimer et al.'s
+    // original use: plagiarism-style LOCAL overlap detection): documents
+    // sharing >= 50 winnowing fingerprints. The fifth near-dup modality —
+    // winnow samples positional character-gram minima, so shared spans
+    // surface even when token-level Jaccard is diluted by unrelated
+    // text (complementing dedup_containment's set-ratio view). Same
+    // df-capped inverted-index recipe as the Jaccard family: hot
+    // fingerprints (boilerplate spans) are blocklisted map-side before
+    // the self-join, so candidate cost is bounded at any corpus size.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val fps = graft.Caching.persistTracked(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.winnow(col("text")))
+            .as("fp")))
+      val overCap = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).select(col("fp"))
+      val capped = graft.Caching.persistTracked(
+        fps.join(broadcast(overCap), Seq("fp"), "left_anti"))
+      capped.select(col("doc_id").as("a"), col("fp"))
+        .join(capped.select(col("doc_id").as("b"), col("fp")), "fp")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 50)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("n_shared"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- inverted-index build (the materialization step a deployed
     // BM25/keyword retrieval system runs once per corpus snapshot): per
     // term, its document frequency and the FIRST 20 postings by doc id.
@@ -474,6 +505,25 @@ object TextOps {
     GROUP BY word
     ORDER BY cnt DESC, word ASC
     LIMIT $n"""
+
+  /** The winnow fingerprint set per document as oracle CTEs — codepoint
+    * windows over the ASCII-folded text, 8-char grams, 4-hash windowed
+    * min, distinct fps per doc (bit-identical to `graft_winnow`). */
+  private[queries] val winnowCtes = """g0 AS (
+        SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t,
+          unnest(range(1, greatest(length(text) - 6, 1))) AS i
+        FROM documents),
+      g AS (
+        SELECT doc_id, i,
+          CAST(('0x' || substr(md5(substring(t, CAST(i AS INT), 8)), 1, 8))
+            AS BIGINT) AS h
+        FROM g0),
+      wmin AS (
+        SELECT doc_id, i,
+          min(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM g),
+      fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4)"""
 
   val oracles: Map[String, String] = Map(
     "wordcount_topn" -> wcOracle(20),
@@ -623,23 +673,26 @@ object TextOps {
       FROM c
       ORDER BY doc_id""",
 
-    "text_winnow_fingerprint" -> """
-      WITH g0 AS (
-        SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t,
-          unnest(range(1, greatest(length(text) - 6, 1))) AS i
-        FROM documents),
-      g AS (
-        SELECT doc_id, i,
-          CAST(('0x' || substr(md5(substring(t, CAST(i AS INT), 8)), 1, 8))
-            AS BIGINT) AS h
-        FROM g0),
-      wmin AS (
-        SELECT doc_id, i,
-          min(h) OVER (PARTITION BY doc_id ORDER BY i
-                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-        FROM g)
-      SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4
+    "text_winnow_fingerprint" -> s"""
+      WITH $winnowCtes
+      SELECT doc_id, fp FROM fps
       ORDER BY doc_id, fp""",
+
+    // df-capped fingerprint postings self-joined into shared-span counts
+    // — the same candidate recipe as the Jaccard family, over winnow's
+    // positional samples
+    "dedup_winnow_pairs" -> s"""
+      WITH $winnowCtes,
+      df AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+      fpc AS (SELECT fps.doc_id, fps.fp FROM fps
+              JOIN df ON df.fp = fps.fp WHERE df.df <= 1000),
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+                 FROM fpc a JOIN fpc b ON a.fp = b.fp
+                  AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+      SELECT a AS doc_a, b AS doc_b, CAST(n_shared AS BIGINT) AS n_shared
+      FROM common WHERE n_shared >= 50
+      ORDER BY doc_a, doc_b""",
 
     "docs_lm_bigram_score" -> """
       WITH w AS (SELECT doc_id,

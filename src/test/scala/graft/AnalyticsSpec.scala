@@ -192,6 +192,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getSeq[Long](2) == direct.toSeq)
   }
 
+  test("winnow pairs: a shared long span surfaces; fragmented overlap " +
+    "does not") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the very end of the shared passage block here"
+    val pad1 = "completely unrelated preamble text for document one " * 3
+    val pad2 = "entirely different trailing content for document two " * 3
+    val docs = Seq(
+      (1L, s"$pad1 $span"),
+      (2L, s"$span $pad2"),
+      (3L, pad1 + " " + pad2)).toDF("doc_id", "text")
+    // replicate the gated query's shape over a hand corpus
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.winnow(col("text"))).as("fp"))
+    val shared = fps.select(col("doc_id").as("a"), col("fp"))
+      .join(fps.select(col("doc_id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the 1-2 pair shares the long span's fingerprints; any 1-3/2-3
+    // overlap is incidental single-gram noise, far below it
+    val spanShared = shared((1L, 2L))
+    assert(spanShared >= 10, s"span pair only shares $spanShared fps")
+    assert(shared.getOrElse((1L, 3L), 0L) < spanShared / 2)
+  }
+
   test("containment catches a quote-inclusion pair Jaccard misses") {
     import spark.implicits._
     // B embeds A verbatim plus 3x more text: containment(A in B) = 1.0
