@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** The dedup content-fingerprint expression as oracle SQL, escaped for
+    * use inside s-interpolated oracle strings (`\\t` etc. produce the
+    * literal regex escapes the plain-string dedup oracles carry). */
+  private val fpExprSql =
+    "md5(coalesce(regexp_replace(translate(text, " +
+      "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ''))"
+
   /** Cross-engine 60-bit key hash (same recipe as the dedup family). */
   private def keyHash(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
@@ -402,6 +410,104 @@ object Pipeline {
 
     // ---- data-mixing by source: each source gets a deterministic
     // sampling rate (a pure hash of the source name standing in for the
+    // ---- power-of-two document-length histogram (corpus profiling —
+    // the first chart anyone draws over a new crawl). The log2 bucket is
+    // computed EXACTLY as the binary digit count: length(bin(n)) —
+    // integer in both engines, no float log anywhere; bucket k covers
+    // [2^(k-1), 2^k). Lengths come from the text itself (codepoint
+    // count — both engines agree; a metadata length column could be
+    // stale or absent). One map-side-combinable aggregation over a pure
+    // projection; empty/null docs are off the histogram by contract.
+    "docs_length_histogram" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(length(col("text")).cast("long").as("n"))
+        .filter(col("n").isNotNull && col("n") > 0)
+        .select(length(bin(col("n"))).cast("long").as("bucket"), col("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("sum_chars"),
+          min(col("n")).as("min_chars"),
+          max(col("n")).as("max_chars"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- the END-TO-END curation pipeline (the flagship composition —
+    // what a training-data team actually ships): raw corpus → exact
+    // dedup (keep min-id representative per content fingerprint) →
+    // quality gate (≥20 words, stop ratio < 0.4) → benchmark
+    // decontamination (drop docs sharing ≥ 5 shingle hashes with the
+    // held-out benchmark slice) → near-dup pruning (Jaccard ≥ 0.6 pairs
+    // among survivors, greedy drop-the-larger-id) → per-source attrition
+    // panel with final token counts. Every stage is a gated operator in
+    // its own right (dedup_exact / docs_clean_corpus /
+    // docs_decontaminate / dedup_neardup_jaccard); this query gates
+    // their COMPOSITION — set algebra between stages (semi/anti joins on
+    // doc_id), stage-subset candidate generation (the near-dup df cap is
+    // computed on the SURVIVOR subset, as it would be in production),
+    // and the bookkeeping panel. Scale shape: each stage is one of the
+    // already-audited shapes; stage membership flows as id sets
+    // (anti/semi joins, hash-partitioned on doc_id); nothing rescans
+    // text more than its own stage needs.
+    "docs_curation_pipeline" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = graft.Caching.persistTracked(Tables.documents(s, d)
+        .filter(col("doc_id") % 20 =!= 0 && col("source").isNotNull))
+      // stage 1: exact-dedup representatives
+      val reps = docs.select(col("doc_id"), Dedup.fingerprint.as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      // stage 2: quality gate over the representatives
+      val qk = graft.Caching.persistTracked(docs.join(reps, "doc_id")
+        .withColumn("ws", TextOps.tokens(col("text")))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_stop", size(filter(col("ws"),
+          w => w === "the" || w === "a" || w === "of")).cast("long"))
+        .filter(col("n_words") >= 20 &&
+          col("n_stop").cast("double") / col("n_words") < 0.4)
+        .select(col("doc_id"), col("n_words")))
+      // stage 3: decontamination vs the held-out benchmark slice
+      val bench = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+        .select(explode(
+          graft.functions.GraftFunctions.shingleHashes(col("text")))
+          .as("h")).distinct()
+      val contaminated = docs.join(qk.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), explode(
+          graft.functions.GraftFunctions.shingleHashes(col("text")))
+          .as("h"))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5).select(col("doc_id"))
+      val surv3 = graft.Caching.persistTracked(
+        qk.join(contaminated, Seq("doc_id"), "left_anti"))
+      // stage 4: near-dup pruning among survivors (drop b of each pair)
+      val dropB = Dedup
+        .jaccardPairsUnsorted(docs.join(surv3.select(col("doc_id")),
+          "doc_id"), 0.6)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val finalKeep = surv3.join(dropB, Seq("doc_id"), "left_anti")
+      // attrition panel per source
+      def bySource(ids: org.apache.spark.sql.DataFrame, n: String) =
+        docs.join(ids, "doc_id").groupBy(col("source"))
+          .agg(count(lit(1)).as(n))
+      val fin = docs.join(finalKeep, "doc_id").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_final"),
+          sum(col("n_words")).as("n_tokens_final"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+        .join(bySource(reps, "n_exact"), Seq("source"), "left_outer")
+        .join(bySource(qk.select(col("doc_id")), "n_quality"),
+          Seq("source"), "left_outer")
+        .join(bySource(surv3.select(col("doc_id")), "n_decontam"),
+          Seq("source"), "left_outer")
+        .join(fin, Seq("source"), "left_outer")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("n_tokens_final"), lit(0L)).as("n_tokens_final"))
+        .orderBy(col("source"))
+    }),
+
     // ---- distribution-drift monitor: each source's language mix scored
     // against the corpus mix by TOTAL-VARIATION distance — the exact-
     // integer member of the drift-divergence family (KL/JS need logs and
@@ -751,6 +857,96 @@ object Pipeline {
       WHERE doc_id % 20 <> 0
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // bin() digit count is the same exact integer in DuckDB; length() is
+    // codepoints in both engines
+    "docs_length_histogram" -> """
+      WITH t AS (SELECT CAST(length(text) AS BIGINT) AS n FROM documents)
+      SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+        count(*) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS sum_chars,
+        min(n) AS min_chars,
+        max(n) AS max_chars
+      FROM t
+      WHERE n IS NOT NULL AND n > 0
+      GROUP BY bucket
+      ORDER BY bucket""",
+
+    // the four stage oracles composed (fpExprSql is the shared
+    // fingerprint expression — an interpolated twin of the plain-string
+    // form in the dedup oracles): exact-dedup keep set → quality →
+    // shingle decontamination (≥5 shared) → subset-df-capped Jaccard
+    // prune → per-source attrition counts. hinv/hsz come from the shared
+    // hashedShingleCtes (full corpus); every stage restriction happens by
+    // id-set join, and the near-dup df cap is recomputed on the survivor
+    // subset exactly as the engine does.
+    "docs_curation_pipeline" -> s"""
+      WITH ${Dedup.hashedShingleCtes},
+      raw AS (SELECT doc_id, text, source FROM documents
+              WHERE doc_id % 20 <> 0 AND source IS NOT NULL),
+      keep AS (
+        SELECT min(doc_id) AS doc_id FROM raw
+        GROUP BY $fpExprSql),
+      tokq AS (
+        SELECT r.doc_id,
+          len(list_filter(string_split_regex(translate(r.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+                          x -> len(x) > 0)) AS n_words,
+          len(list_filter(string_split_regex(translate(r.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+                          x -> x = 'the' OR x = 'a' OR x = 'of')) AS n_stop
+        FROM raw r JOIN keep k ON k.doc_id = r.doc_id),
+      qual AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words FROM tokq
+        WHERE n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words < 0.4),
+      bench AS (SELECT DISTINCT h FROM hinv WHERE doc_id % 20 = 0),
+      contam AS (
+        SELECT hinv.doc_id FROM hinv
+        JOIN bench USING (h)
+        JOIN qual ON qual.doc_id = hinv.doc_id
+        GROUP BY hinv.doc_id HAVING count(*) >= 5),
+      surv3 AS (
+        SELECT q.doc_id, q.n_words FROM qual q
+        LEFT JOIN contam c ON c.doc_id = q.doc_id
+        WHERE c.doc_id IS NULL),
+      hinv_s AS (SELECT hinv.doc_id, hinv.h FROM hinv
+                 JOIN surv3 ON surv3.doc_id = hinv.doc_id),
+      dfs AS (SELECT h, count(*) AS df FROM hinv_s GROUP BY h),
+      invc AS (SELECT hinv_s.doc_id, hinv_s.h FROM hinv_s
+               JOIN dfs ON dfs.h = hinv_s.h WHERE dfs.df <= 1000),
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                 FROM invc a JOIN invc b ON a.h = b.h
+                  AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+      dropb AS (
+        SELECT DISTINCT c.b AS doc_id FROM common c
+        JOIN hsz sa ON sa.doc_id = c.a
+        JOIN hsz sb ON sb.doc_id = c.b
+        WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6),
+      final AS (
+        SELECT s.doc_id, s.n_words FROM surv3 s
+        LEFT JOIN dropb dx ON dx.doc_id = s.doc_id
+        WHERE dx.doc_id IS NULL),
+      p_raw AS (SELECT source, count(*) AS n_raw FROM raw GROUP BY source),
+      p_exact AS (SELECT r.source, count(*) AS n FROM raw r
+                  JOIN keep k ON k.doc_id = r.doc_id GROUP BY r.source),
+      p_q AS (SELECT r.source, count(*) AS n FROM raw r
+              JOIN qual q ON q.doc_id = r.doc_id GROUP BY r.source),
+      p_d AS (SELECT r.source, count(*) AS n FROM raw r
+              JOIN surv3 s3 ON s3.doc_id = r.doc_id GROUP BY r.source),
+      p_f AS (SELECT r.source, count(*) AS n, sum(f.n_words) AS tok
+              FROM raw r JOIN final f ON f.doc_id = r.doc_id
+              GROUP BY r.source)
+      SELECT p_raw.source, p_raw.n_raw,
+        coalesce(p_exact.n, 0) AS n_exact,
+        coalesce(p_q.n, 0) AS n_quality,
+        coalesce(p_d.n, 0) AS n_decontam,
+        coalesce(p_f.n, 0) AS n_final,
+        CAST(coalesce(p_f.tok, 0) AS BIGINT) AS n_tokens_final
+      FROM p_raw
+      LEFT JOIN p_exact ON p_exact.source = p_raw.source
+      LEFT JOIN p_q ON p_q.source = p_raw.source
+      LEFT JOIN p_d ON p_d.source = p_raw.source
+      LEFT JOIN p_f ON p_f.source = p_raw.source
+      ORDER BY p_raw.source""",
 
     // same grid: HUGEINT products, abs-deviation sum, one integer div
     "docs_source_tvd" -> """

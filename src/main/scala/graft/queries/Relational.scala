@@ -517,6 +517,34 @@ object Relational {
         .orderBy(col("cohort_month"), col("offset"))
     }),
 
+    // ---- Pareto/ABC revenue-concentration panel: customers sorted by
+    // spend (cents grid) descending, cut into spend deciles (ntile(10)
+    // with the total (spend desc, custkey) tie-break), each decile's
+    // exact share of total revenue on the 10⁶ grid:
+    // share_grid = (decile_cents·10⁶) div total_cents. The "do 20% of
+    // customers carry 80% of revenue" read-off, bit-stable. Same
+    // dimension-sized global window contract as q32 (the fact table is
+    // aggregated to customers first).
+    "q33_pareto_deciles" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice")).cast(dec)).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+      spend
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("decile_cents"))
+        .crossJoin(broadcast(
+          spend.agg(sum(col("cents")).as("total_cents"))))
+        .select(col("decile"), col("n_customers"),
+          (col("decile_cents").cast("double") / 100.0).as("decile_spend"),
+          expr("(decile_cents * 1000000) div total_cents")
+            .as("share_grid"))
+        .orderBy(col("decile"))
+    }),
+
     // ---- RFM customer segmentation (recency / frequency / monetary with
     // quintile scores — the classic CRM/value segmentation): one
     // aggregation of orders to the customer dimension (recency in whole
@@ -710,6 +738,28 @@ object Relational {
       SELECT rn, node, CAST(rank_grid AS BIGINT) AS rank_grid
       FROM ranked WHERE rn <= 50
       ORDER BY rn""",
+
+    // deciles by the identical tie-broken ntile; shares in HUGEINT //
+    "q33_pareto_deciles" -> """
+      WITH spend AS (
+        SELECT o_custkey,
+          sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+      dec AS (
+        SELECT o_custkey, cents,
+          ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile
+        FROM spend),
+      agg AS (
+        SELECT decile, count(*) AS n_customers,
+          sum(cents) AS decile_cents
+        FROM dec GROUP BY decile),
+      tot AS (SELECT sum(cents) AS total_cents FROM spend)
+      SELECT CAST(a.decile AS BIGINT) AS decile, a.n_customers,
+        CAST(a.decile_cents AS DOUBLE) / 100.0 AS decile_spend,
+        CAST((a.decile_cents * 1000000) // t.total_cents AS BIGINT)
+          AS share_grid
+      FROM agg a CROSS JOIN tot t
+      ORDER BY decile""",
 
     // whole-day integer recency; the three ntile windows carry the same
     // total tie-break orders as the engine side

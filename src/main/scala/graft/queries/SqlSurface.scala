@@ -54,6 +54,57 @@ object SqlSurface {
       ORDER BY cnt DESC, word ASC
       LIMIT 20"""),
 
+    // ---- the full BM25 retrieval stack as ONE SQL string — CTE chain
+    // (query VALUES, tokenize, tf/dl/df/corpus stats), the integer-grid
+    // BM25 arithmetic (`div` is Spark SQL's integer division — same
+    // floors as the DataFrame twin), and the rank-filtered window that
+    // Catalyst rewrites to a WindowGroupLimit. Proves the SQL frontend
+    // carries the engine's hardest scoring contract unchanged; the
+    // oracle is text_bm25_topk's, verbatim.
+    "sql_bm25_topk" -> sql("""
+      WITH qt AS (
+        SELECT * FROM VALUES
+          (0, 'scan'), (0, 'column'), (1, 'window'), (1, 'order'),
+          (2, 'hash'), (2, 'join'), (3, 'stream'), (3, 'filter'),
+          (4, 'spark'), (4, 'merge') AS t(query_id, qterm)),
+      tok AS (
+        SELECT doc_id, explode(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+                               w -> length(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) div count(*) AS avgdl
+                FROM dl),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT qt.query_id, tf.doc_id,
+          ((2 * (s.n_docs - df.df) + 1) * 1000) div (2 * df.df + 1)
+            AS idf3,
+          (44 * tf.tf * s.avgdl * 1000000) div
+            (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * dl.dl) AS tfn6
+        FROM qt
+        JOIN tf ON tf.term = qt.qterm
+        JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT query_id, doc_id,
+          sum((idf3 * tfn6) div 1000) AS score_grid,
+          count(*) AS n_terms_matched
+        FROM scored GROUP BY query_id, doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score_grid, n_terms_matched,
+          row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_grid DESC, doc_id ASC) AS rn
+        FROM agg)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+        CAST(rn AS BIGINT) AS rn, doc_id, score_grid, n_terms_matched
+      FROM ranked
+      WHERE rn <= 10
+      ORDER BY query_id, rn"""),
+
     // ---- TPC-H Q1 shape in SQL, on the exact integer-grid convention
     // (floor(x*scale + 0.5) summed as decimal(38,0), surfaced as DOUBLE —
     // identical expression in the oracle, see queries/package.scala)
@@ -114,6 +165,8 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "sql_wordcount_topn" -> TextOps.oracles("wordcount_topn"),
+    // the DataFrame twin's oracle verbatim — same contract, same grid
+    "sql_bm25_topk" -> TextOps.oracles("text_bm25_topk"),
     "sql_pricing_summary" -> Relational.oracles("q01_pricing_summary"),
     "sql_top_orders_per_segment" -> """
       SELECT c_mktsegment, rnk, o_orderkey FROM (

@@ -192,6 +192,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getSeq[Long](2) == direct.toSeq)
   }
 
+  test("curation pipeline: attrition is monotone per source and totals " +
+    "shrink at quality/decontam/near-dup stages") {
+    val rows = SparkEntry.queries("docs_curation_pipeline")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seq = (1 to 5).map(r.getLong)
+      assert(seq.zip(seq.tail).forall { case (a, b) => a >= b },
+        s"${r.getString(0)} attrition not monotone: $seq")
+      assert(r.getLong(6) >= r.getLong(5) * 20,
+        "final docs must carry >= 20 tokens each (the quality gate)")
+    }
+    val tot = (1 to 5).map(i => rows.map(_.getLong(i)).sum)
+    assert(tot.head > tot.last, "no stage removed anything")
+  }
+
+  test("length histogram: bucket k bounds [2^(k-1), 2^k)") {
+    val rows = SparkEntry.queries("docs_length_histogram")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val lo = 1L << (k - 1).toInt; val hi = 1L << k.toInt
+      assert(r.getLong(3) >= lo && r.getLong(4) < hi,
+        s"bucket $k holds [${r.getLong(3)}, ${r.getLong(4)}]")
+    }
+  }
+
+  test("pareto deciles: balanced, shares non-increasing, summing to " +
+    "~1e6 on the grid") {
+    val rows = SparkEntry.queries("q33_pareto_deciles")(spark, d).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val n = rows.map(_.getLong(1))
+    assert(n.max - n.min <= 1)
+    val shares = rows.map(_.getLong(3)).toSeq
+    assert(shares == shares.sorted.reverse, "shares must decrease")
+    val sum = shares.sum
+    assert(sum <= 1000000L && sum > 1000000L - 10)
+  }
+
+  test("sql bm25 equals the DataFrame twin row for row") {
+    val sqlR = SparkEntry.queries("sql_bm25_topk")(spark, d).collect()
+    val dfR = SparkEntry.queries("text_bm25_topk")(spark, d).collect()
+    assert(sqlR.map(_.toString).toSeq == dfR.map(_.toString).toSeq)
+  }
+
   test("winnow pairs: a shared long span surfaces; fragmented overlap " +
     "does not") {
     import spark.implicits._
