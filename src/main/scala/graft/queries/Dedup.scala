@@ -522,6 +522,22 @@ object Dedup {
     "dedup_containment" -> ((s, d) =>
       containmentPairs(Tables.documents(s, d), 0.8)),
 
+    // ---- duplicate-cluster size histogram (the dedup REPORT: how much
+    // of the corpus sits in 2-clusters vs giant components — the number
+    // that decides whether near-dup pruning is a trim or a rewrite; a
+    // heavy tail here is also the classic symptom of a too-loose
+    // threshold). Two map-side-combinable aggregations on top of the
+    // converged component labels.
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val pairs = jaccardPairsUnsorted(Tables.documents(s, d), 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      components(docs, pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       simhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -578,6 +594,26 @@ object Dedup {
       JOIN hsz sb ON sb.doc_id = c.b
       WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= $minJ
       ORDER BY doc_a, doc_b"""
+
+  /** The full Jaccard-0.6 pair graph + reachability closure as oracle
+    * CTEs (body of the dedup_components oracle, shared with the
+    * cluster-size histogram). Must be opened with `WITH RECURSIVE`. */
+  private val componentsCtes = s"""$hashedShingleCtes,
+      df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
+      invc AS (SELECT hinv.doc_id, hinv.h FROM hinv
+               JOIN df ON df.h = hinv.h WHERE df.df <= 1000),
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                 FROM invc a JOIN invc b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+      pairs AS (SELECT c.a, c.b FROM common c
+                JOIN hsz sa ON sa.doc_id = c.a
+                JOIN hsz sb ON sb.doc_id = c.b
+                WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6),
+      sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.m FROM reach r JOIN sym e ON e.a = r.n)"""
 
   private val minhashSigSql = {
     val mins = (0 until NumPerm).map(i => s"min(h1 + $i * h2) AS m$i")
@@ -673,24 +709,22 @@ object Dedup {
       ${verifySql("0.7")}""",
 
     "dedup_components" -> s"""
-      WITH RECURSIVE $hashedShingleCtes,
-      df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
-      invc AS (SELECT hinv.doc_id, hinv.h FROM hinv
-               JOIN df ON df.h = hinv.h WHERE df.df <= 1000),
-      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-                 FROM invc a JOIN invc b ON a.h = b.h AND a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id),
-      pairs AS (SELECT c.a, c.b FROM common c
-                JOIN hsz sa ON sa.doc_id = c.a
-                JOIN hsz sb ON sb.doc_id = c.b
-                WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6),
-      sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-      reach(n, m) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.b, r.m FROM reach r JOIN sym e ON e.a = r.n)
+      WITH RECURSIVE $componentsCtes
       SELECT n AS doc_id, min(m) AS component
       FROM reach GROUP BY n ORDER BY doc_id""",
+
+    // the same reachability closure, aggregated twice: component sizes,
+    // then the size histogram
+    "dedup_cluster_sizes" -> s"""
+      WITH RECURSIVE $componentsCtes,
+      comp AS (SELECT n AS doc_id, min(m) AS component
+               FROM reach GROUP BY n),
+      sizes AS (SELECT component, count(*) AS cluster_size
+                FROM comp GROUP BY component)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        count(*) AS n_clusters
+      FROM sizes GROUP BY cluster_size
+      ORDER BY cluster_size""",
 
     "dedup_simhash" -> s"""
       WITH $simhashCtes

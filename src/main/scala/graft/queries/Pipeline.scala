@@ -410,6 +410,34 @@ object Pipeline {
 
     // ---- data-mixing by source: each source gets a deterministic
     // sampling rate (a pure hash of the source name standing in for the
+    // ---- vocabulary-coverage / OOV-rate check (run before committing a
+    // tokenizer vocab: which documents a fixed top-K vocabulary fails to
+    // cover). The vocab is the corpus' top-100 terms by total count
+    // (term-asc tie-break — a total order, so the cut is deterministic),
+    // selected by bounded heap and BROADCAST back onto the per-doc term
+    // counts; the OOV rate rides the 10⁶ grid. One corpus tokenize pass
+    // (persisted postings reused for vocab, totals, and coverage); at
+    // real scale the vocab table is exactly what you'd pin alongside the
+    // tokenizer artifact.
+    "docs_vocab_oov" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val tf = graft.Caching.persistTracked(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "term", "tf"))
+      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(100)
+        .select(col("term"))
+      val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tokens"))
+      val inv = tf.join(broadcast(vocab), "term")
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("n_inv"))
+      tot.join(inv, Seq("doc_id"), "left_outer")
+        .withColumn("n_oov", col("n_tokens") - coalesce(col("n_inv"), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_grid"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- power-of-two document-length histogram (corpus profiling —
     // the first chart anyone draws over a new crawl). The log2 bucket is
     // computed EXACTLY as the binary digit count: length(bin(n)) —
@@ -857,6 +885,28 @@ object Pipeline {
       WHERE doc_id % 20 <> 0
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // vocab cut replayed with the identical (cnt desc, term asc) order
+    "docs_vocab_oov" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
+          ORDER BY cnt DESC, term ASC LIMIT 100)),
+      tot AS (SELECT doc_id, sum(tf) AS n_tokens FROM tf GROUP BY doc_id),
+      inv AS (SELECT tf.doc_id, sum(tf.tf) AS n_inv FROM tf
+              JOIN vocab USING (term) GROUP BY tf.doc_id)
+      SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        CAST(t.n_tokens - coalesce(i.n_inv, 0) AS BIGINT) AS n_oov,
+        CAST(((t.n_tokens - coalesce(i.n_inv, 0)) * 1000000) // t.n_tokens
+          AS BIGINT) AS oov_grid
+      FROM tot t LEFT JOIN inv i ON i.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
 
     // bin() digit count is the same exact integer in DuckDB; length() is
     // codepoints in both engines

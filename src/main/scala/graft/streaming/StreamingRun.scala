@@ -514,7 +514,34 @@ object StreamingRun {
     s.table(name).orderBy(col("event_type"))
   }
 
+  /** Oracle-gated COMPLETE-mode streaming aggregation — the ninth
+    * streaming shape, closing the third of Spark's three output modes
+    * (append: windowed sinks; update: [[countsAvailableNow]]; complete:
+    * here). A global per-key aggregate with no watermark re-emits its
+    * ENTIRE result table every trigger; after the AvailableNow drain the
+    * memory sink holds the final snapshot, which equals the batch
+    * aggregate under ANY batch split (complete mode's defining
+    * invariant — stronger than update mode's single-drain caveat, and
+    * the gate's oracle is just the batch GROUP BY). State is one row
+    * per key, the production pattern for live dashboards/totals. Null
+    * event_type is a legitimate group (nulls-last pinned, as in
+    * events_salted_sum); the shared streaming-timeline contract applies
+    * via the common source. */
+  def totalsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+    val name = "graft_stream_totals_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("event_type").asc_nulls_last)
+  }
+
   val queries: Map[String, graft.queries.Q] = Map(
+    "events_stream_totals" -> ((s, d) => totalsAvailableNow(s, d)),
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
     "events_stream_sliding" -> ((s, d) => slidingAvailableNow(s, d)),
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
@@ -536,6 +563,17 @@ object StreamingRun {
   // µs-vs-ms floor gap is unreachable (a window end can never carry the
   // sub-ms remainder the floor would drop)
   val oracles: Map[String, String] = Map(
+    // complete mode: the final snapshot IS the batch aggregate over the
+    // streaming timeline — no horizon clause by construction
+    "events_stream_totals" -> """
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+      GROUP BY event_type
+      ORDER BY event_type NULLS LAST""",
+
     "events_stream_tumbling" -> """
       SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         count(*) AS n,

@@ -232,6 +232,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(sum <= 1000000L && sum > 1000000L - 10)
   }
 
+  test("cluster-size histogram accounts for every document") {
+    val rows = SparkEntry.queries("dedup_cluster_sizes")(spark, d)
+      .collect()
+    val nDocs = Tables.documents(spark, d).count()
+    val covered = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(covered == nDocs,
+      s"histogram covers $covered of $nDocs docs")
+    // singletons exist and some true cluster (size >= 2) exists at sf0.001
+    assert(rows.exists(_.getLong(0) == 1L))
+    assert(rows.exists(_.getLong(0) >= 2L))
+  }
+
+  test("vocab OOV: rates in [0, 1e6], and a doc of only top terms " +
+    "scores zero") {
+    val rows = SparkEntry.queries("docs_vocab_oov")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // the sf0.001 synthetic vocabulary is smaller than the 100-term cut,
+    // so coverage must be TOTAL (every rate exactly zero) — the
+    // convergent sanity; a corpus with a >100-term vocabulary must leak
+    val nDistinct = Tables.documents(spark, d)
+      .select(explode(graft.queries.TextOps.tokens(col("text"))))
+      .distinct().count()
+    if (nDistinct <= 100) assert(rows.forall(_.getLong(3) == 0L))
+    else assert(rows.map(_.getLong(2)).sum > 0)
+    // and a hand corpus with >100 distinct terms leaks exactly the rare
+    // word: 150 fillers (faa..ffr, all alphabetically before zzyzzx)
+    // fill the vocab cut; zzyzzx at count 1 falls outside the top-100
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    val fillers = (0 until 150)
+      .map(i => s"f${abc(i / 26)}${abc(i % 26)}").mkString(" ")
+    Seq((1L, "alpha beta zzyzzx"),
+      (2L, ("alpha beta " * 5) + fillers))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("docs_vocab_oov")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1L, s"rare-term OOV: got ${out(1L)}")
+  }
+
   test("sql bm25 equals the DataFrame twin row for row") {
     val sqlR = SparkEntry.queries("sql_bm25_topk")(spark, d).collect()
     val dfR = SparkEntry.queries("text_bm25_topk")(spark, d).collect()

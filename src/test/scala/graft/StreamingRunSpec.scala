@@ -61,6 +61,22 @@ class StreamingRunSpec extends SparkSpec {
       "sliding emitted no more windows than tumbling — slide inactive")
   }
 
+  test("complete-mode totals equal the batch aggregate over the " +
+    "streaming timeline") {
+    val d = SparkEntry.smokeDir
+    val streamed = graft.streaming.StreamingRun
+      .totalsAvailableNow(spark, d).collect()
+    val batch = Tables.events(spark, d)
+      .filter(col("ts").isNotNull &&
+        col("ts") >= timestamp_micros(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_last)
+      .collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
   test("pre-epoch events are off the streaming timeline (and only the " +
     "streaming one)") {
     import spark.implicits._
