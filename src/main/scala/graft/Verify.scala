@@ -21,8 +21,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop subset (driver leaves this unset → full dump): comma-
-    // separated query names, paired with selfcheck.py's [query...] args
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // separated query names, paired with selfcheck.py's [query...] args.
+    // Trimmed, and an empty/blank value means NO filter — an unset shell
+    // variable must not silently produce an empty dump that a downstream
+    // selfcheck would vacuously pass
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -595,6 +595,15 @@ object Dedup {
       WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= $minJ
       ORDER BY doc_a, doc_b"""
 
+  /** The content-fingerprint expression as oracle SQL — THE one
+    * definition of the normalized-content identity on the DuckDB side
+    * (escaped for s-interpolated oracle strings: `\\t` etc. yield the
+    * literal regex escapes). Spark twin: [[fingerprint]]. */
+  private[queries] val fpExprSql =
+    "md5(coalesce(regexp_replace(translate(text, " +
+      "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ''))"
+
   /** The full Jaccard-0.6 pair graph + reachability closure as oracle
     * CTEs (body of the dedup_components oracle, shared with the
     * cluster-size histogram). Must be opened with `WITH RECURSIVE`. */
@@ -653,9 +662,9 @@ object Dedup {
                FROM bits GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
-    "dedup_exact" -> """
+    "dedup_exact" -> s"""
       SELECT min(doc_id) AS keep_doc_id,
-        md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'), '')) AS fp,
+        $fpExprSql AS fp,
         count(*) AS n_copies
       FROM documents
       GROUP BY fp
@@ -732,10 +741,10 @@ object Dedup {
 
     // fp expression identical to dedup_exact's; fp is never NULL (null
     // text fingerprints as ''), so NOT IN is a safe anti-join
-    "dedup_incremental" -> """
+    "dedup_incremental" -> s"""
       WITH fp AS (
         SELECT doc_id,
-          md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'), '')) AS fp
+          $fpExprSql AS fp
         FROM documents),
       known AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 = 0)
       SELECT min(doc_id) AS keep_doc_id, fp

@@ -176,14 +176,20 @@ object Events {
       val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
       val cm = o.groupBy(col("bucket")).agg(sum(col("o")).as("c"))
       val t = o.agg(sum(col("o")).as("t"))
+      // every factor casts to decimal BEFORE any product (multiply-first
+      // in Long wraps at r·c·t > 9.2e18 — only ~4M balanced events —
+      // while the oracle's HUGEINT stays exact; cast-then-multiply is
+      // the events_anomaly convention)
       o.join(broadcast(r), "event_type")
         .join(broadcast(cm), "bucket")
         .crossJoin(broadcast(t))
-        .withColumn("dev", (col("o") * col("t")).cast(dec) -
-          (col("r") * col("c")).cast(dec))
         .select(col("event_type"), col("bucket"), col("o"),
-          expr("(r * c * 1000) div t").as("e_grid"),
-          expr("(dev * dev * 1000) div (r * c * t)").as("chi2_grid"))
+          col("o").cast(dec).as("od"), col("r").cast(dec).as("rd"),
+          col("c").cast(dec).as("cd"), col("t").cast(dec).as("td"))
+        .withColumn("dev", col("od") * col("td") - col("rd") * col("cd"))
+        .select(col("event_type"), col("bucket"), col("o"),
+          expr("(rd * cd * 1000) div td").as("e_grid"),
+          expr("(dev * dev * 1000) div (rd * cd * td)").as("chi2_grid"))
         .orderBy(col("event_type"), col("bucket"))
     }),
 

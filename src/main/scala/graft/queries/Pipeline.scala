@@ -17,13 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** The dedup content-fingerprint expression as oracle SQL, escaped for
-    * use inside s-interpolated oracle strings (`\\t` etc. produce the
-    * literal regex escapes the plain-string dedup oracles carry). */
-  private val fpExprSql =
-    "md5(coalesce(regexp_replace(translate(text, " +
-      "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
-      "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ''))"
+  /** The shared dedup content-fingerprint oracle expression —
+    * [[Dedup.fpExprSql]] (one definition for every oracle that keys on
+    * the normalized-content identity). */
+  private def fpExprSql = Dedup.fpExprSql
 
   /** Cross-engine 60-bit key hash (same recipe as the dedup family). */
   private def keyHash(c: org.apache.spark.sql.Column) =
@@ -559,17 +556,23 @@ object Pipeline {
       val ns = cnt.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
       val cl = cnt.groupBy(col("lang")).agg(sum(col("n_sl")).as("c_l"))
       val tot = cnt.agg(sum(col("n_sl")).as("n"))
+      // cast BEFORE multiplying: the products and the 2·n_s·N divisor
+      // reach N² — Long wraps past ~2e9 docs while the oracle's HUGEINT
+      // stays exact (the "exact at any corpus size" claim lives here)
       ns.crossJoin(broadcast(cl))
         .join(cnt, Seq("source", "lang"), "left_outer")
         .na.fill(0L, Seq("n_sl"))
         .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          col("n_s").cast(dec).as("n_sd"), col("n").cast(dec).as("nd"),
+          col("c_l").cast(dec).as("c_ld"),
+          col("n_sl").cast(dec).as("n_sld"))
         .withColumn("term",
-          abs((col("n_sl") * col("n")).cast(dec) -
-            (col("n_s") * col("c_l")).cast(dec)))
-        .groupBy(col("source"), col("n_s"), col("n"))
+          abs(col("n_sld") * col("nd") - col("n_sd") * col("c_ld")))
+        .groupBy(col("source"), col("n_s"), col("n_sd"), col("nd"))
         .agg(sum(col("term")).as("sum_term"))
         .select(col("source"), col("n_s").as("n_docs"),
-          expr("(sum_term * 1000000) div (2 * n_s * n)").as("tvd_grid"))
+          expr("(sum_term * 1000000) div (2 * n_sd * nd)").as("tvd_grid"))
         .orderBy(col("source"))
     }),
 
@@ -671,15 +674,13 @@ object Pipeline {
       FROM documents
       ORDER BY doc_id""",
 
-    "docs_unique_ids" -> """
+    "docs_unique_ids" -> s"""
       SELECT doc_id, fp, n_claims FROM (
         SELECT doc_id,
-          md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'), ''))
-            AS fp,
+          $fpExprSql AS fp,
           count(*) OVER (PARTITION BY doc_id) AS n_claims,
           row_number() OVER (PARTITION BY doc_id
-            ORDER BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ',
-              'g'), ''))) AS rn
+            ORDER BY $fpExprSql) AS rn
         FROM documents) t
       WHERE rn = 1
       ORDER BY doc_id""",
@@ -813,12 +814,11 @@ object Pipeline {
       FROM c
       ORDER BY doc_id, chunk_id""",
 
-    "docs_clean_corpus" -> """
+    "docs_clean_corpus" -> s"""
       WITH keep AS (
         SELECT min(doc_id) AS doc_id
         FROM documents
-        GROUP BY md5(coalesce(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\x0B\f\r]+', ' ', 'g'),
-                              ''))),
+        GROUP BY $fpExprSql),
       q AS (
         SELECT doc_id, lang,
           len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),

@@ -86,8 +86,8 @@ class AnalyticsSpec extends SparkSpec {
     // peers 2 and 3 both in each other's frame
     assert(out(2L) == (7.0, 3L))
     assert(out(3L) == (7.0, 3L))
-    // 2h+1µs later: events 2,3 are 1h−… wait: 4 is 1h+1µs after 2/3 —
-    // outside the trailing hour; only itself
+    // event 4 is 1h+1µs after events 2/3 — outside the trailing hour,
+    // so its frame holds only itself
     assert(out(4L) == (8.0, 1L))
   }
 
