@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: left-to-right double-precision dot product
@@ -130,6 +130,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GraftSimhash].getName, "graft_simhash"),
     (children: Seq[Expression]) => GraftSimhash(children(0)))
 
+  val gramHashesInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_gram_hashes"),
+    new ExpressionInfo(classOf[GraftGramHashes].getName,
+      "graft_gram_hashes"),
+    (children: Seq[Expression]) => GraftGramHashes(children(0), children(1)))
+
   val simhashWideInfo: (FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_simhash_wide"),
@@ -177,7 +184,8 @@ object GraftFunctions {
 
   private val all = Seq(dotInfo, dotlInfo, cosKeyInfo, srpBandsInfo, shinglesInfo,
     shingleHashesInfo, simhashInfo, simhashWideInfo, minhashSigInfo,
-    termCountsInfo, winnowInfo, bigramCountsInfo, topBigramInfo)
+    termCountsInfo, winnowInfo, bigramCountsInfo, topBigramInfo,
+    gramHashesInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. Also attaches the
@@ -209,6 +217,8 @@ object GraftFunctions {
   def shingleHashes(text: Column): Column =
     call_function("graft_shingle_hashes", text)
   def simhash(text: Column): Column = call_function("graft_simhash", text)
+  def gramHashes(text: Column, k: Int): Column =
+    call_function("graft_gram_hashes", text, lit(k))
   def simhashWide(text: Column, words: Int): Column =
     call_function("graft_simhash_wide", text,
       org.apache.spark.sql.functions.lit(words))

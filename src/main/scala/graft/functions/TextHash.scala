@@ -109,6 +109,35 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL k-gram 60-bit hashes — one entry per gram position, NOT
+    * deduped (multiplicity is the exact-substring metric's unit, unlike
+    * [[shingleHashes]]' set semantics). Hash = first 15 hex chars of
+    * md5(space-joined gram) — the shared cross-engine convention. Empty
+    * array when the document has fewer than k tokens. */
+  def gramHashes(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s.getBytes)
+    val n = toks.size
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    val digest = md5.get()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      digest.reset()
+      out(i) = top60(digest.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash: per token h = first 60 bits of md5("99|" + token),
     * output bit j set iff strictly more tokens have bit j set than clear
     * (multiplicity counts). NULL when the document has no tokens — the
@@ -400,6 +429,39 @@ case class GraftShingleHashes(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `graft_gram_hashes(text, k)` → array<long>: positional (non-distinct)
+  * k-gram 60-bit hashes — the exact-substring dedup unit. */
+case class GraftGramHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: org.apache.spark.sql.types.IntegerType)
+          if right.foldable =>
+        val k = right.eval().asInstanceOf[Int]
+        if (k >= 1 && k <= 256) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_gram_hashes k must be in [1, 256], got $k")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_hashes expects (string, foldable int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override protected def nullSafeEval(input1: Any, input2: Any): Any =
+    TextHashKernels.gramHashes(input1.asInstanceOf[UTF8String],
+      input2.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, k) =>
+      s"${ev.value} = graft.functions.TextHashKernels.gramHashes($x, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_simhash(text)` → long: 60-bit SimHash; NULL when no tokens. */

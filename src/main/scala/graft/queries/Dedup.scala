@@ -497,6 +497,59 @@ object Dedup {
       .orderBy(col("keep_doc_id"))
   }
 
+  /** Exact-substring duplication profile (the Lee et al. "Deduplicating
+    * Training Data" metric, arXiv:2107.06499, reduced to its reporting
+    * form): for every document, the fraction of its positional `k`-token
+    * grams whose content also occurs in at least one OTHER document —
+    * i.e. how much of the doc is verbatim-shared text. Unlike the
+    * winnowing pairs (a SAMPLED span detector) this counts EVERY gram
+    * position, and unlike Jaccard it is positional (multiplicity counts).
+    *
+    * Scale shape — strictly linear, no pair join anywhere: per-(doc, gram)
+    * counts are one map-side-combinable groupBy; cross-doc document
+    * frequency is a second; and the dup classification joins the
+    * (doc, gram) table against the UNIQUE-gram set (df = 1), not the df
+    * table — every join key is then unique on BOTH sides (a df-1 gram has
+    * exactly one posting by definition), so a boilerplate gram shared by
+    * 10⁹ docs never concentrates in one join partition: its postings
+    * simply find no match and count as duplicated where they sit. Gram
+    * hashes are the 60-bit md5 convention of [[jaccardPairsUnsorted]],
+    * computed by the native `graft_gram_hashes` kernel — one compiled
+    * tokenize+hash pass per document (the declarative
+    * `transform(sequence, i -> md5(concat_ws(slice(ws, i, k))))` form
+    * re-evaluates the outer tokenizer expression per gram index — the
+    * CSE-defeating-lambda trap — measured 7.2 s vs ~1 s at sf0.1) and
+    * replayed bit-for-bit by the oracle. Null/short docs yield an empty
+    * gram array, exactly like the oracle's range() over a null/short
+    * token list. */
+  def spanGramProfile(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val norm = normalize(docs, idCol, textCol)
+    val grams = coalesce(
+      graft.functions.GraftFunctions.gramHashes(col("text"), k),
+      array().cast("array<long>"))
+    val gc = norm.select(col("doc_id"), explode(grams).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    val uniq = gc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") === 1).select(col("h"), lit(1L).as("u"))
+    val per = gc.join(uniq, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("u").isNull, col("c")).otherwise(lit(0L)))
+          .as("n_dup_grams"))
+    norm.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        // pre-coalesce columns: a gram-less doc has NULL dup_frac (there
+        // is no fraction of zero grams), never a divide-by-zero
+        (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Path-based convenience used by queries and tests. */
   def neardupPairs(s: SparkSession, d: String, minJ: Double): DataFrame =
     jaccardPairs(Tables.documents(s, d), minJ)
@@ -555,7 +608,10 @@ object Dedup {
       val known = docs.filter(col("doc_id") % 10 === 0)
         .select(fingerprint.as("fp")).distinct()
       incremental(docs.filter(col("doc_id") % 10 =!= 0), known)
-    })
+    }),
+
+    "dedup_span_grams" -> ((s, d) =>
+      spanGramProfile(Tables.documents(s, d), k = 8))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -752,6 +808,35 @@ object Dedup {
       WHERE doc_id % 10 <> 0 AND fp NOT IN (SELECT fp FROM known)
       GROUP BY fp
       ORDER BY keep_doc_id""",
+
+    // positional 8-gram hashes via a lateral range over the token list;
+    // the dup classification recomputed from the df table directly (the
+    // oracle needs no skew-proofing) — identical result to the engine's
+    // unique-set anti-join formulation
+    "dedup_span_grams" -> s"""
+      WITH w AS (SELECT doc_id,
+              list_filter(string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+                          x -> len(x) > 0) AS w
+            FROM documents),
+      gc AS (SELECT doc_id, h, count(*) AS c FROM (
+               SELECT doc_id,
+                 CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' ||
+                   w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+                   w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]), 1, 15))
+                   AS BIGINT) AS h
+               FROM w, unnest(range(1, len(w) - 6)) u(i)) t
+             GROUP BY doc_id, h),
+      dfx AS (SELECT h, count(*) AS nd FROM gc GROUP BY h),
+      per AS (SELECT gc.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
+                  AS n_dup_grams
+              FROM gc JOIN dfx ON dfx.h = gc.h
+              GROUP BY gc.doc_id)
+      SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+        coalesce(per.n_dup_grams, 0) AS n_dup_grams,
+        CAST(per.n_dup_grams AS DOUBLE) / per.n_grams AS dup_frac
+      FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
 
     "dedup_simhash_pairs" -> s"""
       WITH $simhashCtes,

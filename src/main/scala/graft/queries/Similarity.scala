@@ -125,6 +125,32 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- recall@10 of the IVF index vs brute-force ground truth — the
+    // ANN quality readout that pairs with the ANN family: both legs are
+    // the gated plans verbatim, the metric is the per-query intersection
+    // of their top-10 id sets. The denominator is the brute leg's actual
+    // row count (= min(k, corpus)), so the metric stays defined on tiny
+    // corpora. Set-membership only — no cosine value ever surfaces — so
+    // the metric inherits both legs' cross-engine rank determinism.
+    "sim_recall_ivf" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val brute = bruteTopK(emb, q, 10).select(col("qid"), col("vec_id"))
+      val ivf = ivfTopK(s, d, k = 10, nprobe = 3)
+        .select(col("qid").as("iqid"), col("vec_id").as("ivf_vec_id"))
+      brute
+        .join(ivf, col("qid") === col("iqid") &&
+          col("vec_id") === col("ivf_vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_brute"),
+          count(col("ivf_vec_id")).as("n_hits"))
+        .select(col("qid"), col("n_brute"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_brute")).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- nearest neighbor within each metadata block (label): the blocked
     // similarity-join pattern — block size bounded, no all-pairs product.
     // The per-vector argmax is a PACKED single-decimal max, not a
@@ -942,6 +968,49 @@ object Similarity {
                      PARTITION BY vec_id ORDER BY key DESC, label ASC) AS rn
                    FROM akey WHERE vec_id <= 4) t WHERE rn <= 3)"""
 
+  /** Brute-force cosine top-k oracle CTE block replaying [[bruteTopK]] for
+    * queries vec_id ≤ 4 (null/zero-norm guard in two MATERIALIZED stages —
+    * see the `sim_topk` comment); yields `bruteranks(qid, vec_id, rank)`.
+    * Shared by `sim_topk` and `sim_recall_ivf`. */
+  private val bruteNnCtes = """
+      nn0 AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+      nn AS MATERIALIZED (
+        SELECT vec_id, embedding FROM nn0
+        WHERE list_inner_product(embedding, embedding) > 0),
+      bruteranks AS (
+        SELECT q.vec_id AS qid, e.vec_id,
+          CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                     e.vec_id ASC) AS BIGINT) AS rank
+        FROM nn q CROSS JOIN nn e
+        WHERE q.vec_id <= 4)"""
+
+  /** IVF fine-ranking oracle CTE block replaying the probed-cell exact-key
+    * scan of [[ivfTopK]] on top of [[ivfCoarseCtes]]; yields
+    * `ivfranks(qid, vec_id, rank)`. Shared by `sim_ivf_topk` and
+    * `sim_recall_ivf`. */
+  private val ivfFineCtes = """
+      fd AS (SELECT p.qid, a.vec_id,
+               sum(CAST(eq.xg AS HUGEINT) * ec.xg) AS d
+             FROM probes p
+             JOIN assign a ON a.label = p.label
+             JOIN e eq ON eq.vec_id = p.qid
+             JOIN e ec ON ec.vec_id = a.vec_id AND ec.j = eq.j
+             GROUP BY p.qid, a.vec_id),
+      fkey AS (SELECT fd.qid, fd.vec_id,
+                 (fd.d * abs(fd.d) * 1000000
+                    - ((fd.d * abs(fd.d) * 1000000) % n2.n2 + n2.n2)
+                      % n2.n2) // n2.n2 AS key
+               FROM fd JOIN n2 ON n2.vec_id = fd.vec_id
+               WHERE n2.n2 > 0),
+      ivfranks AS (
+        SELECT qid, vec_id, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY key DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM fkey)"""
+
   val oracles: Map[String, String] = Map(
     "sim_knn_label" -> """
       WITH e AS (
@@ -1005,23 +1074,37 @@ object Similarity {
     // same-query predicate excludes them (eager vectorized evaluation),
     // so the null filter must materialize BEFORE any list_* call sees the
     // column — mirroring Spark's cnorm/qnorm > 0 filters
-    "sim_topk" -> """
-      WITH nn0 AS MATERIALIZED (
-        SELECT vec_id, embedding FROM embeddings
-        WHERE embedding IS NOT NULL),
-      nn AS MATERIALIZED (
-        SELECT vec_id, embedding FROM nn0
-        WHERE list_inner_product(embedding, embedding) > 0)
-      SELECT qid, rank, vec_id FROM (
-        SELECT q.vec_id AS qid, e.vec_id,
-          CAST(row_number() OVER (
-            PARTITION BY q.vec_id
-            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
-                     e.vec_id ASC) AS BIGINT) AS rank
-        FROM nn q CROSS JOIN nn e
-        WHERE q.vec_id <= 4) t
+    "sim_topk" -> s"""
+      WITH $bruteNnCtes
+      SELECT qid, rank, vec_id FROM bruteranks
       WHERE rank <= 10
       ORDER BY qid, rank""",
+
+    // recall@10 of the IVF probe path against brute-force ground truth —
+    // the ANN quality readout (measure, don't guess: an index whose probes
+    // miss real neighbors should say so in the gate, not in production).
+    // Both legs are the two already-gated plans verbatim (shared CTE
+    // blocks, so the three oracles cannot drift); the metric is pure set
+    // intersection of their top-10 id sets, so it inherits their
+    // cross-engine rank determinism
+    "sim_recall_ivf" -> s"""
+      WITH $bruteNnCtes,
+      e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      $ivfCoarseCtes,
+      $ivfFineCtes,
+      brute AS (SELECT qid, vec_id FROM bruteranks WHERE rank <= 10),
+      ivf AS (SELECT qid, vec_id FROM ivfranks WHERE rank <= 10)
+      SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+        CAST(count(i.vec_id) AS DOUBLE) / count(*) AS recall
+      FROM brute b
+      LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
+      GROUP BY b.qid
+      ORDER BY b.qid""",
 
     "sim_nn_per_label" -> """
       WITH nn0 AS MATERIALIZED (
@@ -1162,23 +1245,8 @@ object Similarity {
             AS BIGINT) AS xg
         FROM embeddings),
       $ivfCoarseCtes,
-      fd AS (SELECT p.qid, a.vec_id,
-               sum(CAST(eq.xg AS HUGEINT) * ec.xg) AS d
-             FROM probes p
-             JOIN assign a ON a.label = p.label
-             JOIN e eq ON eq.vec_id = p.qid
-             JOIN e ec ON ec.vec_id = a.vec_id AND ec.j = eq.j
-             GROUP BY p.qid, a.vec_id),
-      fkey AS (SELECT fd.qid, fd.vec_id,
-                 (fd.d * abs(fd.d) * 1000000
-                    - ((fd.d * abs(fd.d) * 1000000) % n2.n2 + n2.n2)
-                      % n2.n2) // n2.n2 AS key
-               FROM fd JOIN n2 ON n2.vec_id = fd.vec_id
-               WHERE n2.n2 > 0)
-      SELECT qid, rank, vec_id FROM (
-        SELECT qid, vec_id, CAST(row_number() OVER (
-          PARTITION BY qid ORDER BY key DESC, vec_id ASC) AS BIGINT) AS rank
-        FROM fkey) t
+      $ivfFineCtes
+      SELECT qid, rank, vec_id FROM ivfranks
       WHERE rank <= 10
       ORDER BY qid, rank""",
 

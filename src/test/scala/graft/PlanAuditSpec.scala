@@ -110,6 +110,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!salted.contains("SinglePartition"))
   }
 
+  test("heavy hitters recounts candidates through a broadcast semi-join " +
+    "(the vocabulary never shuffles whole)") {
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("LeftSemi"), "candidate recount is not a semi-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate set not broadcast — the token stream would shuffle by word")
+  }
+
+  test("span-gram profile is pure groupBy/join — no window, no " +
+    "single-partition stage") {
+    val p = plan("dedup_span_grams")
+    // a Window here would mean per-gram df was computed by colocating
+    // every posting of a gram in one window partition — the straggler
+    // shape the unique-set join formulation exists to avoid
+    assert(!p.contains("Window"), "span-gram df computed via a window")
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("ivf recall keeps both legs' bounded rank windows") {
+    assert(plan("sim_recall_ivf").contains("WindowGroupLimit"))
+  }
+
   test("components rounds have no single-partition stage") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")

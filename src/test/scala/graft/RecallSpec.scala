@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The ANN recall readout (`sim_recall_ivf`) must agree with the set
+  * intersection of its two independently-gated legs, leg for leg — it is a
+  * derived metric, so its evidence is consistency, not a re-derivation. */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("recall equals |brute ∩ ivf| / |brute| per query on the fixture") {
+    val brute = topkSet(
+      graft.queries.Similarity.queries("sim_topk")(spark, dir))
+    val ivf = topkSet(
+      graft.queries.Similarity.queries("sim_ivf_topk")(spark, dir))
+    val got = graft.queries.Similarity.queries("sim_recall_ivf")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (qid, (nBrute, nHits, recall)) =>
+      val b = brute(qid)
+      val hits = b.intersect(ivf.getOrElse(qid, Set.empty))
+      assert(nBrute === b.size.toLong, s"qid=$qid n_brute")
+      assert(nHits === hits.size.toLong, s"qid=$qid n_hits")
+      assert(recall === hits.size.toDouble / b.size, s"qid=$qid recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
+  test("with every cell probed, ivf is exhaustive and recall is 1") {
+    // nprobe = number of labels (10 in the fixture): the probed-cell scan
+    // degenerates to a full scan; ivf ranks by the exact-integer key and
+    // brute by float cosine, but the fixture's rank gaps dwarf both
+    // resolutions (the property the two gated legs already rely on)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") <= 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val brute = topkSet(graft.queries.Similarity.bruteTopK(emb, q, 10))
+    val full = topkSet(
+      graft.queries.Similarity.ivfTopK(spark, dir, k = 10, nprobe = 10))
+    assert(full === brute)
+  }
+}

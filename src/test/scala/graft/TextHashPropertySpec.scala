@@ -72,6 +72,21 @@ object TextHashPropertySpec extends Properties("TextHashKernels") {
           .distinct
     }
 
+  property("gramHashes == hex-parsed md5 prefixes of positional grams") =
+    Prop.forAll(genText) { s =>
+      def refGrams(k: Int): List[Long] = {
+        val w = refTokens(s)
+        if (w.size < k) Nil
+        else w.sliding(k).map(g =>
+          java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(15), 16))
+          .toList
+      }
+      List(1, 3, 8).forall { k =>
+        longs(TextHashKernels.gramHashes(UTF8String.fromString(s), k)) ==
+          refGrams(k)
+      }
+    }
+
   property("simhash == hex-parsed per-bit majority vote") =
     Prop.forAll(genText) { s =>
       val toks = refTokens(s)

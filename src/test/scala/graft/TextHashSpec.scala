@@ -144,6 +144,26 @@ class TextHashSpec extends SparkSpec {
           .orderBy(col("doc_id")))
     }
 
+    test(s"graft_gram_hashes == hashed positional 8-grams ($name)") {
+      val hash60 = (c: Column) =>
+        conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+      // null text: kernel yields null (unary null propagation), the
+      // declarative when() yields empty — align via coalesce, exactly as
+      // spanGramProfile consumes the kernel
+      assertSameRows(
+        df().select(col("doc_id"),
+          coalesce(GraftFunctions.gramHashes(col("text"), 8),
+            array().cast("array<long>")).as("hs"))
+          .orderBy(col("doc_id")),
+        df().select(col("doc_id"), declWords(col("text")).as("ws"))
+          .select(col("doc_id"),
+            when(size(col("ws")) >= 8,
+              transform(sequence(lit(1), size(col("ws")) - lit(7)),
+                i => hash60(concat_ws(" ", slice(col("ws"), i, lit(8))))))
+              .otherwise(array().cast("array<long>")).as("hs"))
+          .orderBy(col("doc_id")))
+    }
+
     test(s"graft_simhash == declarative simhash ($name)") {
       assertSameRows(
         df().select(col("doc_id"),
