@@ -46,7 +46,11 @@ object ScaleCurve {
     "dedup_components", "dedup_neardup_jaccard", "events_stream_tumbling",
     "part_fuzzy_match", "q09_agg_distinct", "dedup_minhash_lsh",
     "sql_fuzzy_pair_count", "text_winnow_fingerprint",
-    "docs_lm_bigram_score", "events_session")
+    "docs_lm_bigram_score", "events_session",
+    // round-8 session-4 additions: the two reworked candidate-join
+    // queries — the curve is the evidence their Σ min(df, cap)² /
+    // unique-set-join bounds actually hold as data grows
+    "dedup_winnow_pairs", "dedup_span_grams")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
