@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators — the LLM-training-pipeline surface
   * (SURVEY.md §2.12): exact dedup, n-gram-Jaccard near-dup, MinHash+LSH
@@ -550,6 +551,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Novelty attribution over the positional-gram table: for every
+    * document, how many of its k-gram positions carry content the corpus
+    * had NOT seen in any smaller-id document — the ingest-order novelty
+    * profile (which documents introduce content vs. repeat it; the
+    * data-mixing/ordering readout that complements [[spanGramProfile]]'s
+    * symmetric duplication fraction — a verbatim copy scores dup_frac 1
+    * on both sides but novelty 0 only on the later one).
+    *
+    * Strictly linear with NO per-gram join at all: the novel holder of a
+    * gram is by definition unique (the min doc_id over its postings), so
+    * its (doc, multiplicity) pair is extracted by a packed-decimal min —
+    * `min(doc_id·2²⁰ + c)` — in one map-side-combinable aggregation, and
+    * per-doc novel counts are a second groupBy over those one-row-per-gram
+    * results. A gram in 10⁹ documents contributes one combiner row per
+    * map partition, never a join or window straggler. Decode uses the
+    * floorMod recipe (exact for any doc_id sign, identical in both
+    * engines); the pack requires c < 2²⁰ gram positions per document,
+    * enforced loudly. Carried in decimal(38,0) so 64-bit doc ids cannot
+    * overflow the pack. */
+  def gramNoveltyProfile(docs: DataFrame, k: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val P = 1L << 20
+    val norm = normalize(docs, idCol, textCol)
+    val grams = coalesce(
+      graft.functions.GraftFunctions.gramHashes(col("text"), k),
+      array().cast("array<long>"))
+    val gc = norm.select(col("doc_id"), explode(grams).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    val cGuarded = when(col("c") >= P,
+      raise_error(concat(lit(s"gramNoveltyProfile: more than ${P - 1} " +
+        "positions of one gram in one document — widen the pack: "),
+        col("c").cast("string"))).cast("long"))
+      .otherwise(col("c"))
+    val nv = gc
+      .withColumn("pk",
+        col("doc_id").cast(DecimalType(38, 0)) * lit(P) + cGuarded)
+      .groupBy(col("h")).agg(min(col("pk")).as("pk"))
+    val nov = nv.select(
+        ((col("pk") - pmod(col("pk"), lit(P))) / lit(P)).cast("long")
+          .as("doc_id"),
+        pmod(col("pk"), lit(P)).cast("long").as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_novel"))
+    val per = gc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"))
+    norm.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .join(nov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        // NULL for gram-less docs; 0.0 for docs whose every gram was
+        // already introduced by a smaller id (coalesce only the numerator)
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Path-based convenience used by queries and tests. */
   def neardupPairs(s: SparkSession, d: String, minJ: Double): DataFrame =
     jaccardPairs(Tables.documents(s, d), minJ)
@@ -611,7 +672,10 @@ object Dedup {
     }),
 
     "dedup_span_grams" -> ((s, d) =>
-      spanGramProfile(Tables.documents(s, d), k = 8))
+      spanGramProfile(Tables.documents(s, d), k = 8)),
+
+    "dedup_gram_novelty" -> ((s, d) =>
+      gramNoveltyProfile(Tables.documents(s, d), k = 8))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -650,6 +714,22 @@ object Dedup {
       JOIN hsz sb ON sb.doc_id = c.b
       WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= $minJ
       ORDER BY doc_a, doc_b"""
+
+  /** Positional 8-gram (doc_id, hash, multiplicity) oracle CTEs replaying
+    * `graft_gram_hashes(text, 8)` + the per-(doc, gram) count — one shared
+    * source for the span-duplication and novelty oracles. */
+  private val gramCtes = s"""w AS (SELECT doc_id,
+              list_filter(string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+                          x -> len(x) > 0) AS w
+            FROM documents),
+      gc AS (SELECT doc_id, h, count(*) AS c FROM (
+               SELECT doc_id,
+                 CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' ||
+                   w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+                   w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]), 1, 15))
+                   AS BIGINT) AS h
+               FROM w, unnest(range(1, len(w) - 6)) u(i)) t
+             GROUP BY doc_id, h)"""
 
   /** The content-fingerprint expression as oracle SQL — THE one
     * definition of the normalized-content identity on the DuckDB side
@@ -814,18 +894,7 @@ object Dedup {
     // oracle needs no skew-proofing) — identical result to the engine's
     // unique-set anti-join formulation
     "dedup_span_grams" -> s"""
-      WITH w AS (SELECT doc_id,
-              list_filter(string_split_regex($asciiLowerTextSql, '[^a-z]+'),
-                          x -> len(x) > 0) AS w
-            FROM documents),
-      gc AS (SELECT doc_id, h, count(*) AS c FROM (
-               SELECT doc_id,
-                 CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' ||
-                   w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
-                   w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]), 1, 15))
-                   AS BIGINT) AS h
-               FROM w, unnest(range(1, len(w) - 6)) u(i)) t
-             GROUP BY doc_id, h),
+      WITH $gramCtes,
       dfx AS (SELECT h, count(*) AS nd FROM gc GROUP BY h),
       per AS (SELECT gc.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
                 CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT)
@@ -836,6 +905,30 @@ object Dedup {
         coalesce(per.n_dup_grams, 0) AS n_dup_grams,
         CAST(per.n_dup_grams AS DOUBLE) / per.n_grams AS dup_frac
       FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
+    // the packed-min replayed in HUGEINT with the floorMod decode (exact
+    // for any doc_id sign; the quotient is exactly divisible so //'s
+    // rounding mode is irrelevant — the ivf akey recipe)
+    "dedup_gram_novelty" -> s"""
+      WITH $gramCtes,
+      nv AS (SELECT h, min(CAST(doc_id AS HUGEINT) * 1048576 + c) AS pk
+             FROM gc GROUP BY h),
+      nov AS (SELECT CAST((pk - ((pk % 1048576 + 1048576) % 1048576))
+                       // 1048576 AS BIGINT) AS doc_id,
+                CAST(sum((pk % 1048576 + 1048576) % 1048576) AS BIGINT)
+                  AS n_novel
+              FROM nv
+              GROUP BY 1),
+      per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams
+              FROM gc GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+        coalesce(nov.n_novel, 0) AS n_novel,
+        CAST(coalesce(nov.n_novel, 0) AS DOUBLE) / per.n_grams
+          AS novelty_frac
+      FROM documents d
+      LEFT JOIN per ON per.doc_id = d.doc_id
+      LEFT JOIN nov ON nov.doc_id = d.doc_id
       ORDER BY d.doc_id""",
 
     "dedup_simhash_pairs" -> s"""

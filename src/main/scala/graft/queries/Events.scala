@@ -250,6 +250,38 @@ object Events {
         .orderBy(col("day"))
     }),
 
+    // ---- k-anonymity release gate (the privacy-prep operator for
+    // sharing event telemetry or training extracts): generalize the
+    // quasi-identifier to (event_type, hour), release an event only when
+    // its QI group is backed by >= 5 DISTINCT users — any rarer
+    // combination is suppressed wholesale, the standard k-anonymity
+    // suppression step. (Hour, not day: at the fixture's density the
+    // day-grain QI is backed by every user — a gate that never fires; at
+    // hour grain the sf0.01 gate corpus releases ~28% and suppresses
+    // ~2.9k groups, so the oracle checks both outcomes.) Rows with a
+    // NULL ts or NULL event_type are never releasable (conservative: an
+    // incomplete QI cannot prove group membership). Shape: the
+    // distinct-user count per QI is a two-level exact aggregation over
+    // the TINY generalized-QI dimension, joined back onto the events —
+    // AQE broadcasts the group table, the event stream is never shuffled
+    // by user.
+    "events_kanon_release" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("qhour"),
+          col("user_id"), col("value"))
+      val g = e.groupBy(col("event_type"), col("qhour"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") >= 5)
+      e.join(g, Seq("event_type", "qhour"))
+        .select(col("event_id"), col("event_type"), col("qhour"),
+          col("n_users"), col("value"))
+        // total order even under salted duplicate/null event ids (asc =
+        // nulls first in both engines with the oracle's NULLS FIRST)
+        .orderBy(col("event_id"), col("event_type"), col("value"))
+    }),
+
     // ---- conditional buckets (CASE WHEN) + math functions over value.
     // Null measures are EXCLUDED from bucketing (the repo-wide null-
     // measure convention, same as events_median_value): without the
@@ -796,6 +828,23 @@ object Events {
       FROM kv
       GROUP BY event_type, key
       ORDER BY event_type, key""",
+
+    // exact distinct-user backing per generalized QI, HAVING as the
+    // suppression gate; NULL-QI rows excluded up front (conservative
+    // suppression, mirrored by the engine's filters)
+    "events_kanon_release" -> """
+      WITH e AS (SELECT event_id, event_type,
+            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS qhour,
+            user_id, value
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      g AS (SELECT event_type, qhour, count(DISTINCT user_id) AS n_users
+            FROM e GROUP BY event_type, qhour
+            HAVING count(DISTINCT user_id) >= 5)
+      SELECT e.event_id, e.event_type, e.qhour, g.n_users, e.value
+      FROM e JOIN g ON g.event_type = e.event_type AND g.qhour = e.qhour
+      ORDER BY e.event_id ASC NULLS FIRST, e.event_type ASC,
+        e.value ASC NULLS FIRST""",
 
     "events_daily" -> s"""
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

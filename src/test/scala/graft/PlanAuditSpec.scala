@@ -132,6 +132,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("sim_recall_ivf").contains("WindowGroupLimit"))
   }
 
+  test("gram novelty extracts the novel holder by packed hash-aggregated " +
+    "min — no per-gram join, no window, no sort-aggregate") {
+    val p = plan("dedup_gram_novelty")
+    assert(!p.contains("Window"), "novel holder computed via a window")
+    assert(!p.contains("SortAggregate"),
+      "packed min fell off the hash aggregation path")
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("components rounds have no single-partition stage") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")

@@ -77,4 +77,55 @@ class SpanGramsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(re === rows.view.mapValues(_._2).toMap)
   }
+
+  // ---- novelty attribution over the same corpus: duplication is
+  // symmetric, novelty is ingest-ordered — the first holder keeps it
+
+  private lazy val novelty: Map[Long, (Long, Long, Option[Double])] =
+    graft.queries.Dedup.queries("dedup_gram_novelty")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+
+  test("novelty: the first document introduces everything") {
+    assert(novelty(0L) === ((8L, 8L, Some(1.0))))
+  }
+
+  test("novelty: a later doc sharing a span is novel except that span") {
+    // B repeats the span A introduced; its other 7 grams are its own
+    assert(novelty(1L) === ((8L, 7L, Some(7.0 / 8.0))))
+  }
+
+  test("novelty: within-doc repetition credits the repeating doc once " +
+    "per position only when IT introduced the gram") {
+    // D's pure-span gram (2 positions) was introduced by doc 0 -> not
+    // novel; its 7 seam grams exist nowhere earlier -> novel
+    assert(novelty(3L) === ((9L, 7L, Some(7.0 / 9.0))))
+  }
+
+  test("novelty: gram-less docs have zero grams and a NULL fraction") {
+    assert(novelty(4L) === ((0L, 0L, None)))
+    assert(novelty(5L) === ((0L, 0L, None)))
+  }
+
+  test("novelty: totals conserve — every gram position has exactly one " +
+    "novel holder across the corpus") {
+    val totalNovel = novelty.values.map(_._2).sum
+    // distinct gram contents across the corpus, each counted at its
+    // holder's multiplicity: compute independently from the span profile
+    // corpus via the kernel
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val gc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(coalesce(
+          graft.functions.GraftFunctions.gramHashes(col("text"), 8),
+          array().cast("array<long>"))).as("h"))
+      .groupBy(col("doc_id"), col("h")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = gc.groupBy(_._2).map { case (_, rows) =>
+      rows.minBy(_._1)._3
+    }.sum
+    assert(totalNovel === expected)
+  }
 }
