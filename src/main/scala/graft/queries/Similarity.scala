@@ -151,6 +151,29 @@ object Similarity {
         .orderBy(col("qid"))
     }),
 
+    // ---- embedding-quality outliers: the 20 vectors farthest (squared
+    // L2, exact integer grid) from their OWN label's centroid — the
+    // mislabeled/corrupted-embedding triage list every curation pass
+    // runs before trusting labels for blocking or training. Entirely
+    // factored from the gated IVF pieces: same grid, same rounded-
+    // average centroids; d2 = n2 − 2·x·c + nc2 via the codegen'd integer
+    // dot against the BROADCAST centroid table (no explode, no shuffle
+    // beyond the final bounded top-k heap).
+    "emb_outliers" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val gf = graft.functions.GraftFunctions
+      val g = ivfGrid(s, d).filter(col("n2").isNotNull)
+      val cents = ivfCents(g)
+      g.join(broadcast(cents), col("label").cast("long") === col("cent_id"))
+        .withColumn("d2",
+          col("n2") - lit(2L) * gf.dotl(col("xg"), col("cent"))
+            + col("nc2"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("d2").cast("long").as("d2"))
+    }),
+
     // ---- nearest neighbor within each metadata block (label): the blocked
     // similarity-join pattern — block size bounded, no all-pairs product.
     // The per-vector argmax is a PACKED single-decimal max, not a
@@ -934,12 +957,11 @@ object Similarity {
               WHERE q.vec_id <= 4
               GROUP BY q.vec_id, c.s, c.code_id)"""
 
-  /** IVF coarse-index oracle CTE block replaying [[ivfCents]]/
-    * [[ivfAssign]]/[[ivfProbes]] (per-label rounded-average centroids,
-    * cosine-ratio-key assignment, nprobe=3 probes for queries
-    * vec_id ≤ 4). Expects a prior CTE `e(vec_id, label, j, xg)`; shared
-    * by `sim_ivf_topk` and `sim_ivfpq_topk`. */
-  private val ivfCoarseCtes = """
+  /** Per-vector norms + per-label rounded-average integer centroids with
+    * their norms — the statistics half of the IVF coarse index, replaying
+    * [[ivfCents]] exactly. Expects a prior CTE `e(vec_id, label, j, xg)`;
+    * shared by [[ivfCoarseCtes]] and the `emb_outliers` oracle. */
+  private val ivfStatsCtes = """
       n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
              FROM e GROUP BY vec_id),
       c AS (SELECT label, j,
@@ -949,7 +971,14 @@ object Similarity {
             FROM e GROUP BY label, j),
       nc2 AS (SELECT label, sum(CAST(cj AS HUGEINT) * cj) AS nc2
               FROM c GROUP BY label
-              HAVING sum(CAST(cj AS HUGEINT) * cj) > 0),
+              HAVING sum(CAST(cj AS HUGEINT) * cj) > 0)"""
+
+  /** IVF coarse-index oracle CTE block replaying [[ivfCents]]/
+    * [[ivfAssign]]/[[ivfProbes]] (per-label rounded-average centroids,
+    * cosine-ratio-key assignment, nprobe=3 probes for queries
+    * vec_id ≤ 4). Expects a prior CTE `e(vec_id, label, j, xg)`; shared
+    * by `sim_ivf_topk` and `sim_ivfpq_topk`. */
+  private val ivfCoarseCtes = s"""$ivfStatsCtes,
       ad AS (SELECT e.vec_id, c.label,
                sum(CAST(e.xg AS HUGEINT) * c.cj) AS d
              FROM e JOIN c ON e.j = c.j
@@ -1249,6 +1278,28 @@ object Similarity {
       SELECT qid, rank, vec_id FROM ivfranks
       WHERE rank <= 10
       ORDER BY qid, rank""",
+
+    // own-label dot only (unlike ivfCoarseCtes' all-labels `ad`); the
+    // final ORDER BY d2 DESC, vec_id ASC LIMIT 20 mirrors the engine's
+    // bounded top-k heap
+    "emb_outliers" -> s"""
+      WITH e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      $ivfStatsCtes,
+      od AS (SELECT e.vec_id, e.label,
+               sum(CAST(e.xg AS HUGEINT) * c.cj) AS dot
+             FROM e JOIN c ON c.label = e.label AND c.j = e.j
+             GROUP BY e.vec_id, e.label)
+      SELECT od.vec_id, CAST(od.label AS BIGINT) AS label,
+        CAST(n2.n2 - 2 * od.dot + nc2.nc2 AS BIGINT) AS d2
+      FROM od
+      JOIN n2 ON n2.vec_id = od.vec_id
+      JOIN nc2 ON nc2.label = od.label
+      ORDER BY d2 DESC, od.vec_id ASC
+      LIMIT 20""",
 
     "emb_centroids" -> """
       SELECT CAST(label AS BIGINT) AS label, j,
