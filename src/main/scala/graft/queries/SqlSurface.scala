@@ -160,7 +160,33 @@ object SqlSurface {
       SELECT doc_id, simhash FROM (
         SELECT doc_id, graft_simhash(text) AS simhash FROM documents) t
       WHERE simhash IS NOT NULL
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""),
+
+    // ---- a parameterized native kernel from SQL text: the full
+    // exact-substring duplication profile through `graft_gram_hashes
+    // (text, 8)` (explode of a null array emits no rows, so null/short
+    // docs degrade exactly as the DataFrame twin's empty-array path).
+    // The dup classification is the same skew-proof unique-set LEFT
+    // JOIN; same output, same oracle as dedup_span_grams.
+    "sql_span_grams" -> sql("""
+      WITH gc AS (
+        SELECT doc_id, h, count(*) AS c FROM (
+          SELECT doc_id, explode(graft_gram_hashes(text, 8)) AS h
+          FROM documents) t
+        GROUP BY doc_id, h),
+      uniq AS (SELECT h FROM gc GROUP BY h HAVING count(*) = 1),
+      per AS (
+        SELECT gc.doc_id,
+          sum(c) AS n_grams,
+          sum(CASE WHEN u.h IS NULL THEN c ELSE 0L END) AS n_dup_grams
+        FROM gc LEFT JOIN uniq u ON u.h = gc.h
+        GROUP BY gc.doc_id)
+      SELECT d.doc_id,
+        coalesce(per.n_grams, 0L) AS n_grams,
+        coalesce(per.n_dup_grams, 0L) AS n_dup_grams,
+        CAST(per.n_dup_grams AS DOUBLE) / per.n_grams AS dup_frac
+      FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      ORDER BY d.doc_id""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +215,8 @@ object SqlSurface {
       WHERE levenshtein(a.p_name, b.p_name) <= 2
       GROUP BY a.p_brand
       ORDER BY p_brand""",
-    "sql_simhash" -> Dedup.oracles("dedup_simhash")
+    "sql_simhash" -> Dedup.oracles("dedup_simhash"),
+    // the DataFrame twin's oracle verbatim — same grams, same counts
+    "sql_span_grams" -> Dedup.oracles("dedup_span_grams")
   )
 }

@@ -25,6 +25,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows("sql_simhash") == rows("dedup_simhash"))
   }
 
+  test("sql_span_grams == dedup_span_grams (DataFrame)") {
+    assert(rows("sql_span_grams") == rows("dedup_span_grams"))
+  }
+
   test("sql_top_orders_per_segment: 3 per segment, schema long-typed") {
     val df = SparkEntry.queries("sql_top_orders_per_segment")(spark, d)
     val out = df.collect()
