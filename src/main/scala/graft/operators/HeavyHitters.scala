@@ -30,21 +30,26 @@ import scala.collection.mutable
   */
 object HeavyHitters {
 
-  /** Misra–Gries summary as a typed partial aggregate: the buffer is a
-    * ≤ k-entry count map; `reduce` is the classic counter update, `merge`
-    * the mergeable-summaries combination. Spark plans `select(toColumn)`
-    * as ObjectHashAggregate with per-partition partial buffers — the
-    * sketch never sees more than one partition's stream at a time and
-    * every shuffled buffer is k-bounded. */
+  /** Sketch buffer: the ≤ k-entry Misra–Gries counter map PLUS the exact
+    * stream length — one extra Long per buffer buys the support
+    * denominator without a third pass over the corpus. */
+  final case class MgBuf(counts: mutable.Map[String, Long], var n: Long)
+
+  /** Misra–Gries summary as a typed partial aggregate: `reduce` is the
+    * classic counter update, `merge` the mergeable-summaries combination.
+    * Spark plans `select(toColumn)` as ObjectHashAggregate with
+    * per-partition partial buffers — the sketch never sees more than one
+    * partition's stream at a time and every shuffled buffer is
+    * k-bounded. Output: (candidate counts, exact total). */
   final class MisraGries(k: Int)
-      extends Aggregator[String, mutable.Map[String, Long],
-        Map[String, Long]] {
+      extends Aggregator[String, MgBuf, (Map[String, Long], Long)] {
     require(k >= 1, s"k must be >= 1, got $k")
 
-    def zero: mutable.Map[String, Long] = mutable.Map.empty
+    def zero: MgBuf = MgBuf(mutable.Map.empty, 0L)
 
-    def reduce(m: mutable.Map[String, Long],
-               w: String): mutable.Map[String, Long] = {
+    def reduce(b: MgBuf, w: String): MgBuf = {
+      b.n += 1
+      val m = b.counts
       m.get(w) match {
         case Some(c) => m.update(w, c + 1)
         case None if m.size < k => m.update(w, 1L)
@@ -58,58 +63,57 @@ object HeavyHitters {
           }
           dead.foreach(m.remove)
       }
-      m
+      b
     }
 
-    def merge(a: mutable.Map[String, Long],
-              b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-      b.foreach { case (w, c) => a.update(w, a.getOrElse(w, 0L) + c) }
-      if (a.size > k) {
+    def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      a.n += b.n
+      val m = a.counts
+      b.counts.foreach { case (w, c) => m.update(w, m.getOrElse(w, 0L) + c) }
+      if (m.size > k) {
         // subtract the (k+1)-th largest count from everything and drop the
         // non-positive rest: ≤ k survivors, error grows by exactly that
         // subtracted value (which the PODS'12 bound pays for)
-        val t = a.values.toArray.sortInPlaceWith(_ > _).apply(k)
+        val t = m.values.toArray.sortInPlaceWith(_ > _).apply(k)
         val dead = mutable.ArrayBuffer.empty[String]
-        a.foreach { case (w, c) =>
-          if (c - t <= 0L) dead += w else a.update(w, c - t)
+        m.foreach { case (w, c) =>
+          if (c - t <= 0L) dead += w else m.update(w, c - t)
         }
-        dead.foreach(a.remove)
+        dead.foreach(m.remove)
       }
       a
     }
 
-    def finish(m: mutable.Map[String, Long]): Map[String, Long] = m.toMap
+    def finish(b: MgBuf): (Map[String, Long], Long) = (b.counts.toMap, b.n)
 
-    def bufferEncoder: Encoder[mutable.Map[String, Long]] =
-      Encoders.kryo[mutable.Map[String, Long]]
-    def outputEncoder: Encoder[Map[String, Long]] =
+    def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
+    def outputEncoder: Encoder[(Map[String, Long], Long)] =
       org.apache.spark.sql.catalyst.encoders
-        .ExpressionEncoder[Map[String, Long]]()
+        .ExpressionEncoder[(Map[String, Long], Long)]()
   }
 
   /** Exact heavy hitters of a token stream: every token whose count ≥
     * total/`support`, found via a k=`sketchK` Misra–Gries candidate pass +
     * exact recount. Requires `sketchK >= support` (the superset guarantee
     * above); the result is exactly `groupBy.count.filter` — pinned against
-    * that form in `HeavyHittersSpec` — at a fraction of its shuffle.
+    * that form in `HeavyHittersSpec` — at a fraction of its shuffle, in
+    * exactly TWO corpus passes (the sketch pass also carries the exact
+    * stream length, and the one-row sketch frame is persisted so the
+    * candidate explode and the total read it, not the corpus).
     * Output: (word, cnt, share), count-descending then word. */
   def heavyHitters(tokens: Dataset[String], support: Long,
                    sketchK: Int): DataFrame = {
     require(sketchK >= support,
       s"sketchK ($sketchK) must be >= support ($support) or the sketch may" +
         " drop a true heavy hitter")
-    val spark = tokens.sparkSession
-    import spark.implicits._
-    // one row, ≤ k entries — computed on executors, exploded to a frame
-    // (never collected to the driver). The typed select is mandatory for
-    // a TypedColumn; toDF then names the summary column for the explode.
-    val cands = tokens.select(new MisraGries(sketchK).toColumn).toDF("m")
-      .select(explode(map_keys(col("m"))).as("word"))
-    val toks = tokens.toDF("word")
-    // total BEFORE the candidate filter: the support threshold is relative
-    // to the full stream
-    val total = toks.agg(count(lit(1)).as("total"))
-    toks
+    // one row: (≤ k-entry candidate map, exact total) — computed on
+    // executors (never collected to the driver) and persisted so its two
+    // consumers cost one corpus pass, not two
+    val sketch = graft.Caching.persistTracked(
+      tokens.select(new MisraGries(sketchK).toColumn).toDF("m", "total"))
+    val cands = sketch.select(explode(map_keys(col("m"))).as("word"))
+    val total = sketch.select(col("total"))
+    tokens.toDF("word")
       .join(broadcast(cands), Seq("word"), "left_semi")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))

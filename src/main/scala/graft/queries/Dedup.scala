@@ -506,14 +506,19 @@ object Dedup {
     * winnowing pairs (a SAMPLED span detector) this counts EVERY gram
     * position, and unlike Jaccard it is positional (multiplicity counts).
     *
-    * Scale shape — strictly linear, no pair join anywhere: per-(doc, gram)
-    * counts are one map-side-combinable groupBy; cross-doc document
-    * frequency is a second; and the dup classification joins the
-    * (doc, gram) table against the UNIQUE-gram set (df = 1), not the df
-    * table — every join key is then unique on BOTH sides (a df-1 gram has
-    * exactly one posting by definition), so a boilerplate gram shared by
-    * 10⁹ docs never concentrates in one join partition: its postings
-    * simply find no match and count as duplicated where they sit. Gram
+    * Scale shape — strictly linear, with NO per-gram join at all: the dup
+    * classification needs only each doc's UNIQUE-gram (df = 1) position
+    * count, and a df-1 gram's single (doc, multiplicity) posting IS the
+    * min of its one-row group — so `groupBy(h).agg(count, min(doc_id),
+    * min(c))` extracts every unique gram's holder in one map-side-
+    * combinable aggregation (a boilerplate gram shared by 10⁹ docs is one
+    * combiner row per map partition and is simply filtered by nd > 1 —
+    * it never rides a join or window partition), and
+    * n_dup = n_grams − n_uniq. (An earlier formulation LEFT-JOINED the
+    * posting table against the df-1 set; the join keys were unique on
+    * the build side but the probe side still shuffled every posting of a
+    * hot gram into one partition — the aggregation form has no such
+    * residual straggler.) Gram
     * hashes are the 60-bit md5 convention of [[jaccardPairsUnsorted]],
     * computed by the native `graft_gram_hashes` kernel — one compiled
     * tokenize+hash pass per document (the declarative
@@ -533,21 +538,25 @@ object Dedup {
       array().cast("array<long>"))
     val gc = norm.select(col("doc_id"), explode(grams).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
-    val uniq = gc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") === 1).select(col("h"), lit(1L).as("u"))
-    val per = gc.join(uniq, Seq("h"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_grams"),
-        sum(when(col("u").isNull, col("c")).otherwise(lit(0L)))
-          .as("n_dup_grams"))
+    // a df-1 group has exactly one row, so min(doc_id)/min(c) ARE that
+    // row — the holder extraction is pure aggregation, never a join
+    val uniqCounts = gc.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("doc_id"),
+        min(col("c")).as("c"))
+      .filter(col("nd") === 1)
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_uniq"))
+    val per = gc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
     norm.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left_outer")
+      .join(uniqCounts, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        // pre-coalesce columns: a gram-less doc has NULL dup_frac (there
+        coalesce(col("n_grams") - coalesce(col("n_uniq"), lit(0L)), lit(0L))
+          .as("n_dup_grams"),
+        // pre-coalesce n_grams: a gram-less doc has NULL dup_frac (there
         // is no fraction of zero grams), never a divide-by-zero
-        (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
+        ((col("n_grams") - coalesce(col("n_uniq"), lit(0L))).cast("double")
+          / col("n_grams")).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 

@@ -278,8 +278,12 @@ object Events {
         .select(col("event_id"), col("event_type"), col("qhour"),
           col("n_users"), col("value"))
         // total order even under salted duplicate/null event ids (asc =
-        // nulls first in both engines with the oracle's NULLS FIRST)
-        .orderBy(col("event_id"), col("event_type"), col("value"))
+        // nulls first in both engines with the oracle's NULLS FIRST);
+        // qhour is in the key because duplicate ids may differ only in
+        // ts, and (event_id, event_type, qhour, value) determines the
+        // row (n_users is functionally dependent on the QI)
+        .orderBy(col("event_id"), col("event_type"), col("qhour"),
+          col("value"))
     }),
 
     // ---- conditional buckets (CASE WHEN) + math functions over value.
@@ -844,7 +848,7 @@ object Events {
       SELECT e.event_id, e.event_type, e.qhour, g.n_users, e.value
       FROM e JOIN g ON g.event_type = e.event_type AND g.qhour = e.qhour
       ORDER BY e.event_id ASC NULLS FIRST, e.event_type ASC,
-        e.value ASC NULLS FIRST""",
+        e.qhour ASC, e.value ASC NULLS FIRST""",
 
     "events_daily" -> s"""
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -166,26 +166,30 @@ object SqlSurface {
     // exact-substring duplication profile through `graft_gram_hashes
     // (text, 8)` (explode of a null array emits no rows, so null/short
     // docs degrade exactly as the DataFrame twin's empty-array path).
-    // The dup classification is the same skew-proof unique-set LEFT
-    // JOIN; same output, same oracle as dedup_span_grams.
+    // Same join-free unique-holder aggregation as the DataFrame twin
+    // (a df-1 group's min(doc_id)/min(c) ARE its single row); same
+    // output, same oracle as dedup_span_grams.
     "sql_span_grams" -> sql("""
       WITH gc AS (
         SELECT doc_id, h, count(*) AS c FROM (
           SELECT doc_id, explode(graft_gram_hashes(text, 8)) AS h
           FROM documents) t
         GROUP BY doc_id, h),
-      uniq AS (SELECT h FROM gc GROUP BY h HAVING count(*) = 1),
-      per AS (
-        SELECT gc.doc_id,
-          sum(c) AS n_grams,
-          sum(CASE WHEN u.h IS NULL THEN c ELSE 0L END) AS n_dup_grams
-        FROM gc LEFT JOIN uniq u ON u.h = gc.h
-        GROUP BY gc.doc_id)
+      uq AS (
+        SELECT doc_id, sum(min_c) AS n_uniq FROM (
+          SELECT min(doc_id) AS doc_id, min(c) AS min_c
+          FROM gc GROUP BY h HAVING count(*) = 1) u
+        GROUP BY doc_id),
+      per AS (SELECT doc_id, sum(c) AS n_grams FROM gc GROUP BY doc_id)
       SELECT d.doc_id,
         coalesce(per.n_grams, 0L) AS n_grams,
-        coalesce(per.n_dup_grams, 0L) AS n_dup_grams,
-        CAST(per.n_dup_grams AS DOUBLE) / per.n_grams AS dup_frac
-      FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        coalesce(per.n_grams - coalesce(uq.n_uniq, 0L), 0L)
+          AS n_dup_grams,
+        CAST(per.n_grams - coalesce(uq.n_uniq, 0L) AS DOUBLE)
+          / per.n_grams AS dup_frac
+      FROM documents d
+      LEFT JOIN per ON per.doc_id = d.doc_id
+      LEFT JOIN uq ON uq.doc_id = d.doc_id
       ORDER BY d.doc_id""")
   )
 

@@ -24,7 +24,7 @@ class HeavyHittersSpec extends SparkSpec {
                            partitions: Int): Set[String] = {
     import spark.implicits._
     val ds = spark.createDataset(items).repartition(partitions)
-    ds.select(new HeavyHitters.MisraGries(k).toColumn).toDF("m")
+    ds.select(new HeavyHitters.MisraGries(k).toColumn).toDF("m", "n")
       .select(explode(map_keys(col("m"))).as("w"))
       .as[String].collect().toSet
   }
@@ -60,6 +60,15 @@ class HeavyHittersSpec extends SparkSpec {
       .sortBy { case (w, c, _) => (-c, w) }
     assert(got.toSeq === expect)
     assert(got.nonEmpty) // the skewed stream must actually produce hitters
+  }
+
+  test("the sketch pass carries the exact stream length") {
+    import spark.implicits._
+    val items = stream(seed = 7, n = 3000)
+    val ds = spark.createDataset(items).repartition(6)
+    val n = ds.select(new HeavyHitters.MisraGries(16).toColumn)
+      .toDF("m", "n").select(col("n")).as[Long].head()
+    assert(n === items.size.toLong)
   }
 
   test("empty input yields an empty result") {
