@@ -27,6 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** The exact per-type median contract (type-1.5: mean of the two middle
+    * ranks on the cent grid) — shared by the window-sort and the two-pass
+    * histogram plans, which must land on the identical result. */
+  private val medianOracle = """
+      WITH g AS (SELECT event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM g)
+      SELECT event_type,
+        CAST(sum(v) AS DOUBLE) / count(*) / 100.0 AS median_value
+      FROM r
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+      ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     // ---- salted two-phase sum ([[graft.operators.ScaleOps.saltedSum]]):
     // the aggregation-skew tool in the gate. A hot event_type's rows
@@ -434,6 +452,57 @@ object Events {
         .orderBy(col("event_type"))
     }),
 
+    // ---- the SAME exact median through the two-pass histogram plan —
+    // the form that survives a group too large to sort: pass 1 is a
+    // map-side-combinable (type, bin) histogram (bin = v div 100, ~100
+    // values/bin on the cent grid) whose per-type cumulative counts
+    // locate the 1–2 bins containing the middle ranks; pass 2 re-scans
+    // ONLY those bins (a broadcast join prunes the rest at the scan) and
+    // ranks within them, offset by the counts below. Sorting cost drops
+    // from O(group·log group) per type to O(bins) + O(candidate bin) —
+    // the exact-quantile analog of the heavy-hitter sketch+recount
+    // discipline. Output and oracle are events_median_value's verbatim
+    // (bit-identical result, different physical plan). The bin join is
+    // NULL-SAFE on event_type (<=>): the null type is a legitimate group
+    // in the window form and must survive the two-pass form too.
+    "events_median_2pass" -> ((s, d) => {
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val wBins = wT.orderBy(col("bin"))
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).cast("long").as("v"))
+        .withColumn("bin", expr("v div 100"))
+      val binned = graft.Caching.persistTracked(base)
+      val cum = binned.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("below", coalesce(sum(col("bc")).over(
+          wBins.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)), lit(0L)))
+        .withColumn("n", sum(col("bc")).over(wT))
+        .withColumn("k1", expr("(n + 1) div 2"))
+        .withColumn("k2", expr("(n + 2) div 2"))
+      val targets = cum.filter(
+        (col("below") < col("k1") && col("k1") <= col("below") + col("bc")) ||
+          (col("below") < col("k2") && col("k2") <= col("below") + col("bc")))
+        .select(col("event_type").as("t_type"), col("bin").as("t_bin"),
+          col("below"), col("k1"), col("k2"))
+      binned
+        .join(broadcast(targets),
+          col("event_type") <=> col("t_type") && col("bin") === col("t_bin"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"), col("bin"))
+            .orderBy(col("v"))))
+        .withColumn("grank", col("below") + col("rn"))
+        .filter(col("grank") === col("k1") || col("grank") === col("k2"))
+        .groupBy(col("event_type"))
+        .agg((sum(col("v")).cast("double") / count(lit(1)) / lit(100.0))
+          .as("median_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- z-score anomaly detection (|x − μ| > 3σ per event type), the
     // telemetry-outlier monitor — with NO floating-point μ or σ anywhere:
     // the flag inequality cross-multiplies to exact integers,
@@ -807,20 +876,11 @@ object Events {
         UNION ALL SELECT event_type, 'high' AS bucket, high AS n FROM c) u
       ORDER BY event_type, bucket""",
 
-    "events_median_value" -> """
-      WITH g AS (SELECT event_type,
-                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
-                 FROM events WHERE value IS NOT NULL),
-      r AS (SELECT event_type, v,
-              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
-              count(*) OVER (PARTITION BY event_type) AS n
-            FROM g)
-      SELECT event_type,
-        CAST(sum(v) AS DOUBLE) / count(*) / 100.0 AS median_value
-      FROM r
-      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-      GROUP BY event_type
-      ORDER BY event_type""",
+    "events_median_value" -> medianOracle,
+
+    // the two-pass histogram plan computes the SAME exact median — one
+    // oracle definition for both physical forms
+    "events_median_2pass" -> medianOracle,
 
     "events_props_map" -> """
       WITH kv AS (
