@@ -96,6 +96,35 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    import spark.implicits._
+    // the 100 TB layout: a fact table partitioned by a low-cardinality
+    // key, joined to a dimension whose FILTER is only known at plan time
+    // on the dim side — DPP must push a pruning subquery into the fact
+    // scan's PartitionFilters so only the matching directories are read
+    // (without it, a selective dim filter still scans every partition)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    (1 to 50000).map(i => (i.toLong, i.toLong % 97, s"p${i % 20}"))
+      .toDF("id", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    // the dim must be parquet-backed: a local Seq relation constant-folds
+    // its filter into the LocalTableScan (ConvertToLocalRelation), and
+    // with no Filter node left DPP sees nothing selective to derive the
+    // pruning subquery from (the repo-wide plan-rewrite-test gotcha)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim")
+      .toString
+    (0 until 20).map(i => (s"p$i", i % 4)).toDF("part", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(dim.filter(col("grp") === 0), "part")
+    val n = joined.count()
+    assert(n === 12500L) // 5 of 20 partitions survive the dim filter
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$plan")
+  }
+
   test("bucketed tables sort-merge join without shuffle exchanges") {
     import spark.implicits._
     // warehouse dir is a temp dir set at session build time (SparkSpec)
