@@ -49,8 +49,11 @@ object ScaleCurve {
     "docs_lm_bigram_score", "events_session",
     // round-8 session-4 additions: the two reworked candidate-join
     // queries — the curve is the evidence their Σ min(df, cap)² /
-    // unique-set-join bounds actually hold as data grows
-    "dedup_winnow_pairs", "dedup_span_grams")
+    // unique-set-join bounds actually hold as data grows — plus the
+    // join-free novelty attribution and the two-pass median (whose
+    // crossover vs the window-sort form the curve makes visible)
+    "dedup_winnow_pairs", "dedup_span_grams", "dedup_gram_novelty",
+    "events_median_2pass")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
