@@ -151,6 +151,41 @@ object Similarity {
         .orderBy(col("qid"))
     }),
 
+    // ---- recall@10 of the PQ-ADC index against EXACT squared-L2 ground
+    // truth (PQ ranks by L2, so its truth leg is the exact-integer d2 =
+    // qn2 − 2·q·v + n2 brute scan, not the cosine brute of
+    // sim_recall_ivf) — the compression-quality readout that tells you
+    // what the 32× memory saving costs in neighbor fidelity. Both legs
+    // exact-integer; the metric is pure set intersection.
+    "sim_recall_pq" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val gf = graft.functions.GraftFunctions
+      val corpus = ivfGrid(s, d).filter(col("n2").isNotNull)
+        .select(col("vec_id"), col("xg"), col("n2"))
+      val q = corpus.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("xg").as("qg"),
+          col("n2").as("qn2"))
+      val wR = Window.partitionBy(col("qid"))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      val brute = corpus.crossJoin(broadcast(q))
+        .withColumn("d2",
+          col("qn2") - lit(2L) * gf.dotl(col("qg"), col("xg")) + col("n2"))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val pq = pqTopK(s, d, 10)
+        .select(col("qid").as("pqid"), col("vec_id").as("pq_vec_id"))
+      brute
+        .join(pq, col("qid") === col("pqid") &&
+          col("vec_id") === col("pq_vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_brute"),
+          count(col("pq_vec_id")).as("n_hits"))
+        .select(col("qid"), col("n_brute"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_brute")).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- embedding-quality outliers: the 20 vectors farthest (squared
     // L2, exact integer grid) from their OWN label's centroid — the
     // mislabeled/corrupted-embedding triage list every curation pass
@@ -1221,6 +1256,48 @@ object Similarity {
     // so even though IVF is an approximate ANN algorithm the oracle check
     // is an exact hash compare
     // e + the shared pqCtes block + ADC sum + rank
+    // PQ ranks by L2, so the recall truth leg is the exact-integer
+    // squared-L2 brute scan (n2b/bd/bruteL2) — both legs exact, the
+    // metric a pure per-query set intersection (pq block shared with
+    // sim_pq_topk via pqCtes, so the legs cannot drift)
+    "sim_recall_pq" -> s"""
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings),
+      $pqCtes,
+      adc AS (SELECT l.qid, k.vec_id, sum(l.d2) AS adc2
+              FROM codes k JOIN lut l ON l.s = k.s AND l.code_id = k.code_id
+              GROUP BY l.qid, k.vec_id),
+      pqtop AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc2 ASC, vec_id ASC) AS rank
+                  FROM adc) t WHERE rank <= 10),
+      n2b AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
+              FROM e GROUP BY vec_id),
+      bd AS (SELECT q.vec_id AS qid, v.vec_id,
+               sum(CAST(q.xg AS HUGEINT) * v.xg) AS dot
+             FROM e q JOIN e v ON v.j = q.j
+             WHERE q.vec_id <= 4
+             GROUP BY q.vec_id, v.vec_id),
+      bruteL2 AS (SELECT qid, vec_id FROM (
+                    SELECT bd.qid, bd.vec_id, row_number() OVER (
+                      PARTITION BY bd.qid
+                      ORDER BY (nq.n2 - 2 * bd.dot + nv.n2) ASC,
+                               bd.vec_id ASC) AS rank
+                    FROM bd
+                    JOIN n2b nq ON nq.vec_id = bd.qid
+                    JOIN n2b nv ON nv.vec_id = bd.vec_id) t
+                  WHERE rank <= 10)
+      SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+        CAST(count(p.vec_id) AS DOUBLE) / count(*) AS recall
+      FROM bruteL2 b
+      LEFT JOIN pqtop p ON p.qid = b.qid AND p.vec_id = b.vec_id
+      GROUP BY b.qid
+      ORDER BY b.qid""",
+
     "sim_pq_topk" -> s"""
       WITH e AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS j,

@@ -34,6 +34,36 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("pq recall equals |bruteL2 ∩ pq| / |bruteL2| per query") {
+    // ground truth recomputed independently: exact squared-L2 ranks over
+    // the gridded vectors (the same integers the query uses)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    val bruteL2 = emb.keys.filter(_ <= 4).map { qid =>
+      qid -> emb.toSeq.sortBy { case (vid, v) => (d2(emb(qid), v), vid) }
+        .take(10).map(_._1).toSet
+    }.toMap
+    val pq = topkSet(
+      graft.queries.Similarity.queries("sim_pq_topk")(spark, dir))
+    val got = graft.queries.Similarity.queries("sim_recall_pq")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === bruteL2.keySet)
+    got.foreach { case (qid, (nBrute, nHits, recall)) =>
+      val truth = bruteL2(qid)
+      val hits = truth.intersect(pq.getOrElse(qid, Set.empty))
+      assert(nBrute === truth.size.toLong, s"qid=$qid n_brute")
+      assert(nHits === hits.size.toLong, s"qid=$qid n_hits")
+      assert(recall === hits.size.toDouble / truth.size, s"qid=$qid recall")
+    }
+  }
+
   test("with every cell probed, ivf is exhaustive and recall is 1") {
     // nprobe = number of labels (10 in the fixture): the probed-cell scan
     // degenerates to a full scan; ivf ranks by the exact-integer key and
