@@ -53,7 +53,14 @@ object ScaleCurve {
     // join-free novelty attribution and the two-pass median (whose
     // crossover vs the window-sort form the curve makes visible)
     "dedup_winnow_pairs", "dedup_span_grams", "dedup_gram_novelty",
-    "events_median_2pass")
+    "events_median_2pass",
+    // round-9 additions (VERDICT r8 #6): both are now top-5 bench
+    // entries at ~sf1, and each carries an explicit candidate bound the
+    // curve must evidence — basket-size-bounded pair expansion
+    // (q31: pairs grow with Σ basket², not corpus²) and the
+    // pointer-doubling round count (cluster sizes: O(log diameter)
+    // label-propagation rounds, cost per round linear in edges)
+    "q31_basket_lift", "dedup_cluster_sizes")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -439,10 +439,17 @@ case class GraftGramHashes(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (_: StringType, _: org.apache.spark.sql.types.IntegerType)
           if right.foldable =>
-        val k = right.eval().asInstanceOf[Int]
-        if (k >= 1 && k <= 256) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
-          s"graft_gram_hashes k must be in [1, 256], got $k")
+        // eval() before the cast: a foldable NULL literal would unbox to
+        // 0 and produce the misleading "got 0" message instead of naming
+        // the null
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            "graft_gram_hashes k must not be NULL")
+          case k: Int if k >= 1 && k <= 256 =>
+            TypeCheckResult.TypeCheckSuccess
+          case k => TypeCheckResult.TypeCheckFailure(
+            s"graft_gram_hashes k must be in [1, 256], got $k")
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_gram_hashes expects (string, foldable int), got " +
           s"(${l.simpleString}, ${r.simpleString})")

@@ -103,6 +103,9 @@ object HeavyHitters {
     * Output: (word, cnt, share), count-descending then word. */
   def heavyHitters(tokens: Dataset[String], support: Long,
                    sketchK: Int): DataFrame = {
+    require(support >= 1,
+      s"support ($support) must be >= 1 — a non-positive support makes" +
+        " the cnt*support >= total threshold unsatisfiable")
     require(sketchK >= support,
       s"sketchK ($sketchK) must be >= support ($support) or the sketch may" +
         " drop a true heavy hitter")

@@ -438,7 +438,9 @@ object TextOps {
     // would buffer a hot term's millions of postings in one aggregation
     // state. df comes from the same postings frame's count aggregate
     // (map-side combined), joined back on term; the array_sort on ≤ 20
-    // elements makes collect_list's arrival order irrelevant.
+    // elements makes collect_list's arrival order irrelevant. The head is
+    // string-serialized (house convention: the driver's flat-column
+    // comparator can't hash array cells — see GateSchemaSpec).
     "text_inverted_index" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("term")).orderBy(col("doc_id"))
@@ -450,7 +452,8 @@ object TextOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 20)
         .groupBy(col("term"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
+        .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("postings_head"))
         .join(df, "term")
         .select(col("term"), col("df"), col("postings_head"))
         .orderBy(col("term"))
@@ -563,7 +566,8 @@ object TextOps {
           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
         FROM tok),
       heads AS (
-        SELECT term, list_sort(list(doc_id)) AS postings_head
+        SELECT term,
+          array_to_string(list_sort(list(doc_id)), ',') AS postings_head
         FROM ranked WHERE rn <= 20 GROUP BY term)
       SELECT h.term, d.df, h.postings_head
       FROM heads h JOIN df d ON d.term = h.term

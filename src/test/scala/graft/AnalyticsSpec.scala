@@ -176,12 +176,16 @@ class AnalyticsSpec extends SparkSpec {
     "consistent, and a term's head matches a direct scan") {
     val rows = SparkEntry.queries("text_inverted_index")(spark, d)
       .collect()
+    // postings_head is string-serialized for the driver gate (house
+    // convention, see GateSchemaSpec) — decode before asserting
+    def head(r: org.apache.spark.sql.Row): Seq[Long] =
+      r.getString(2).split(",").toSeq.map(_.toLong)
     rows.foreach { r =>
-      val head = r.getSeq[Long](2)
-      assert(head.length <= 20 && head.nonEmpty)
-      assert(head == head.sorted, "posting head not sorted")
-      assert(r.getLong(1) >= head.length)
-      if (r.getLong(1) <= 20) assert(r.getLong(1) == head.length)
+      val h = head(r)
+      assert(h.length <= 20 && h.nonEmpty)
+      assert(h == h.sorted, "posting head not sorted")
+      assert(r.getLong(1) >= h.length)
+      if (r.getLong(1) <= 20) assert(r.getLong(1) == h.length)
     }
     val term = rows.head.getString(0)
     val direct = Tables.documents(spark, d)
@@ -189,7 +193,7 @@ class AnalyticsSpec extends SparkSpec {
         graft.queries.TextOps.tokens(col("text")).as("toks"))
       .filter(array_contains(col("toks"), term))
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted.take(20)
-    assert(rows.head.getSeq[Long](2) == direct.toSeq)
+    assert(head(rows.head) == direct.toSeq)
   }
 
   test("curation pipeline: attrition is monotone per source and totals " +
