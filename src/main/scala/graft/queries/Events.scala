@@ -268,6 +268,23 @@ object Events {
         .orderBy(col("day"))
     }),
 
+    // ---- dynamic partition pruning over a date-partitioned layout: the
+    // 100 TB fact-table discipline end-to-end INSIDE the gate. The query
+    // writes events date-partitioned (the layout job a production ingest
+    // runs once), writes a parquet-backed date dimension (a local
+    // relation would constant-fold its filter away and DPP would derive
+    // nothing), then joins fact to the dimension filtered on a
+    // NON-partition attribute (epoch-day mod 7 — exact integer date
+    // arithmetic, cross-engine) so only DYNAMIC pruning can skip fact
+    // partitions: the dim filter's surviving dates become a runtime
+    // subquery in the fact scan's PartitionFilters, and ~6/7 of the
+    // partition directories are never opened. At 100 TB this is the
+    // difference between scanning a month and scanning the 4 matching
+    // days. `DppSpec` executes the plan and asserts partitions read <
+    // partitions total from the scan's own metrics; the gate verifies
+    // the pruned result equals the full-scan join.
+    "events_dpp_daily" -> ((s, d) => partitionPrunedDaily(s, d)),
+
     // ---- k-anonymity release gate (the privacy-prep operator for
     // sharing event telemetry or training extracts): generalize the
     // quasi-identifier to (event_type, hour), release an event only when
@@ -642,10 +659,63 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** The partitioned-layout + dynamic-partition-pruning join behind
+    * `events_dpp_daily`: write events partitioned by `event_date` and a
+    * parquet-backed date dimension into a fresh temp location, then join
+    * the partitioned fact to the dimension filtered on its non-partition
+    * attribute. Layout conventions follow `bucketedCustomerOrders`: the
+    * temp location outlives the call (the returned frame scans it
+    * lazily); no catalog entry is needed — partition pruning reads
+    * directory structure, not table metadata. The dimension is
+    * broadcast (≤ 31 rows), so the DPP subquery reuses the broadcast
+    * rather than re-running the dim scan. */
+  private[graft] def partitionPrunedDaily(s: org.apache.spark.sql.SparkSession,
+                                          d: String): org.apache.spark.sql.DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("graft-dpp")
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$loc/events_daily")
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .select(col("event_date"),
+        (datediff(col("event_date"), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("epoch_dow"))
+      .write.mode("overwrite").parquet(s"$loc/dates")
+    val fact = s.read.parquet(s"$loc/events_daily")
+    val dim = s.read.parquet(s"$loc/dates").filter(col("epoch_dow") === 0)
+    fact.join(broadcast(dim), "event_date")
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(col("event_date").cast("string").as("event_date"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("event_date"), col("event_type").asc_nulls_last)
+  }
+
   private val sumValue =
     "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
 
   val oracles: Map[String, String] = Map(
+    // the partitioned layout + pruning are cost-level only: the result is
+    // the plain date-dimension join, replayed here without the layout.
+    // Date string form is ISO yyyy-MM-dd in both engines; epoch-day mod 7
+    // is exact integer arithmetic on positive day counts.
+    "events_dpp_daily" -> s"""
+      WITH f AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_type, value
+        FROM events WHERE ts IS NOT NULL),
+      dim AS (
+        SELECT DISTINCT event_date FROM f
+        WHERE date_diff('day', DATE '1970-01-01', event_date) % 7 = 0)
+      SELECT CAST(f.event_date AS VARCHAR) AS event_date, f.event_type,
+        count(*) AS n,
+        $sumValue
+      FROM f JOIN dim ON dim.event_date = f.event_date
+      GROUP BY 1, 2
+      ORDER BY 1, 2 NULLS LAST""",
+
     // the salted two-phase plan is cost-level only: the exact-grid sum is
     // re-grouping-invariant, so the oracle is the direct one-level sum
     "events_salted_sum" -> s"""
