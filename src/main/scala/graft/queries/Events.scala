@@ -580,6 +580,28 @@ object Events {
         .orderBy(col("event_type").asc_nulls_last, col("p"))
     }),
 
+    // ---- mergeable-sketch quantiles (Greenwald–Khanna via Spark's
+    // `percentile_approx`): the bounded-memory quantile path a 100 TB
+    // pipeline actually runs — O(accuracy·log n) summary state per
+    // group, map-side mergeable, one pass — next to `events_quantiles`'
+    // exact rank arithmetic (per-group sort, unbounded by group size).
+    // Sketch ESTIMATES are engine-specific (DuckDB's t-digest vs GK), so
+    // the gate hashes the sketch's CONTRACT instead of its output: for
+    // every (group, p), the returned value's exact-rank interval must
+    // intersect the documented ±n/accuracy band around rank p·n — a
+    // deterministic 0/1 both engines can agree on (the oracle is the
+    // constant-1 grid over the same groups, so a bound violation or a
+    // returned value absent from the data fails the gate loudly).
+    // Rank intervals come from one groupBy(v)+running-sum pass, never a
+    // per-row sort. `ApproxQuantileSpec` drives the same check at
+    // forced-compression scale (n ≫ accuracy) and pins the
+    // degenerate-exact regime (n·eps < 1 → rank error ≤ 1).
+    "events_quantiles_sketch" -> ((s, d) =>
+      sketchQuantileBound(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), cents(col("value")).cast("long").as("v")),
+        acc = 1000)),
+
     // ---- next-event transition matrix (the Markov-chain view of user
     // flows: which event type follows which, with exact transition
     // probabilities). Per user, events pair with their successor via one
@@ -657,6 +679,48 @@ object Events {
       .select(col("event_id"), col("user_id"), col("event_type"),
         timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
       .orderBy(col("event_id"))
+  }
+
+  /** The sketch-quantile bound check behind `events_quantiles_sketch`:
+    * `g` is a (event_type, v: long) frame; returns one row per
+    * (event_type, p ∈ {25, 50, 75, 95}) with `within_bound` = 1 iff the
+    * GK sketch's returned value has an exact-rank interval intersecting
+    * [floor((p/100 − 1/acc)·n), ceil((p/100 + 1/acc)·n)] — the
+    * documented `percentile_approx` guarantee. The exact rank interval
+    * of each distinct value is a groupBy + one running sum over the
+    * (group, distinct-value) frame — O(distinct values), not O(rows),
+    * and never a per-row window sort. All rank arithmetic is exact in
+    * double (counts < 2⁵³). */
+  private[graft] def sketchQuantileBound(
+      g0: org.apache.spark.sql.DataFrame, acc: Int): org.apache.spark.sql.DataFrame = {
+    val g = graft.Caching.persistTracked(g0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("et")).orderBy(col("v"))
+    val sk = g.groupBy(col("event_type"))
+      .agg(percentile_approx(col("v"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+          lit(acc)).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), posexplode(col("qs")))
+      .select(col("event_type"), col("n"),
+        element_at(array(lit(25L), lit(50L), lit(75L), lit(95L)),
+          col("pos").cast("int") + 1).as("p"),
+        col("col").as("qv"))
+    val ranks = g
+      .select(col("event_type").as("et"), col("v"))
+      .groupBy(col("et"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("max_rank", sum(col("c")).over(w))
+      .withColumn("min_rank", col("max_rank") - col("c") + 1)
+    sk.join(ranks, sk("event_type") <=> col("et") && col("qv") === col("v"))
+      .withColumn("within_bound", when(
+        col("min_rank") <= ceil((col("p") / lit(100.0) + lit(1.0 / acc))
+          * col("n")) &&
+        col("max_rank") >= floor((col("p") / lit(100.0) - lit(1.0 / acc))
+          * col("n")),
+        lit(1L)).otherwise(lit(0L)))
+      .select(sk("event_type"), col("p"), col("within_bound"))
+      .orderBy(col("event_type").asc_nulls_last, col("p"))
   }
 
   /** The partitioned-layout + dynamic-partition-pruning join behind
@@ -752,6 +816,19 @@ object Events {
       FROM m
       WHERE (v * n - sv) * (v * n - sv) > 9 * (n * q - sv * sv)
       ORDER BY event_id""",
+
+    // the sketch twin gates its CONTRACT, not its estimate: the oracle is
+    // the constant-1 bound grid over the same (group, p) combinations —
+    // a bound violation (within_bound = 0) or a returned value absent
+    // from the group's data (dropped join row) hash-fails loudly
+    "events_quantiles_sketch" -> """
+      WITH tys AS (
+        SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL),
+      ps(p) AS (VALUES (25), (50), (75), (95))
+      SELECT event_type, CAST(p AS BIGINT) AS p,
+        CAST(1 AS BIGINT) AS within_bound
+      FROM tys CROSS JOIN ps
+      ORDER BY event_type NULLS LAST, p""",
 
     // type-1 quantiles: the value at rank ceil(n*p/100) — rank arithmetic
     // in integer div, values on the cent grid
