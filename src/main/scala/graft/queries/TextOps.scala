@@ -459,6 +459,70 @@ object TextOps {
         .orderBy(col("term"))
     }),
 
+    // ---- sparse TF-IDF cosine similarity join (the all-pairs similarity
+    // join of Bayardo et al., WWW'07 — the LEXICAL-vector sibling of the
+    // dense `dedup_embed_cosine`/LSH family): pairs of documents whose
+    // TF-IDF vectors have cosine ≥ 0.5. Everything rides exact integers
+    // until the final presentation column: idf3 is BM25's pre-log idf
+    // ratio on the 10³ grid, w = (tf·idf3) div 10³ (zero-weight rows
+    // dropped — they add join work, not signal), dot and the squared
+    // norms are exact integer sums, and the threshold compares
+    // CROSS-MULTIPLIED in decimal(38)/HUGEINT — dot²·10⁶ ≥ τ·‖a‖²·‖b‖²
+    // with τ = cos²·10⁶ = 250000 — so no float touches a boundary
+    // decision. The surfaced cosine IS cross-engine-bit-stable float:
+    // int→double conversion, sqrt, and division are each correctly
+    // rounded in IEEE-754, and both engines start from identical exact
+    // integers. Magnitude bound: w ≤ tf·2N, so dot²·10⁶ ≤ (Σw²)²·10⁶
+    // stays inside decimal(38) to N ≈ 10⁵ docs at fixture term counts;
+    // beyond that drop idf to the 10¹ grid (a constant, not a shape
+    // change — BM25's documented scaling note applies verbatim).
+    // Plan shape is the near-dup family's: df computed by a
+    // map-side-combinable groupBy, the over-cap blocklist (df > 1000,
+    // the family's shared Σ min(df, cap)² bound; a FRACTIONAL cap or a
+    // tighter absolute one silently erases large duplicate clusters —
+    // at sf0.1 the fixture's dup clusters exceed 100 members, so their
+    // terms' df does too, and a cap of 100 blocklisted exactly the
+    // terms carrying the duplicate signal) BROADCAST
+    // anti-joined onto the postings so a boilerplate term never funnels
+    // one partition, candidate volume bounded by Σ min(df, cap)², and
+    // norms/df/postings all read one persisted tf frame (one tokenize
+    // pass). Oracle replays the grid term-for-term.
+    "text_cosine_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val tf = graft.Caching.persistTracked(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "term", "tf"))
+      val nDocs = tf.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val overCap = df.filter(col("df") > 1000).select(col("term"))
+      val wc = graft.Caching.persistTracked(tf
+        .join(df, "term").crossJoin(broadcast(nDocs))
+        .withColumn("idf3",
+          expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+        .withColumn("w", expr("(tf * idf3) div 1000"))
+        .filter(col("w") >= 1)
+        .join(broadcast(overCap), Seq("term"), "left_anti")
+        .select(col("doc_id"), col("term"), col("w")))
+      val norms = wc.groupBy(col("doc_id")).agg(sum(expr("w * w")).as("n2"))
+      wc.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
+        .join(wc.select(col("doc_id").as("b"), col("term"),
+          col("w").as("wb")), "term")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(expr("wa * wb")).as("dot"), count(lit(1)).as("n_shared"))
+        .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
+        .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
+        .filter(expr("CAST(dot AS DECIMAL(38,0)) * dot * 1000000 >= " +
+          "CAST(250000 AS DECIMAL(38,0)) * na2 * nb2"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
+          (col("dot").cast("double") /
+            sqrt((col("na2").cast("decimal(38,0)") * col("nb2"))
+              .cast("double"))).as("cosine"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- BM25 retrieval top-k (Robertson/Spärck Jones; the ranking
     // function behind every lexical retrieval stage of a RAG/eval
     // pipeline), on the exact integer grid. Contract (documented, like
@@ -572,6 +636,44 @@ object TextOps {
       SELECT h.term, d.df, h.postings_head
       FROM heads h JOIN df d ON d.term = h.term
       ORDER BY h.term""",
+
+    // the TF-IDF grid replayed term-for-term; the threshold is the
+    // cross-multiplied HUGEINT compare, and the surfaced cosine is the
+    // correctly-rounded double of identical exact integers in both
+    // engines (int→double, sqrt, and divide are each IEEE-exact)
+    "text_cosine_pairs" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      wp AS (
+        SELECT t.doc_id, t.term,
+          (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000) // (2 * d.df + 1)))
+            // 1000 AS w
+        FROM tf t JOIN dfx d ON d.term = t.term CROSS JOIN nn
+        WHERE d.df <= 1000
+          AND (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000)
+            // (2 * d.df + 1))) // 1000 >= 1),
+      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                FROM wp GROUP BY doc_id),
+      dots AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
+        FROM wp a JOIN wp b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT d.a AS doc_a, d.b AS doc_b, d.n_shared,
+        CAST(d.dot AS DOUBLE) /
+          sqrt(CAST(CAST(na.n2 AS HUGEINT) * nb.n2 AS DOUBLE)) AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.a
+      JOIN norms nb ON nb.doc_id = d.b
+      WHERE CAST(d.dot AS HUGEINT) * d.dot * 1000000
+        >= CAST(250000 AS HUGEINT) * na.n2 * nb.n2
+      ORDER BY doc_a, doc_b""",
 
     // BM25 grid arithmetic replayed term-for-term: every factor is BIGINT
     // math (// is DuckDB's integer div), so scores are bit-equal. The

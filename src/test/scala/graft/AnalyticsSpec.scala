@@ -196,6 +196,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(head(rows.head) == direct.toSeq)
   }
 
+  test("sparse cosine pairs: near-dups surface, disjoint docs don't, " +
+    "cosine bounded and threshold respected") {
+    val rows = SparkEntry.queries("text_cosine_pairs")(spark, d).collect()
+    assert(rows.nonEmpty, "fixture has dup clusters — pairs must surface")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not in a < b form")
+      val cos = r.getDouble(3)
+      // ≥ the documented 0.5 threshold (integer cross-multiplied gate),
+      // ≤ 1 + float headroom (Cauchy–Schwarz on the exact integers)
+      assert(cos >= 0.5 - 1e-9 && cos <= 1.0 + 1e-9, s"cosine $cos")
+      assert(r.getLong(2) >= 1, "pair with no shared terms")
+    }
+    // an exact-dup pair (identical raw text, both docs tokenized) must
+    // score cosine ≈ 1 — identical vectors survive any df cap identically
+    val dup = Tables.documents(spark, d)
+      .filter(col("text").rlike("[a-zA-Z]"))
+      .groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2).orderBy(col("ids")).limit(1).collect()
+    if (dup.nonEmpty) {
+      val ids = dup.head.getSeq[Long](1).take(2)
+      val hit = rows.find(r =>
+        r.getLong(0) == ids(0) && r.getLong(1) == ids(1))
+      assert(hit.isDefined, s"exact-dup pair $ids missing")
+      assert(hit.get.getDouble(3) > 0.999)
+    }
+    // drop the query's tracked persists: a still-cached postings frame
+    // would make PlanAuditSpec's rebuild of the same plan collapse into
+    // an InMemoryRelation scan, hiding the join shape it audits
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("curation pipeline: attrition is monotone per source and totals " +
     "shrink at quality/decontam/near-dup stages") {
     val rows = SparkEntry.queries("docs_curation_pipeline")(spark, d)

@@ -252,6 +252,24 @@ class PlanAuditSpec extends SparkSpec {
       "jaccard plan re-grew a window stage (hot-shingle skew risk)")
   }
 
+  test("cosine-pairs df-cap is a broadcast anti-join blocklist and the " +
+    "plan has no window over the postings") {
+    // same skew discipline as the jaccard family: the over-cap blocklist
+    // is a tiny groupBy reduction broadcast anti-joined onto the
+    // postings — never a `count over (partition by term)` that would
+    // funnel a boilerplate term's postings into one partition
+    val p = plan("text_cosine_pairs")
+    assert(p.contains("LeftAnti"), "df-cap blocklist anti-join missing")
+    val antiLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("LeftAnti"))
+    assert(antiLine.exists(_.contains("Broadcast")),
+      s"df-cap anti-join is not broadcast: ${antiLine.getOrElse("?")}")
+    assert(!p.contains("Window"),
+      "cosine-pairs plan grew a window stage (hot-term skew risk)")
+    // (the plan's one SinglePartition exchange is the 1-row n_docs
+    // global count — the same broadcast-stats shape as BM25's)
+  }
+
   test("chunking is projection + generate — no hash exchange at any " +
     "corpus size") {
     // the 100 TB property: chunks inherit the document's partition; the
