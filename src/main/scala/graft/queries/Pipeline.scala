@@ -352,6 +352,40 @@ object Pipeline {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    // ---- model-based quality filtering (the fasttext/CCNet-style
+    // classifier gate — the step after heuristic rules in every
+    // production curation stack): apply a LINEAR classifier over hashed
+    // bag-of-words features and keep documents scoring ≥ 0. The "model"
+    // here is a deterministic 64-weight vector derived from the bucket
+    // id by a multiplicative hash (centered on 0, range ±1000) so both
+    // engines replay it bit-for-bit; in production it is a broadcast
+    // weights table and NOTHING else changes — the plan is the point:
+    // featurize (projection + doc-local partial agg, the
+    // `docs_feature_hash` shape), weight-join-free scoring (weights are
+    // a pure function of bucket here; a real model broadcasts), one
+    // map-side-combinable per-doc sum. No vocabulary pass, no global
+    // state, embarrassingly parallel — the classifier applies to 100 TB
+    // exactly as to 100 MB. raw = Σ cnt·w is an exact integer; the
+    // surfaced score is the correctly-rounded double raw/n_tokens; the
+    // keep decision compares the INTEGER raw against 0, never a float.
+    "docs_classifier_score" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "term", "tf")
+        .groupBy(col("doc_id"), (keyHash(col("term")) % 64).as("bucket"))
+        .agg(sum(col("tf")).as("cnt"))
+        .withColumn("w", expr("(bucket * 2654435761) % 2001 - 1000"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("cnt * w")).as("raw"),
+          sum(col("cnt")).as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("raw"),
+          (col("raw").cast("double") / col("n_tokens")).as("score"),
+          when(col("raw") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination: flag corpus documents sharing any
     // 3-word shingle with a held-out benchmark set (doc_id % 20 == 0 here;
     // in production, the eval suites). The scale shape is the point: the
@@ -865,6 +899,33 @@ object Pipeline {
       FROM tf
       GROUP BY doc_id, bucket
       ORDER BY doc_id, bucket""",
+
+    // the hashed-feature linear scorer replayed on the shared md5 bucket
+    // convention; weights are the same centered multiplicative hash, raw
+    // stays integer, the keep gate compares raw to 0 (never the float)
+    "docs_classifier_score" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      feat AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket,
+          sum(tf) AS cnt
+        FROM tf GROUP BY doc_id, bucket),
+      sc AS (
+        SELECT doc_id,
+          CAST(sum(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS BIGINT)
+            AS raw,
+          CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM feat GROUP BY doc_id)
+      SELECT doc_id, n_tokens, raw,
+        CAST(raw AS DOUBLE) / n_tokens AS score,
+        CAST(CASE WHEN raw >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM sc
+      ORDER BY doc_id""",
 
     "docs_decontaminate" -> s"""
       WITH ${Dedup.hashedShingleCtes},

@@ -615,6 +615,37 @@ object Relational {
         .limit(50)
     }),
 
+    // ---- triangle counting + global transitivity over the co-purchase
+    // graph (with PageRank and connected components this completes the
+    // graph-analytics family; the clustering coefficient is the classic
+    // community-structure readout for web/citation-graph curation).
+    // Edges: part pairs co-occurring in ≥ 2 orders (q31's bounded pair
+    // expansion — pairs grow with Σ basket², never corpus²). The
+    // triangle enumeration is DEGREE-ORIENTED (Chiba–Nishizeki /
+    // Schank–Wagner): each edge points from its (degree, id)-smaller
+    // endpoint to the larger, wedges expand only from ORIENTED
+    // out-neighborhoods — Σ outdeg² is bounded by O(m·√m) for any graph
+    // (m = edges), where the naive wedge count Σ deg² is quadratic in
+    // the max degree: a hub of degree 10⁶ contributes 10¹² naive wedges
+    // but its oriented out-degree is O(√m). The closure join hits the
+    // oriented edge set once per wedge, counting each triangle exactly
+    // once (the orientation is a total order). Output is one stats row:
+    // nodes, edges, wedges (Σ deg·(deg−1)/2, exact), triangles, and
+    // transitivity = 3·tri/wedges on the 10⁶ integer grid (nonnegative
+    // div — identical truncation in both engines).
+    "q34_triangle_stats" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.select(col("o"), col("p").as("pa"))
+        .join(items.select(col("o"), col("p").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      triangleStats(edges)
+    }),
+
     // ---- salted skew JOIN ([[graft.operators.ScaleOps.saltedJoin]]
     // gated): lineitem is genuinely skewed on l_suppkey (only 10·sf
     // suppliers → ~600 rows per key at every SF), the exact regime where
@@ -642,6 +673,43 @@ object Relational {
         .orderBy(col("suppkey"))
     })
   )
+
+  /** Degree-oriented triangle statistics over an undirected edge list
+    * (`a < b` per row, no duplicates) — the enumeration behind
+    * `q34_triangle_stats`, factored so specs can drive hand-built
+    * graphs. Wedges expand only from ORIENTED out-neighborhoods (edge
+    * points from its (degree, id)-smaller endpoint), so the expansion is
+    * Σ outdeg² = O(m^1.5) instead of the hub-quadratic Σ deg²; the
+    * closure semi-join counts each triangle exactly once because the
+    * orientation is a total order. */
+  private[graft] def triangleStats(edges0: DataFrame): DataFrame = {
+    val edges = graft.Caching.persistTracked(edges0)
+    val deg = graft.Caching.persistTracked(
+      edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")))
+    val firstIsSrc = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.Caching.persistTracked(edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(firstIsSrc, col("a")).otherwise(col("b")).as("src"),
+        when(firstIsSrc, col("b")).otherwise(col("a")).as("dst")))
+    val tri = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+      .filter(col("x") =!= col("y"))
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3 * n_triangles * 1000000) div nullif(n_wedges, 0)")
+          .as("transitivity_grid"))
+  }
 
   /** The bucketed-layout join behind `q27_join_bucketed`: write orders and
     * customer bucketed (and per-bucket sorted) by the join key into a
@@ -694,6 +762,37 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   val oracles: Map[String, String] = Map(
+    // the oracle counts triangles by the plain a<b<c triple join over the
+    // unoriented a<b edge set — each triangle has exactly one id-ordered
+    // embedding, so it equals the engine's degree-oriented count; wedges
+    // from the same degree table
+    "q34_triangle_stats" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT a.p AS a, b.p AS b FROM items a
+        JOIN items b ON b.o = a.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2),
+      deg AS (
+        SELECT v, count(*) AS deg FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+        GROUP BY v),
+      tri AS (
+        SELECT count(*) AS n_triangles FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      st AS (
+        SELECT
+          (SELECT count(*) FROM deg) AS n_nodes,
+          (SELECT count(*) FROM e) AS n_edges,
+          (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+            AS n_wedges,
+          (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        CAST((3 * n_triangles * 1000000) // nullif(n_wedges, 0) AS BIGINT)
+          AS transitivity_grid
+      FROM st""",
+
     // 3 PageRank iterations unrolled as one CTE per step; every factor is
     // BIGINT (// = integer div), contributions divided BEFORE the sum in
     // both engines, so ranks are bit-equal.
