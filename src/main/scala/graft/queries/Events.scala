@@ -736,20 +736,25 @@ object Events {
   private[graft] def partitionPrunedDaily(s: org.apache.spark.sql.SparkSession,
                                           d: String): org.apache.spark.sql.DataFrame = {
     val loc = java.nio.file.Files.createTempDirectory("graft-dpp")
-    Tables.events(s, d)
+    val factSrc = Tables.events(s, d)
       .filter(col("ts").isNotNull)
       .withColumn("event_date", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("event_date")
+    factSrc.write.mode("overwrite").partitionBy("event_date")
       .parquet(s"$loc/events_daily")
-    Tables.events(s, d)
+    val dimSrc = Tables.events(s, d)
       .filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("event_date")).distinct()
       .select(col("event_date"),
         (datediff(col("event_date"), to_date(lit("1970-01-01"))) % 7)
           .cast("long").as("epoch_dow"))
-      .write.mode("overwrite").parquet(s"$loc/dates")
-    val fact = s.read.parquet(s"$loc/events_daily")
-    val dim = s.read.parquet(s"$loc/dates").filter(col("epoch_dow") === 0)
+    dimSrc.write.mode("overwrite").parquet(s"$loc/dates")
+    // explicit schemas on read-back: a zero-row corpus writes no data
+    // files (only _SUCCESS), and schema inference has nothing to read —
+    // the empty-corpus contract still demands an empty RESULT, not an
+    // AnalysisException
+    val fact = s.read.schema(factSrc.schema).parquet(s"$loc/events_daily")
+    val dim = s.read.schema(dimSrc.schema).parquet(s"$loc/dates")
+      .filter(col("epoch_dow") === 0)
     fact.join(broadcast(dim), "event_date")
       .groupBy(col("event_date"), col("event_type"))
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
