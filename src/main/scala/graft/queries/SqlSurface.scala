@@ -169,6 +169,46 @@ object SqlSurface {
     // Same join-free unique-holder aggregation as the DataFrame twin
     // (a df-1 group's min(doc_id)/min(c) ARE its single row); same
     // output, same oracle as dedup_span_grams.
+    // the sparse TF-IDF cosine similarity join as one SQL string — the
+    // map-explode of the native `graft_term_counts` kernel, the integer
+    // idf/weight grid, the cross-multiplied decimal(38) threshold, and
+    // the correctly-rounded float cosine all express directly in SQL;
+    // the df cap is an inner-join predicate here (same result set as the
+    // DataFrame twin's broadcast anti-join blocklist — the blocklist is
+    // the SCALE form, this is the spelling). Same output, same oracle
+    // as text_cosine_pairs.
+    "sql_cosine_pairs" -> sql("""
+      WITH tf AS (
+        SELECT doc_id, term, tf FROM (
+          SELECT doc_id, explode(graft_term_counts(text)) AS (term, tf)
+          FROM documents) t),
+      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      wp AS (
+        SELECT t.doc_id, t.term,
+          (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000)
+            div (2 * d.df + 1))) div 1000 AS w
+        FROM tf t JOIN dfx d ON d.term = t.term CROSS JOIN nn
+        WHERE d.df <= 1000
+          AND (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000)
+            div (2 * d.df + 1))) div 1000 >= 1),
+      norms AS (SELECT doc_id, sum(w * w) AS n2 FROM wp GROUP BY doc_id),
+      dots AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, sum(a.w * b.w) AS dot,
+          count(*) AS n_shared
+        FROM wp a JOIN wp b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT d.a AS doc_a, d.b AS doc_b, d.n_shared,
+        CAST(d.dot AS DOUBLE) /
+          sqrt(CAST(CAST(na.n2 AS DECIMAL(38,0)) * nb.n2 AS DOUBLE))
+          AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.a
+      JOIN norms nb ON nb.doc_id = d.b
+      WHERE CAST(d.dot AS DECIMAL(38,0)) * d.dot * 1000000
+        >= CAST(250000 AS DECIMAL(38,0)) * na.n2 * nb.n2
+      ORDER BY doc_a, doc_b"""),
+
     "sql_span_grams" -> sql("""
       WITH gc AS (
         SELECT doc_id, h, count(*) AS c FROM (
@@ -221,6 +261,8 @@ object SqlSurface {
       ORDER BY p_brand""",
     "sql_simhash" -> Dedup.oracles("dedup_simhash"),
     // the DataFrame twin's oracle verbatim — same grams, same counts
-    "sql_span_grams" -> Dedup.oracles("dedup_span_grams")
+    "sql_span_grams" -> Dedup.oracles("dedup_span_grams"),
+    // the DataFrame twin's oracle verbatim — same grid, same threshold
+    "sql_cosine_pairs" -> TextOps.oracles("text_cosine_pairs")
   )
 }

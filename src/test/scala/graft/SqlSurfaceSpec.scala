@@ -29,6 +29,12 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows("sql_span_grams") == rows("dedup_span_grams"))
   }
 
+  test("sql_cosine_pairs == text_cosine_pairs (DataFrame)") {
+    val eq = rows("sql_cosine_pairs") == rows("text_cosine_pairs")
+    Caching.releaseAll(); spark.catalog.clearCache()
+    assert(eq)
+  }
+
   test("sql_top_orders_per_segment: 3 per segment, schema long-typed") {
     val df = SparkEntry.queries("sql_top_orders_per_segment")(spark, d)
     val out = df.collect()
