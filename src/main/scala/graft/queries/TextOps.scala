@@ -32,6 +32,45 @@ object TextOps {
   def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(asciiLower(c), "[^a-z]+"), w => length(w) > 0)
 
+  /** The sparse TF-IDF cosine pair frame behind `text_cosine_pairs` and
+    * `text_nearest_dup` (unsorted; columns doc_a, doc_b, n_shared,
+    * cosine — see the query's scaladoc for the grid/threshold
+    * contract). */
+  private[graft] def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val tf = graft.Caching.persistTracked(Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+      .toDF("doc_id", "term", "tf"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val overCap = df.filter(col("df") > 1000).select(col("term"))
+    val wc = graft.Caching.persistTracked(tf
+      .join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("idf3",
+        expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("w", expr("(tf * idf3) div 1000"))
+      .filter(col("w") >= 1)
+      .join(broadcast(overCap), Seq("term"), "left_anti")
+      .select(col("doc_id"), col("term"), col("w")))
+    val norms = wc.groupBy(col("doc_id")).agg(sum(expr("w * w")).as("n2"))
+    wc.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
+      .join(wc.select(col("doc_id").as("b"), col("term"),
+        col("w").as("wb")), "term")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(expr("wa * wb")).as("dot"), count(lit(1)).as("n_shared"))
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
+      .filter(expr("CAST(dot AS DECIMAL(38,0)) * dot * 1000000 >= " +
+        "CAST(250000 AS DECIMAL(38,0)) * na2 * nb2"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
+        (col("dot").cast("double") /
+          sqrt((col("na2").cast("decimal(38,0)") * col("nb2"))
+            .cast("double"))).as("cosine"))
+  }
+
   /** Flagship word-count + top-N as a reusable plan. */
   def wordcountTopN(s: SparkSession, d: String, n: Int): DataFrame =
     Tables.documents(s, d)
@@ -487,40 +526,31 @@ object TextOps {
     // one partition, candidate volume bounded by Σ min(df, cap)², and
     // norms/df/postings all read one persisted tf frame (one tokenize
     // pass). Oracle replays the grid term-for-term.
-    "text_cosine_pairs" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val tf = graft.Caching.persistTracked(Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
-        .toDF("doc_id", "term", "tf"))
-      val nDocs = tf.select(col("doc_id")).distinct()
-        .agg(count(lit(1)).as("n_docs"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val overCap = df.filter(col("df") > 1000).select(col("term"))
-      val wc = graft.Caching.persistTracked(tf
-        .join(df, "term").crossJoin(broadcast(nDocs))
-        .withColumn("idf3",
-          expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
-        .withColumn("w", expr("(tf * idf3) div 1000"))
-        .filter(col("w") >= 1)
-        .join(broadcast(overCap), Seq("term"), "left_anti")
-        .select(col("doc_id"), col("term"), col("w")))
-      val norms = wc.groupBy(col("doc_id")).agg(sum(expr("w * w")).as("n2"))
-      wc.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
-        .join(wc.select(col("doc_id").as("b"), col("term"),
-          col("w").as("wb")), "term")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(sum(expr("wa * wb")).as("dot"), count(lit(1)).as("n_shared"))
-        .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
-        .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
-        .filter(expr("CAST(dot AS DECIMAL(38,0)) * dot * 1000000 >= " +
-          "CAST(250000 AS DECIMAL(38,0)) * na2 * nb2"))
-        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
-          (col("dot").cast("double") /
-            sqrt((col("na2").cast("decimal(38,0)") * col("nb2"))
-              .cast("double"))).as("cosine"))
-        .orderBy(col("doc_a"), col("doc_b"))
+    "text_cosine_pairs" -> ((s, d) =>
+      cosinePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- nearest-duplicate report: each document's single best cosine
+    // neighbor from the thresholded pair set — the form a 100 TB dedup
+    // review actually materializes (the full pair list grows with
+    // Σ cluster²; the per-doc argmax is one row per involved doc). Pairs
+    // expand to both directions, then a rank-1 filter per doc — planned
+    // as WindowGroupLimit, so each partition keeps one row per doc
+    // BEFORE the exchange. Ordering by the float cosine is bit-stable
+    // cross-engine (identical exact integers → identical doubles);
+    // neighbor id breaks exact-double ties.
+    "text_nearest_dup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("cosine").desc, col("nbr").asc)
+      val pairs = cosinePairs(s, d)
+      pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"),
+          col("cosine"))
+        .union(pairs.select(col("doc_b").as("doc_id"),
+          col("doc_a").as("nbr"), col("cosine")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("nbr"), col("cosine"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- BM25 retrieval top-k (Robertson/Spärck Jones; the ranking
@@ -595,6 +625,44 @@ object TextOps {
     ORDER BY cnt DESC, word ASC
     LIMIT $n"""
 
+  /** The sparse-cosine pair set as oracle CTEs (shared by
+    * `text_cosine_pairs`, `text_nearest_dup`, and the SQL twin via the
+    * pairs oracle — one source, so they cannot drift): the TF-IDF grid
+    * term-for-term, the cross-multiplied HUGEINT threshold, the
+    * correctly-rounded float cosine. */
+  private[queries] val cosinePairCtes = """tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      wp AS (
+        SELECT t.doc_id, t.term,
+          (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000) // (2 * d.df + 1)))
+            // 1000 AS w
+        FROM tf t JOIN dfx d ON d.term = t.term CROSS JOIN nn
+        WHERE d.df <= 1000
+          AND (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000)
+            // (2 * d.df + 1))) // 1000 >= 1),
+      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                FROM wp GROUP BY doc_id),
+      dots AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
+        FROM wp a JOIN wp b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      pairs AS (
+        SELECT d.a AS doc_a, d.b AS doc_b, d.n_shared,
+          CAST(d.dot AS DOUBLE) /
+            sqrt(CAST(CAST(na.n2 AS HUGEINT) * nb.n2 AS DOUBLE)) AS cosine
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.a
+        JOIN norms nb ON nb.doc_id = d.b
+        WHERE CAST(d.dot AS HUGEINT) * d.dot * 1000000
+          >= CAST(250000 AS HUGEINT) * na.n2 * nb.n2)"""
+
   /** The winnow fingerprint set per document as oracle CTEs — codepoint
     * windows over the ASCII-folded text, 8-char grams, 4-hash windowed
     * min, distinct fps per doc (bit-identical to `graft_winnow`). */
@@ -641,39 +709,26 @@ object TextOps {
     // cross-multiplied HUGEINT compare, and the surfaced cosine is the
     // correctly-rounded double of identical exact integers in both
     // engines (int→double, sqrt, and divide are each IEEE-exact)
-    "text_cosine_pairs" -> """
-      WITH tok AS (
-        SELECT doc_id, unnest(list_filter(
-          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
-        FROM documents),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-             GROUP BY doc_id, term),
-      nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
-      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      wp AS (
-        SELECT t.doc_id, t.term,
-          (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000) // (2 * d.df + 1)))
-            // 1000 AS w
-        FROM tf t JOIN dfx d ON d.term = t.term CROSS JOIN nn
-        WHERE d.df <= 1000
-          AND (t.tf * (((2 * (nn.n_docs - d.df) + 1) * 1000)
-            // (2 * d.df + 1))) // 1000 >= 1),
-      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
-                FROM wp GROUP BY doc_id),
-      dots AS (
-        SELECT a.doc_id AS a, b.doc_id AS b,
-          CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
-        FROM wp a JOIN wp b ON a.term = b.term AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-      SELECT d.a AS doc_a, d.b AS doc_b, d.n_shared,
-        CAST(d.dot AS DOUBLE) /
-          sqrt(CAST(CAST(na.n2 AS HUGEINT) * nb.n2 AS DOUBLE)) AS cosine
-      FROM dots d
-      JOIN norms na ON na.doc_id = d.a
-      JOIN norms nb ON nb.doc_id = d.b
-      WHERE CAST(d.dot AS HUGEINT) * d.dot * 1000000
-        >= CAST(250000 AS HUGEINT) * na.n2 * nb.n2
+    "text_cosine_pairs" -> s"""
+      WITH $cosinePairCtes
+      SELECT doc_a, doc_b, n_shared, cosine FROM pairs
       ORDER BY doc_a, doc_b""",
+
+    // both directions of the shared pair CTEs, rank-1 per doc; the float
+    // cosine orders identically cross-engine, neighbor id breaks ties
+    "text_nearest_dup" -> s"""
+      WITH $cosinePairCtes,
+      bidir AS (
+        SELECT doc_a AS doc_id, doc_b AS nbr, cosine FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS nbr, cosine FROM pairs),
+      r AS (
+        SELECT doc_id, nbr, cosine,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY cosine DESC, nbr ASC) AS rn
+        FROM bidir)
+      SELECT doc_id, nbr, cosine FROM r WHERE rn = 1
+      ORDER BY doc_id""",
 
     // BM25 grid arithmetic replayed term-for-term: every factor is BIGINT
     // math (// is DuckDB's integer div), so scores are bit-equal. The

@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     // BEFORE the shuffle — without it the full scored candidate set
     // (corpus × queries for sim_topk/sim_knn_label, the probed cells for
     // the IVF path) is shuffled and sorted in its entirety
-    for (name <- Seq("sim_topk", "sim_knn_label", "sim_ivf_topk")) {
+    for (name <- Seq("sim_topk", "sim_knn_label", "sim_ivf_topk",
+        "text_nearest_dup")) {
       assert(plan(name).contains("WindowGroupLimit"),
         s"$name's bounded rank window lost its WindowGroupLimit")
     }
