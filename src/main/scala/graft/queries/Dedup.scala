@@ -635,6 +635,34 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashLshPairs(Tables.documents(s, d), 0.7)),
 
+    // ---- LSH banding recall (the quality readout that decides the
+    // band/row configuration in production, the dedup analog of
+    // `sim_recall_ivf`): of the exact-Jaccard-≥0.7 pair set, what
+    // fraction does the 4×4 MinHash banding surface? Both legs ARE the
+    // gated plans (the df-capped exact pairs and the verified LSH
+    // pairs), the hit set one semi-join between them — so the metric
+    // cannot drift from the queries it grades. n_lsh can exceed n_hit:
+    // the LSH verify intersects FULL hashed sets while the exact leg's
+    // candidate intersection is df-capped (borderline pairs can clear
+    // one and not the other — both definitions replayed exactly in the
+    // oracle). Probabilistic as a DESIGN (1−(1−j⁴)⁴ collision curve),
+    // deterministic as a computation: signatures are md5-derived, so
+    // recall is bit-stable cross-engine.
+    "dedup_recall_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = graft.Caching.persistTracked(
+        jaccardPairsUnsorted(docs, 0.7).select(col("doc_a"), col("doc_b")))
+      val lsh = graft.Caching.persistTracked(
+        minhashLshPairs(docs, 0.7).select(col("doc_a"), col("doc_b")))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nHit = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nTrue.crossJoin(broadcast(nLsh)).crossJoin(broadcast(nHit))
+        .select(col("n_true"), col("n_lsh"), col("n_hit"),
+          expr("CAST(n_hit AS DOUBLE) / nullif(n_true, 0)").as("recall"))
+    }),
+
     "dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val pairs = jaccardPairsUnsorted(Tables.documents(s, d), 0.6)
@@ -861,6 +889,50 @@ object Dedup {
                JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
                            AND a.doc_id < b.doc_id),
       ${verifySql("0.7")}""",
+
+    // both legs' CTE chains verbatim (capped exact pairs; banded+verified
+    // LSH pairs over FULL sets), hit = their join — one source with the
+    // leg oracles, so the metric cannot drift
+    "dedup_recall_lsh" -> s"""
+      WITH $hashedShingleCtes,
+      $minhashSigSql,
+      bands AS (
+        $minhashBandsSql),
+      cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM bands a
+               JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
+                           AND a.doc_id < b.doc_id),
+      lshcommon AS (
+        SELECT c.a, c.b, count(*) AS common
+        FROM cand c
+        JOIN hinv ia ON ia.doc_id = c.a
+        JOIN hinv ib ON ib.doc_id = c.b AND ib.h = ia.h
+        GROUP BY c.a, c.b),
+      lsh AS (
+        SELECT c.a, c.b FROM lshcommon c
+        JOIN hsz sa ON sa.doc_id = c.a
+        JOIN hsz sb ON sb.doc_id = c.b
+        WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.7),
+      tdf AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
+      tinvc AS (SELECT hinv.doc_id, hinv.h FROM hinv
+                JOIN tdf ON tdf.h = hinv.h WHERE tdf.df <= 1000),
+      tcommon AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                  FROM tinvc a
+                  JOIN tinvc b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+      truth AS (
+        SELECT c.a, c.b FROM tcommon c
+        JOIN hsz sa ON sa.doc_id = c.a
+        JOIN hsz sb ON sb.doc_id = c.b
+        WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.7),
+      st AS (SELECT
+        (SELECT count(*) FROM truth) AS n_true,
+        (SELECT count(*) FROM lsh) AS n_lsh,
+        (SELECT count(*) FROM truth t
+         JOIN lsh l ON l.a = t.a AND l.b = t.b) AS n_hit)
+      SELECT n_true, n_lsh, n_hit,
+        CAST(n_hit AS DOUBLE) / nullif(n_true, 0) AS recall
+      FROM st""",
 
     "dedup_components" -> s"""
       WITH RECURSIVE $componentsCtes

@@ -77,4 +77,25 @@ class RecallSpec extends SparkSpec {
       graft.queries.Similarity.ivfTopK(spark, dir, k = 10, nprobe = 10))
     assert(full === brute)
   }
+
+  test("LSH banding recall agrees with its two gated legs' pair sets") {
+    def pairSet(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir).select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independently re-derive the truth leg at 0.7 from the gated 0.6
+    // jaccard pairs (a superset carrying the jaccard column)
+    val truth = SparkEntry.queries("dedup_neardup_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.7).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet("dedup_minhash_lsh")
+    val row = SparkEntry.queries("dedup_recall_lsh")(spark, dir)
+      .collect().head
+    Caching.releaseAll(); spark.catalog.clearCache()
+    assert(row.getLong(0) == truth.size.toLong, "n_true")
+    assert(row.getLong(1) == lsh.size.toLong, "n_lsh")
+    assert(row.getLong(2) == truth.intersect(lsh).size.toLong, "n_hit")
+    if (truth.nonEmpty)
+      assert(row.getDouble(3) == truth.intersect(lsh).size.toDouble / truth.size)
+    assert(row.getLong(2) <= math.min(row.getLong(0), row.getLong(1)))
+  }
 }
