@@ -383,6 +383,45 @@ object Events {
     "events_debounce_kept" -> ((s, d) =>
       debounceKept(Tables.events(s, d), gapUs = 1800000000L)),
 
+    // ---- exponentially-weighted moving average (α = 1/2) per
+    // (user, type) stream — the classic time-series smoothing /
+    // anomaly-baseline operator, and a second member of the sequential
+    // per-key recurrence family (`events_debounce_kept`): state that
+    // depends on the previous OUTPUT, not the previous event, so no
+    // window frame expresses it. One sorted pass per key via
+    // `flatMapSortedGroups` (secondary sort inside the hash exchange,
+    // state = one long); the recurrence is exact integer halving on the
+    // cent grid — s₁ = v₁, sₙ = (vₙ + sₙ₋₁) div 2, truncation toward
+    // zero in Scala `/`, DuckDB `//`, identical — so the oracle replays
+    // it with a recursive CTE bit-for-bit. α = 1/2 keeps the recurrence
+    // closed over integers; other dyadic α = k/2ᵐ are the same grid
+    // with a wider shift. Timeline contract: null ts off the timeline,
+    // a stream needs an owner and a type (null user/type excluded,
+    // mirrored), null value has no measure (excluded, mirrored).
+    "events_ewma" -> ((s, d) => {
+      import s.implicits._
+      val walked = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          cents(col("value")).cast("long").as("v"))
+        .as[(Long, Long, String, Long, Long)]
+        .groupByKey { case (_, uid, et, _, _) => (uid, et) }
+        .flatMapSortedGroups(col("us"), col("event_id")) { (_, it) =>
+          var s = Long.MinValue
+          it.map { case (id, uid, et, us, v) =>
+            s = if (s == Long.MinValue) v else (v + s) / 2
+            (id, uid, et, us, s)
+          }
+        }
+      walked.toDF("event_id", "user_id", "event_type", "us", "s")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+          (col("s").cast("double") / 100.0).as("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- as-of join: each event picks the user's most recent order at or
     // before the event time. Implemented as the scalable union+window
     // formulation: tag both streams, union, and take the running last
@@ -1109,6 +1148,31 @@ object Events {
     // copy) — ~30 joins of a shrinking frontier, nowhere near a cost
     // cliff. The caveat only bites if a future corpus concentrates
     // events on few keys; bound the oracle's input window then.
+    // the integer-halving recurrence replayed step for step; // and
+    // Scala / both truncate toward zero, so the walk is bit-equal
+    "events_ewma" -> """
+      WITH RECURSIVE ev AS (
+        SELECT event_id, user_id, event_type, ts,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL AND value IS NOT NULL),
+      walk AS (
+        SELECT user_id, event_type, rn, event_id, ts, v AS s
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.rn, e.event_id, e.ts,
+          (e.v + w.s) // 2
+        FROM walk w JOIN ev e
+          ON e.user_id = w.user_id AND e.event_type = w.event_type
+         AND e.rn = w.rn + 1)
+      SELECT event_id, user_id, event_type, ts,
+        CAST(s AS DOUBLE) / 100.0 AS ewma
+      FROM walk
+      ORDER BY event_id""",
+
     "events_debounce_kept" -> """
       WITH RECURSIVE ev AS (
         SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,

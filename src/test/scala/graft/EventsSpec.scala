@@ -85,4 +85,32 @@ class EventsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSeq
     assert(kept === (0L until 6L))
   }
+
+  test("ewma walk equals a local replay of the halving recurrence on " +
+    "the fixture") {
+    val d = "/root/testdata/sf0.001"
+    val src = Tables.events(spark, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        graft.queries.cents(col("value")).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = src.groupBy(t => (t._2, t._3)).toSeq.flatMap {
+      case (_, es) =>
+        var s = Long.MinValue
+        es.sortBy(t => (t._4, t._1)).toSeq.map { t =>
+          s = if (s == Long.MinValue) t._5 else (t._5 + s) / 2
+          t._1 -> s.toDouble / 100.0
+        }
+    }.toMap
+    val got = SparkEntry.queries("events_ewma")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.forall { case (id, e) => expected(id) == e },
+      "ewma diverged from the local replay")
+    assert(got.nonEmpty)
+  }
 }
