@@ -60,7 +60,11 @@ object ScaleCurve {
     // (q31: pairs grow with Σ basket², not corpus²) and the
     // pointer-doubling round count (cluster sizes: O(log diameter)
     // label-propagation rounds, cost per round linear in edges)
-    "q31_basket_lift", "dedup_cluster_sizes")
+    "q31_basket_lift", "dedup_cluster_sizes",
+    // round-9 query additions with explicit candidate bounds to
+    // evidence: the sparse cosine join (Σ min(df, 1000)² candidate
+    // volume) and the degree-oriented triangle enumeration (Σ outdeg²)
+    "text_cosine_pairs", "q34_triangle_stats")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
