@@ -728,8 +728,12 @@ object Events {
     * documented `percentile_approx` guarantee. The exact rank interval
     * of each distinct value is a groupBy + one running sum over the
     * (group, distinct-value) frame — O(distinct values), not O(rows),
-    * and never a per-row window sort. All rank arithmetic is exact in
-    * double (counts < 2⁵³). */
+    * and never a per-row window sort. The band comparison is exact
+    * integer cross-multiplication (`min_rank ≤ ceil(hi)` ⟺
+    * `(min_rank − 1)·100·acc < (p·acc + 100)·n`, and symmetrically for
+    * the floor): the earlier double form could round a product across an
+    * integer boundary and tighten the band by one rank, turning a
+    * correct sketch answer into a spurious `within_bound = 0`. */
   private[graft] def sketchQuantileBound(
       g0: org.apache.spark.sql.DataFrame, acc: Int): org.apache.spark.sql.DataFrame = {
     val g = graft.Caching.persistTracked(g0)
@@ -753,10 +757,10 @@ object Events {
       .withColumn("min_rank", col("max_rank") - col("c") + 1)
     sk.join(ranks, sk("event_type") <=> col("et") && col("qv") === col("v"))
       .withColumn("within_bound", when(
-        col("min_rank") <= ceil((col("p") / lit(100.0) + lit(1.0 / acc))
-          * col("n")) &&
-        col("max_rank") >= floor((col("p") / lit(100.0) - lit(1.0 / acc))
-          * col("n")),
+        (col("min_rank") - 1) * lit(100L * acc) <
+          (col("p") * acc + 100) * col("n") &&
+        (col("max_rank") + 1) * lit(100L * acc) >
+          (col("p") * acc - 100) * col("n"),
         lit(1L)).otherwise(lit(0L)))
       .select(sk("event_type"), col("p"), col("within_bound"))
       .orderBy(col("event_type").asc_nulls_last, col("p"))
@@ -771,22 +775,28 @@ object Events {
     * lazily); no catalog entry is needed — partition pruning reads
     * directory structure, not table metadata. The dimension is
     * broadcast (≤ 31 rows), so the DPP subquery reuses the broadcast
-    * rather than re-running the dim scan. */
+    * rather than re-running the dim scan.
+    *
+    * The layout is memoized per source-dataset path and deleted at JVM
+    * exit ([[graft.TempLayouts.cached]]): repeated invocations within one
+    * JVM (bench sweeps, the eager gate-schema audit) reuse one write
+    * instead of leaking a fresh full-table copy each time. */
   private[graft] def partitionPrunedDaily(s: org.apache.spark.sql.SparkSession,
                                           d: String): org.apache.spark.sql.DataFrame = {
-    val loc = java.nio.file.Files.createTempDirectory("graft-dpp")
     val factSrc = Tables.events(s, d)
       .filter(col("ts").isNotNull)
       .withColumn("event_date", to_date(col("ts")))
-    factSrc.write.mode("overwrite").partitionBy("event_date")
-      .parquet(s"$loc/events_daily")
     val dimSrc = Tables.events(s, d)
       .filter(col("ts").isNotNull)
       .select(to_date(col("ts")).as("event_date")).distinct()
       .select(col("event_date"),
         (datediff(col("event_date"), to_date(lit("1970-01-01"))) % 7)
           .cast("long").as("epoch_dow"))
-    dimSrc.write.mode("overwrite").parquet(s"$loc/dates")
+    val loc = graft.TempLayouts.cached("graft-dpp", d) { p =>
+      factSrc.write.mode("overwrite").partitionBy("event_date")
+        .parquet(s"$p/events_daily")
+      dimSrc.write.mode("overwrite").parquet(s"$p/dates")
+    }
     // explicit schemas on read-back: a zero-row corpus writes no data
     // files (only _SUCCESS), and schema inference has nothing to read —
     // the empty-corpus contract still demands an empty RESULT, not an

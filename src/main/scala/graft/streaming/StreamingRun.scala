@@ -110,7 +110,9 @@ object StreamingRun {
     * files, which schema inference would reject. */
   private def drainToSink(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    val out = Files.createTempDirectory("graft-stream-sink").toString
+    // JVM-exit-tracked: the sink must outlive this call (lazy read-back)
+    // but repeated drains were leaking 1,600+ sink dirs across runs
+    val out = graft.TempLayouts.tracked("graft-stream-sink").toString
     val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
     val q = df.writeStream
       .format("parquet")

@@ -37,10 +37,16 @@ class DppSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pruned.nonEmpty,
       s"no dynamic pruning filter reached a partitioned scan:\n" +
         df.queryExecution.executedPlan)
-    val read = pruned.head.metrics("numPartitions").value
-    assert(read == kept,
-      s"fact scan read $read partitions, expected the $kept surviving dates")
-    assert(read < total, s"no pruning: read $read of $total partitions")
+    // ALL dynamically-pruned scans must show the surviving-date count —
+    // a head-pick would silently depend on plan layout if AQE reuse ever
+    // duplicates or reorders the partitioned scan
+    pruned.foreach { scan =>
+      val read = scan.metrics("numPartitions").value
+      assert(read == kept,
+        s"fact scan read $read partitions, expected the $kept surviving " +
+          s"dates:\n$scan")
+      assert(read < total, s"no pruning: read $read of $total partitions")
+    }
     // and the result carries exactly the surviving dates
     assert(rows.map(_.getString(0)).distinct.length.toLong == kept)
   }
