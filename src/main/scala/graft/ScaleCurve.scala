@@ -64,7 +64,15 @@ object ScaleCurve {
     // round-9 query additions with explicit candidate bounds to
     // evidence: the sparse cosine join (Σ min(df, 1000)² candidate
     // volume) and the degree-oriented triangle enumeration (Σ outdeg²)
-    "text_cosine_pairs", "q34_triangle_stats")
+    "text_cosine_pairs", "q34_triangle_stats",
+    // round-10 additions: the cluster-granular split (components
+    // machinery + one projection — must track dedup_components' curve),
+    // the banded review sample (rides the cosine-pair candidate bound),
+    // BPE token counts (encode is vocabulary-bounded, join linear in
+    // corpus), and the PCA projection (Gram agg + projection, both
+    // linear in vectors; the d²·iters eigensolve is scale-free)
+    "docs_split_grouped", "text_dup_review_sample", "text_bpe_tokens",
+    "emb_pca_project")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

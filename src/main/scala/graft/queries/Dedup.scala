@@ -74,8 +74,12 @@ object Dedup {
     * identity (the DuckDB oracle replicates it bit-for-bit); null text
     * fingerprints as empty text so the fp key is total and join-safe.
     * `private[graft]`: the corpus-cleaning pipeline composes on it. */
-  private[graft] def fingerprint: Column =
-    md5(coalesce(regexp_replace(asciiLower(col("text")), "\\s+", " "), lit(""))
+  private[graft] def fingerprint: Column = fingerprintOf(col("text"))
+
+  /** [[fingerprint]] over an arbitrary text expression (the upsert batch
+    * fingerprints a DERIVED text column, not the scan's). */
+  private[graft] def fingerprintOf(text: Column): Column =
+    md5(coalesce(regexp_replace(asciiLower(text), "\\s+", " "), lit(""))
       .cast("binary"))
 
   /** Exact dedup: one row per distinct normalized content with its kept
@@ -498,6 +502,53 @@ object Dedup {
       .orderBy(col("keep_doc_id"))
   }
 
+  /** MERGE/upsert corpus maintenance — the step beyond [[incremental]]
+    * (which only DETECTS novelty): fold a new batch into the corpus
+    * snapshot and emit the NEXT snapshot with a per-row action audit.
+    * Inputs are fingerprint tables — (id, fp) — not full documents, so at
+    * 100 TB the operation touches id+16 bytes per corpus row, never the
+    * text. Semantics per canonical id (the MERGE INTO shape):
+    *
+    *  - id only in batch              → `insert` (row enters the corpus)
+    *  - id only in snapshot           → `keep`   (untouched corpus row)
+    *  - in both, fingerprints equal   → `noop`   (re-delivered content)
+    *  - in both, fingerprints differ  → `update` (content revision; the
+    *                                    batch fingerprint wins)
+    *
+    * Exactly one output row per id — project (doc_id, fp) and the result
+    * IS the next snapshot, which makes the operation idempotent:
+    * re-upserting the same batch yields only `keep`/`noop` actions
+    * (pinned by UpsertSpec). One full-outer hash join on the id — the
+    * only shuffle — so the plan scales with the snapshot like [[exact]].
+    * A null batch fingerprint would corrupt the `insert`-detection
+    * null-sentinel; [[fingerprintOf]] never produces one (null text
+    * fingerprints as empty). */
+  def upsert(snapshot: DataFrame, batch: DataFrame): DataFrame =
+    snapshot.toDF("doc_id", "fp")
+      .join(batch.toDF("doc_id", "bfp"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bfp"), col("fp")).as("fp"),
+        when(col("fp").isNull, "insert")
+          .when(col("bfp").isNull, "keep")
+          .when(col("bfp") === col("fp"), "noop")
+          .otherwise("update").as("action"))
+      .orderBy(col("doc_id"))
+
+  /** The `dedup_upsert_snapshot` demo batch, derived from the corpus so
+    * every MERGE arm is exercised deterministically: doc_id % 3 == 0
+    * re-delivers unchanged content (noop), % 3 == 1 revises the text
+    * (update), % 3 == 2 arrives under a fresh id (insert; the +10⁷ shift
+    * keeps synthetic ids disjoint from real ones at every fixture
+    * scale). Shared with UpsertSpec's idempotence replay. */
+  private[graft] def upsertDemoBatch(docs: DataFrame): DataFrame =
+    docs.withColumn("m", col("doc_id") % 3)
+      .select(
+        when(col("m") === 2, col("doc_id") + 10000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        fingerprintOf(
+          when(col("m") === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("fp"))
+
   /** Exact-substring duplication profile (the Lee et al. "Deduplicating
     * Training Data" metric, arXiv:2107.06499, reduced to its reporting
     * form): for every document, the fraction of its positional `k`-token
@@ -708,6 +759,19 @@ object Dedup {
       incremental(docs.filter(col("doc_id") % 10 =!= 0), known)
     }),
 
+    // ---- MERGE/upsert snapshot maintenance ([[upsert]]): the corpus
+    // snapshot full-outer-joined with a derived batch exercising all
+    // four actions — doc_id % 3 == 0 re-delivers unchanged content
+    // (noop), % 3 == 1 revises the text (update), % 3 == 2 arrives
+    // under a fresh id (insert); ids absent from the batch are kept.
+    // The id shift (+10⁷) keeps synthetic inserts disjoint from real
+    // ids at every fixture scale.
+    "dedup_upsert_snapshot" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      upsert(docs.select(col("doc_id"), fingerprint.as("fp")),
+        upsertDemoBatch(docs))
+    }),
+
     "dedup_span_grams" -> ((s, d) =>
       spanGramProfile(Tables.documents(s, d), k = 8)),
 
@@ -772,15 +836,17 @@ object Dedup {
     * definition of the normalized-content identity on the DuckDB side
     * (escaped for s-interpolated oracle strings: `\\t` etc. yield the
     * literal regex escapes). Spark twin: [[fingerprint]]. */
-  private[queries] val fpExprSql =
-    "md5(coalesce(regexp_replace(translate(text, " +
+  private[queries] def fpExprSqlOf(text: String): String =
+    s"md5(coalesce(regexp_replace(translate($text, " +
       "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
       "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ''))"
+
+  private[queries] val fpExprSql = fpExprSqlOf("text")
 
   /** The full Jaccard-0.6 pair graph + reachability closure as oracle
     * CTEs (body of the dedup_components oracle, shared with the
     * cluster-size histogram). Must be opened with `WITH RECURSIVE`. */
-  private val componentsCtes = s"""$hashedShingleCtes,
+  private[queries] val componentsCtes = s"""$hashedShingleCtes,
       df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
       invc AS (SELECT hinv.doc_id, hinv.h FROM hinv
                JOIN df ON df.h = hinv.h WHERE df.df <= 1000),
@@ -969,6 +1035,27 @@ object Dedup {
       WHERE doc_id % 10 <> 0 AND fp NOT IN (SELECT fp FROM known)
       GROUP BY fp
       ORDER BY keep_doc_id""",
+
+    // snapshot/batch derivations replayed verbatim (same fp expression
+    // as dedup_exact's, applied to the revised text for the update arm);
+    // NULL || ' rev2' is NULL in both engines, so null-text revisions
+    // fingerprint as empty on both sides
+    "dedup_upsert_snapshot" -> s"""
+      WITH snap AS (SELECT doc_id, $fpExprSql AS fp FROM documents),
+      b0 AS (SELECT doc_id % 3 AS m, doc_id, text FROM documents),
+      batch AS (SELECT
+          CASE WHEN m = 2 THEN doc_id + 10000000 ELSE doc_id END AS doc_id,
+          ${fpExprSqlOf(
+            "CASE WHEN m = 1 THEN text || ' rev2' ELSE text END")} AS bfp
+        FROM b0)
+      SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+        coalesce(b.bfp, s.fp) AS fp,
+        CASE WHEN s.doc_id IS NULL THEN 'insert'
+             WHEN b.doc_id IS NULL THEN 'keep'
+             WHEN b.bfp = s.fp THEN 'noop'
+             ELSE 'update' END AS action
+      FROM snap s FULL OUTER JOIN batch b ON b.doc_id = s.doc_id
+      ORDER BY doc_id""",
 
     // positional 8-gram hashes via a lateral range over the token list;
     // the dup classification recomputed from the df table directly (the

@@ -128,6 +128,33 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- leakage-safe grouped split: the eval-decontamination form of
+    // docs_split_train_val. Hash-splitting per DOCUMENT lets the two
+    // halves of a near-duplicate pair straddle train/val — the classic
+    // eval-contamination bug. This splits at near-dup-CLUSTER
+    // granularity instead: connected components over the Jaccard-0.6
+    // pair graph ([[graft.queries.Dedup.components]] — the same
+    // machinery dedup_components gates), then the bucket hash of the
+    // COMPONENT label decides the split, so every member of a duplicate
+    // cluster lands on the same side by construction (GroupedSplitSpec
+    // pins that no threshold pair straddles). Scale shape: the pair
+    // graph + label propagation are the proven dedup_components plan;
+    // the split itself adds one projection — no new shuffle.
+    "docs_split_grouped" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val pairs = graft.queries.Dedup
+        .jaccardPairsUnsorted(Tables.documents(s, d), 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      graft.queries.Dedup.components(docs, pairs)
+        .select(col("doc_id"), col("component"),
+          (keyHash(col("component")) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- stratified sample: 50 docs per language, chosen by hash rank —
     // deterministic, uniform within stratum, one window per stratum
     // (bounded groups; the 100 TB shape is rank-within-partition, never a
@@ -706,6 +733,24 @@ object Pipeline {
                     AS BIGINT) % 100 < 95 THEN 'val'
              ELSE 'test' END AS split
       FROM documents
+      ORDER BY doc_id""",
+
+    // the dedup_components reachability closure verbatim (one source
+    // with the dedup oracles), then the split-train-val bucket CASE over
+    // the component label instead of the doc id
+    "docs_split_grouped" -> s"""
+      WITH RECURSIVE ${graft.queries.Dedup.componentsCtes},
+      comp AS (SELECT n AS doc_id, min(m) AS component
+               FROM reach GROUP BY n),
+      bk AS (SELECT doc_id, component,
+               CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 AS bucket
+             FROM comp)
+      SELECT doc_id, component, bucket,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM bk
       ORDER BY doc_id""",
 
     "docs_unique_ids" -> s"""

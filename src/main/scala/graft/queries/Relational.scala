@@ -671,6 +671,34 @@ object Relational {
         .select(col("l_suppkey").as("suppkey"), col("s_name"),
           col("n_items"), col("sum_price"))
         .orderBy(col("suppkey"))
+    }),
+
+    // ---- the SAME skewed join, UNSALTED — documenting when the manual
+    // salt tool (q29) is and is not needed. Declared as a plain
+    // equi-join: Catalyst picks the physical strategy (here a broadcast
+    // of the small dim — itself the first-choice skew remedy, since a
+    // broadcast join never shuffles the fact by the hot key), and when
+    // the dim is too big to broadcast, AQE's runtime skew-join split
+    // (`spark.sql.adaptive.skewJoin`) re-plans oversized partitions
+    // WITHOUT a rewritten query — AqeSkewJoinSpec forces that regime
+    // (broadcast off, thresholds scaled to the fixture) and asserts from
+    // the executed plan's AQEShuffleRead that the skew split actually
+    // fired. Manual salting remains for what AQE cannot see (SURVEY
+    // §2.3): first-shuffle aggregation skew and streaming state skew.
+    // Result parity with q29 is pinned by sharing its oracle verbatim.
+    "q35_join_skew_aqe" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+          "l_suppkey")
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sumMoney(col("l_extendedprice")).as("sum_price"))
+        .select(col("l_suppkey").as("suppkey"), col("s_name"),
+          col("n_items"), col("sum_price"))
+        .orderBy(col("suppkey"))
     })
   )
 
@@ -729,7 +757,10 @@ object Relational {
   private[graft] def bucketedCustomerOrders(s: SparkSession,
                                             d: String): DataFrame = {
     val buckets = 8
-    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    // JVM-exit-tracked, not memoized: the bucket spec lives in SESSION
+    // catalog metadata, so a layout cannot be reused across sessions the
+    // way the catalog-free DPP layout can — but the dirs no longer leak
+    val loc = graft.TempLayouts.tracked("graft-bucketed")
     val tag = loc.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
     val ordersTable = s"graft_orders_$tag"
     val customerTable = s"graft_customer_$tag"
@@ -760,6 +791,18 @@ object Relational {
       .agg(countDistinct(col("l_partkey")).as("n_exact"),
         approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
       .orderBy(col("l_returnflag"))
+
+  /** Shared by q29 (salted) and q35 (AQE) — the two skew-join plans must
+    * produce this identical result. */
+  private val skewJoinOracle = """
+      SELECT l.l_suppkey AS suppkey, s.s_name,
+        count(*) AS n_items,
+        CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY l.l_suppkey, s.s_name
+      ORDER BY suppkey"""
 
   val oracles: Map[String, String] = Map(
     // the oracle counts triangles by the plain a<b<c triple join over the
@@ -930,15 +973,12 @@ object Relational {
 
     // the UNSALTED join — the whole point of the gate: salting must not
     // change the result
-    "q29_join_salted_skew" -> """
-      SELECT l.l_suppkey AS suppkey, s.s_name,
-        count(*) AS n_items,
-        CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
-          AS DOUBLE) / 100.0 AS sum_price
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      GROUP BY l.l_suppkey, s.s_name
-      ORDER BY suppkey""",
+    "q29_join_salted_skew" -> skewJoinOracle,
+
+    // the unsalted AQE variant computes the identical result — one
+    // oracle text for both, so parity between the two plans is checked
+    // by construction
+    "q35_join_skew_aqe" -> skewJoinOracle,
 
     "q20_agg_approx_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact

@@ -343,6 +343,28 @@ object Similarity {
         .orderBy(col("j"), col("k"))
     }),
 
+    // ---- PCA projection apply ([[pcaComponents]]): the follow-on a
+    // whitening/dim-reduction pipeline runs on `emb_covariance`'s Gram —
+    // top-2 integer principal directions broadcast as compiled constants,
+    // every embedding projected through the codegen'd dot kernel. Exact
+    // integers end to end, so the driver-side eigensolve replays
+    // bit-for-bit in the oracle's CTE chain. Scale shape: one Gram
+    // aggregation (d²-bounded output), one projection pass — the corpus
+    // is never shuffled, and the d×d solve is O(d²·iters) driver work.
+    "emb_pca_project" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val gf = graft.functions.GraftFunctions
+      val (v1, v2) = pcaComponents(s, d)
+      def vcol(v: Array[Long]) =
+        if (v.isEmpty) array().cast("array<bigint>")
+        else array(v.map(lit(_)): _*)
+      ivfGrid(s, d)
+        .select(col("vec_id"),
+          gf.dotl(col("xg"), vcol(v1)).as("p1"),
+          gf.dotl(col("xg"), vcol(v2)).as("p2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- IVF-style ANN top-k: assign corpus to nearest centroid, probe the
     // 3 centroids nearest each query, brute-force only within probed cells.
     // Approximate as a NEIGHBOR ALGORITHM, yet fully oracle-checkable: the
@@ -544,6 +566,128 @@ object Similarity {
     * cluster size, so the int64 dot products never grow with N. */
   /** Gridded (vec_id, label, xg, n2) corpus frame shared by the IVF
     * paths. */
+  /** Power-iteration rounds for [[pcaComponents]] — interpolated into the
+    * oracle CTE chain AND used by the Scala solver, one constant for both
+    * engines. 20 rounds pins the iterate exactly (the gate compares the
+    * ITERATE, not a convergence limit — both engines run the identical
+    * integer recurrence, so the output is bit-stable regardless of how
+    * close 20 rounds gets to the true eigenvector). */
+  private[graft] val PcaIters = 20
+
+  /** Top-2 principal directions of the corpus Gram matrix (the uncentered
+    * second-moment matrix `emb_covariance` gates), by integer power
+    * iteration with Hotelling deflation — every step exact BigInt
+    * arithmetic with truncation division (Scala `BigInt./` == DuckDB `//`,
+    * toward zero), so the DuckDB oracle replays the solver bit-for-bit:
+    *
+    *   v⁰_j = 10⁶;  wᵗ = G·vᵗ⁻¹;  vᵗ_j = (wᵗ_j·10⁶) quot max(max_i|wᵗ_i|, 1)
+    *   sign-pinned so the first nonzero component is positive;
+    *   λ̂ = (vᵀGv) quot (vᵀv);  G₂ = G − (v vᵀ λ̂) quot (vᵀv);  repeat.
+    *
+    * Deliberate design: the eigensolve runs DRIVER-SIDE on the collected
+    * d×d Gram (d² = 4096 rows — the documented placement for d-sized
+    * artifacts, same as `emb_covariance`'s scaladoc promises); the
+    * cluster-side work is only the Gram aggregation (shared shape with
+    * emb_covariance) and the final projection. Magnitude safety: every
+    * intermediate is bounded by ~n·10¹²·d·10⁶ ≪ 2¹²⁷, inside HUGEINT on
+    * the oracle side and unbounded BigInt here. */
+  private[graft] def pcaComponents(s: SparkSession,
+                                   d: String): (Array[Long], Array[Long]) = {
+    val dec = DecimalType(38, 0)
+    val e1 = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
+      .select(col("embedding"), (col("pos") + 1).cast("int").as("j"),
+        grid(col("col").cast("double"), EmbGridScale).cast("long").as("xj"))
+    val rows = e1.select(col("j"), col("xj"), posexplode(col("embedding")))
+      .select(col("j"), col("xj"), (col("pos") + 1).cast("int").as("k"),
+        grid(col("col").cast("double"), EmbGridScale).cast("long").as("xk"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum((col("xj") * col("xk")).cast(dec)).as("g"))
+      .collect()
+    if (rows.isEmpty) return (Array.empty, Array.empty)
+    val dim = rows.iterator.map(_.getInt(0)).max
+    val g = Array.fill(dim, dim)(BigInt(0))
+    rows.foreach(r =>
+      g(r.getInt(0) - 1)(r.getInt(1) - 1) = BigInt(r.getDecimal(2).toBigInteger))
+    val gridL = EmbGridScale.toLong
+    def mul(m: Array[Array[BigInt]], v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim)(j =>
+        (0 until dim).foldLeft(BigInt(0))((acc, k) => acc + m(j)(k) * v(k)))
+    def power(m: Array[Array[BigInt]]): Array[BigInt] = {
+      var v = Array.fill(dim)(BigInt(gridL))
+      for (_ <- 1 to PcaIters) {
+        val w = mul(m, v)
+        val mx = w.iterator.map(_.abs).foldLeft(BigInt(1))(_ max _)
+        v = w.map(_ * gridL / mx)
+      }
+      if (v.find(_ != 0).exists(_ < 0)) v.map(x => -x) else v
+    }
+    val v1 = power(g)
+    val w1 = mul(g, v1)
+    val den = v1.foldLeft(BigInt(0))((a, x) => a + x * x).max(BigInt(1))
+    val num = (0 until dim).foldLeft(BigInt(0))((a, j) => a + v1(j) * w1(j))
+    val u = num / den
+    val g2 = Array.tabulate(dim, dim)((j, k) =>
+      g(j)(k) - v1(j) * v1(k) * u / den)
+    val v2 = power(g2)
+    (v1.map(_.toLong), v2.map(_.toLong))
+  }
+
+  /** One integer power-iteration leg as a DuckDB CTE chain over gram CTE
+    * `gram` (cols j, k, g: HUGEINT), names prefixed `tag`: `{tag}0` must
+    * already exist (the all-10⁶ start); produces sign-pinned `{tag}f`.
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    * level here is referenced twice (the renormalizer reads its own w),
+    * which would expand the 20-level chain exponentially. */
+  private def pcaPowerSql(tag: String, gram: String): String = {
+    val steps = (1 to PcaIters).map { t =>
+      s"""w$tag$t AS MATERIALIZED (SELECT g.j AS j, sum(g.g * v.v) AS w
+        FROM $gram g JOIN $tag${t - 1} v ON v.j = g.k GROUP BY g.j),
+      $tag$t AS MATERIALIZED (SELECT j, (w * 1000000) //
+        greatest((SELECT max(abs(w)) FROM w$tag$t), 1) AS v
+        FROM w$tag$t)"""
+    }
+    val last = s"$tag$PcaIters"
+    (steps :+ s"""sg$tag AS (SELECT CASE WHEN coalesce((SELECT v FROM $last
+        WHERE j = (SELECT min(j) FROM $last WHERE v <> 0)), 0) < 0
+        THEN -1 ELSE 1 END AS sg),
+      ${tag}f AS MATERIALIZED (SELECT j, v * sg AS v
+        FROM $last, sg$tag)""").mkString(",\n      ")
+  }
+
+  /** The full `emb_pca_project` oracle: gridded elements → HUGEINT Gram →
+    * 20-round leg 1 → integer Hotelling deflation → 20-round leg 2 →
+    * exact integer projections. Validated bit-identical against the
+    * BigInt solver on the driver fixtures. */
+  private[graft] lazy val pcaOracleSql: String = s"""
+      WITH ex AS MATERIALIZED (SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) AS INT) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS x
+        FROM embeddings),
+      gm AS MATERIALIZED (SELECT a.j AS j, b.j AS k,
+          CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS g
+        FROM ex a JOIN ex b ON b.vec_id = a.vec_id GROUP BY a.j, b.j),
+      p0 AS (SELECT DISTINCT j, CAST(1000000 AS HUGEINT) AS v FROM gm),
+      ${pcaPowerSql("p", "gm")},
+      wd1 AS (SELECT g.j AS j, sum(g.g * v.v) AS w
+        FROM gm g JOIN pf v ON v.j = g.k GROUP BY g.j),
+      dn AS (SELECT greatest(CAST(sum(v * v) AS HUGEINT), 1) AS den
+        FROM pf),
+      nu AS (SELECT CAST(sum(v.v * w.w) AS HUGEINT) AS num
+        FROM pf v JOIN wd1 w ON w.j = v.j),
+      uu AS (SELECT num // den AS u FROM nu, dn),
+      g2 AS MATERIALIZED (SELECT g.j AS j, g.k AS k,
+          g.g - (va.v * vb.v * uu.u) // dn.den AS g
+        FROM gm g JOIN pf va ON va.j = g.j JOIN pf vb ON vb.j = g.k, uu, dn),
+      q0 AS (SELECT DISTINCT j, CAST(1000000 AS HUGEINT) AS v FROM g2),
+      ${pcaPowerSql("q", "g2")}
+      SELECT e.vec_id,
+        CAST(sum(CAST(e.x AS HUGEINT) * a.v) AS BIGINT) AS p1,
+        CAST(sum(CAST(e.x AS HUGEINT) * b.v) AS BIGINT) AS p2
+      FROM ex e JOIN pf a ON a.j = e.j JOIN qf b ON b.j = e.j
+      GROUP BY e.vec_id ORDER BY e.vec_id"""
+
   private[graft] def ivfGrid(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val gf = graft.functions.GraftFunctions
@@ -1391,6 +1535,8 @@ object Similarity {
 
     // grid-then-multiply replayed exactly: xg are BIGINT, products sum
     // into HUGEINT (Spark: decimal(38)), surfaced as DOUBLE/1e12
+    "emb_pca_project" -> pcaOracleSql,
+
     "emb_covariance" -> """
       WITH e AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS j,

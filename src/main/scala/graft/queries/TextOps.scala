@@ -63,12 +63,100 @@ object TextOps {
       .agg(sum(expr("wa * wb")).as("dot"), count(lit(1)).as("n_shared"))
       .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
       .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
-      .filter(expr("CAST(dot AS DECIMAL(38,0)) * dot * 1000000 >= " +
-        "CAST(250000 AS DECIMAL(38,0)) * na2 * nb2"))
+      // decimal(38) overflow in Spark yields NULL (the pair would be
+      // SILENTLY dropped) while DuckDB's HUGEINT raises — so a corpus
+      // exceeding the documented magnitude bound would surface as quiet
+      // cross-engine drift. Convert the divergent failure mode into a
+      // loud one: a NULL comparison can only mean overflow (dot/na2/nb2
+      // are non-null by construction), so raise instead of filtering.
+      .withColumn("pass",
+        expr("CAST(dot AS DECIMAL(38,0)) * dot * 1000000 >= " +
+          "CAST(250000 AS DECIMAL(38,0)) * na2 * nb2"))
+      .withColumn("pass", when(col("pass").isNull,
+          raise_error(format_string("cosinePairs: decimal(38) overflow " +
+            "in cosine threshold (docs %d, %d) — corpus exceeds the " +
+            "documented weight-magnitude bound", col("a"), col("b")))
+            .cast("boolean"))
+        .otherwise(col("pass")))
+      .filter(col("pass")).drop("pass")
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
         (col("dot").cast("double") /
           sqrt((col("na2").cast("decimal(38,0)") * col("nb2"))
             .cast("double"))).as("cosine"))
+  }
+
+  /** Corpus-weighted adjacent character-pair counts over the word
+    * vocabulary — the statistic a byte-pair-encoding tokenizer's first
+    * merge epoch ranks (Sennrich et al., arXiv:1508.07909 §3). Weights
+    * are word OCCURRENCES (Σ per-doc tf), matching classic BPE training,
+    * and the pair alphabet is the tokenizer's [a-z], so the count table
+    * is bounded by 26² rows after a map-side-combinable aggregation —
+    * corpus size only affects the scan. */
+  private[graft] def bpePairCounts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val wd = Tables.documents(s, d)
+      .select(explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+      .toDF("word", "tf")
+      .groupBy(col("word")).agg(sum(col("tf")).as("n"))
+    wd.filter(length(col("word")) >= 2)
+      .select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(1)).as("a"),
+        col("word").substr(col("i") + 1, lit(1)).as("b"), col("n"))
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+  }
+
+  /** The merge-rank table: top-`nMerges` pairs by (count desc, pair asc)
+    * — a deterministic total order, so the table is bit-identical
+    * cross-engine. Collected to the driver because it IS the
+    * broadcast-sized artifact (≤ 26² candidate rows before the limit):
+    * the encoder compiles it into a codegen'd expression chain, the SQL
+    * oracle replays the same ranking relationally. */
+  private[graft] def bpeMerges(s: SparkSession, d: String,
+                               nMerges: Int): Seq[(String, String)] =
+    bpePairCounts(s, d)
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(nMerges)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Merge-table-driven BPE ENCODE of a word column, as one compiled
+    * expression: the word is split to space-separated characters, then
+    * each merge rule (a,b) in rank order rewrites every `"a b"` boundary
+    * to `"ab"` — `replace` is left-to-right non-overlapping in BOTH
+    * engines, which is exactly BPE's greedy-left application of a rule
+    * within a word. The fold compiles the whole table into one
+    * whole-stage-codegen projection (no UDF, no per-row loop object);
+    * space is a safe piece separator because the tokenizer's words are
+    * [a-z]+ only. Decode is `replace(s, ' ', '')` — the encode∘decode
+    * identity is pinned by BpeSpec. */
+  private[graft] def bpeEncodeCol(word: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val init = array_join(filter(split(word, ""), c => length(c) > 0), " ")
+    merges.foldLeft(init) { case (acc, (a, b)) =>
+      replace(acc, lit(a + " " + b), lit(a + b))
+    }
+  }
+
+  /** Per-doc nearest-duplicate frame behind `text_nearest_dup` and
+    * `text_dup_review_sample` (unsorted; columns doc_id, nbr, cosine):
+    * both directions of the thresholded pair set, rank-1 per doc —
+    * planned as WindowGroupLimit, so each partition keeps one row per
+    * doc BEFORE the exchange. Ordering by the float cosine is bit-stable
+    * cross-engine (identical exact integers → identical doubles);
+    * neighbor id breaks exact-double ties. */
+  private[graft] def nearestDup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("cosine").desc, col("nbr").asc)
+    val pairs = cosinePairs(s, d)
+    pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"),
+        col("cosine"))
+      .union(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("nbr"), col("cosine")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("nbr"), col("cosine"))
   }
 
   /** Flagship word-count + top-N as a reusable plan. */
@@ -106,6 +194,52 @@ object TextOps {
             .cast("long").as("n_bpe_tokens"),
           size(array_distinct(filter(split(asciiLower(col("text")), "[^a-z]+"),
             w => length(w) > 0))).cast("long").as("n_distinct_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE merge-table learning ([[bpePairCounts]]): the ranked
+    // merge rules themselves, gated so the LEARNING step (not just the
+    // encode) is oracle-checked. The global rank window runs on ≤ 26²
+    // rows that survive a map-side-combined aggregation — bounded by the
+    // pair alphabet, not the corpus.
+    "text_bpe_merges" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      bpePairCounts(s, d)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("a"), col("b"), col("cnt"))
+        .orderBy(col("rank"))
+    }),
+
+    // ---- real merge-table-driven BPE token counts ([[bpeEncodeCol]]):
+    // where `text_tokens.n_bpe_tokens` counts GPT-2-family PRE-tokenizer
+    // pieces by regex, this runs the actual byte-pair-encoding loop —
+    // learn the top-50 merge ranks from corpus pair counts, encode every
+    // vocabulary word by applying the merges in rank order, and surface
+    // exact per-document token counts. Scale shape: the encode is a
+    // codegen'd projection over the DISTINCT-WORD dictionary (vocabulary-
+    // bounded, not corpus-bounded), joined back to the per-doc tf frame
+    // by word — the per-occurrence work is one hash join, and the merge
+    // table is a driver/broadcast-sized constant (≤ 50 rules compiled
+    // into the expression). A production tokenizer swaps the learned
+    // table for a shipped one (GPT-2's 50k merges) — same encode plan,
+    // longer fold. Docs with no [a-z] words have no token rows on either
+    // engine and are absent, like every tf-derived query.
+    "text_bpe_tokens" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val merges = bpeMerges(s, d, 50)
+      val tf = graft.Caching.persistTracked(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("doc_id", "word", "tf"))
+      val vocab = tf.select(col("word")).distinct()
+        .withColumn("n_pieces",
+          size(split(bpeEncodeCol(col("word"), merges), " ")).cast("long"))
+      tf.join(vocab, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_words"),
+          sum(col("tf") * col("n_pieces")).cast("long").as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -538,19 +672,32 @@ object TextOps {
     // BEFORE the exchange. Ordering by the float cosine is bit-stable
     // cross-engine (identical exact integers → identical doubles);
     // neighbor id breaks exact-double ties.
-    "text_nearest_dup" -> ((s, d) => {
+    "text_nearest_dup" -> ((s, d) =>
+      nearestDup(s, d).orderBy(col("doc_id"))),
+
+    // ---- stratified nearest-dup review sample: the audit queue a 100 TB
+    // dedup rollout actually ships to human review — up to 5 docs per
+    // cosine band (width 0.05; bands 10–20 cover the ≥0.5 threshold
+    // range), chosen by id-hash rank so the sample is deterministic,
+    // uniform within band, and stable under corpus growth. The band is
+    // floor(cosine·20): one IEEE double multiply + floor on the already
+    // bit-stable cosine, so band assignment is cross-engine exact. Plan:
+    // the gated nearest-dup frame + one bounded rank window per band —
+    // band count is a constant, so the window groups are bounded
+    // regardless of corpus size.
+    "text_dup_review_sample" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("cosine").desc, col("nbr").asc)
-      val pairs = cosinePairs(s, d)
-      pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"),
+        .partitionBy(col("band")).orderBy(col("h"), col("doc_id"))
+      nearestDup(s, d)
+        .withColumn("band", floor(col("cosine") * 20).cast("long"))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 15), 16, 10).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("band"), col("rn"), col("doc_id"), col("nbr"),
           col("cosine"))
-        .union(pairs.select(col("doc_b").as("doc_id"),
-          col("doc_a").as("nbr"), col("cosine")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("nbr"), col("cosine"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("band"), col("rn"))
     }),
 
     // ---- BM25 retrieval top-k (Robertson/Spärck Jones; the ranking
@@ -663,6 +810,47 @@ object TextOps {
         WHERE CAST(d.dot AS HUGEINT) * d.dot * 1000000
           >= CAST(250000 AS HUGEINT) * na.n2 * nb.n2)"""
 
+  /** The per-doc nearest-duplicate report as oracle CTEs (shared by
+    * `text_nearest_dup` and `text_dup_review_sample` — one source, no
+    * drift): both directions of the shared pair CTEs, rank-1 per doc. */
+  private[queries] val nearestDupCtes = s"""$cosinePairCtes,
+      bidir AS (
+        SELECT doc_a AS doc_id, doc_b AS nbr, cosine FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS nbr, cosine FROM pairs),
+      nd AS (
+        SELECT doc_id, nbr, cosine FROM (
+          SELECT doc_id, nbr, cosine,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY cosine DESC, nbr ASC) AS rn
+          FROM bidir) r
+        WHERE rn = 1)"""
+
+  /** The BPE learning pipeline as oracle CTEs (shared by
+    * `text_bpe_merges` and `text_bpe_tokens` — one source, no drift):
+    * tokenize → per-doc tf → corpus word weights → weighted adjacent
+    * char-pair counts → top-50 merge ranks by (count desc, pair asc). */
+  private[queries] val bpeCtes = s"""tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          w -> len(w) > 0)) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+             GROUP BY doc_id, word),
+      wd AS (SELECT word, CAST(sum(tf) AS BIGINT) AS n FROM tf
+             GROUP BY word),
+      pr AS (SELECT substr(word, CAST(i AS INT), 1) AS a,
+               substr(word, CAST(i AS INT) + 1, 1) AS b, n
+             FROM (SELECT word, n, unnest(range(1, len(word))) AS i
+                   FROM wd WHERE len(word) >= 2) sp),
+      pc AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM pr
+             GROUP BY a, b),
+      mg AS (SELECT rank, a, b, cnt FROM (
+               SELECT a, b, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, a, b) AS rank
+               FROM pc) rk
+             WHERE rank <= 50)"""
+
   /** The winnow fingerprint set per document as oracle CTEs — codepoint
     * windows over the ASCII-folded text, 8-char grams, 4-hash windowed
     * min, distinct fps per doc (bit-identical to `graft_winnow`). */
@@ -714,21 +902,61 @@ object TextOps {
       SELECT doc_a, doc_b, n_shared, cosine FROM pairs
       ORDER BY doc_a, doc_b""",
 
+    "text_bpe_merges" -> s"""
+      WITH $bpeCtes
+      SELECT CAST(rank AS BIGINT) AS rank, a, b, cnt FROM mg
+      ORDER BY rank""",
+
+    // the encode replayed as a recursive CTE: level r holds every
+    // vocabulary word after the first r merge rules; `replace` applies a
+    // rule left-to-right non-overlapping in both engines (BPE's greedy-
+    // left order); recursion ends when the rule table is exhausted, and
+    // the final level (r = |mg|, where the join has consumed every rule)
+    // carries the piece counts joined back to per-doc occurrences
+    "text_bpe_tokens" -> s"""
+      WITH RECURSIVE $bpeCtes,
+      nm AS (SELECT count(*) AS t FROM mg),
+      enc(word, s, r) AS (
+        SELECT word, array_to_string(string_split(word, ''), ' '), 0
+        FROM (SELECT DISTINCT word FROM tf) v
+        UNION ALL
+        SELECT e.word, replace(e.s, m.a || ' ' || m.b, m.a || m.b),
+          e.r + 1
+        FROM enc e JOIN mg m ON m.rank = e.r + 1),
+      fin AS (SELECT e.word, len(string_split(e.s, ' ')) AS n_pieces
+              FROM enc e, nm WHERE e.r = nm.t)
+      SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_words,
+        CAST(sum(t.tf * f.n_pieces) AS BIGINT) AS n_bpe_tokens
+      FROM tf t JOIN fin f ON f.word = t.word
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""",
+
     // both directions of the shared pair CTEs, rank-1 per doc; the float
     // cosine orders identically cross-engine, neighbor id breaks ties
     "text_nearest_dup" -> s"""
-      WITH $cosinePairCtes,
-      bidir AS (
-        SELECT doc_a AS doc_id, doc_b AS nbr, cosine FROM pairs
-        UNION ALL
-        SELECT doc_b AS doc_id, doc_a AS nbr, cosine FROM pairs),
-      r AS (
-        SELECT doc_id, nbr, cosine,
-          row_number() OVER (PARTITION BY doc_id
-            ORDER BY cosine DESC, nbr ASC) AS rn
-        FROM bidir)
-      SELECT doc_id, nbr, cosine FROM r WHERE rn = 1
+      WITH $nearestDupCtes
+      SELECT doc_id, nbr, cosine FROM nd
       ORDER BY doc_id""",
+
+    // the shared nearest-dup CTEs + the 0.05-wide cosine band and the
+    // id-hash rank window (same md5-prefix hash as the split/sample
+    // family); floor(cosine*20) is one double multiply + floor on the
+    // bit-stable cosine
+    "text_dup_review_sample" -> s"""
+      WITH $nearestDupCtes,
+      banded AS (
+        SELECT CAST(floor(cosine * 20) AS BIGINT) AS band, doc_id, nbr,
+          cosine,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) AS h
+        FROM nd),
+      smp AS (
+        SELECT band, doc_id, nbr, cosine,
+          row_number() OVER (PARTITION BY band
+            ORDER BY h, doc_id) AS rn
+        FROM banded)
+      SELECT band, rn, doc_id, nbr, cosine FROM smp WHERE rn <= 5
+      ORDER BY band, rn""",
 
     // BM25 grid arithmetic replayed term-for-term: every factor is BIGINT
     // math (// is DuckDB's integer div), so scores are bit-equal. The
