@@ -257,7 +257,9 @@ object Pipeline {
     // whitespace tokens (single-space rejoined — both engines normalize
     // separators identically, so the strings are bit-equal). A pure
     // projection: the standard pre-tokenization length cap before
-    // training batches are packed.
+    // training batches are packed. Whitespace tokens are the cap's
+    // proxy unit; `text_bpe_tokens` provides tokenizer-exact counts
+    // when the cap must match the model's real context window.
     "docs_truncate_tokens" -> ((s, d) => {
       val ws = split(col("text"), "\\s+")
       Tables.documents(s, d)

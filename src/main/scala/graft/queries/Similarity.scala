@@ -598,17 +598,24 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
       .select(col("embedding"), (col("pos") + 1).cast("int").as("j"),
         grid(col("col").cast("double"), EmbGridScale).cast("long").as("xj"))
+    // upper triangle only (emb_covariance's aggregation shape — halves
+    // the pair-explode volume); the symmetric mirror is a driver-side
+    // array fill on the d² collect, exact by G_jk = G_kj
     val rows = e1.select(col("j"), col("xj"), posexplode(col("embedding")))
       .select(col("j"), col("xj"), (col("pos") + 1).cast("int").as("k"),
         grid(col("col").cast("double"), EmbGridScale).cast("long").as("xk"))
+      .filter(col("k") >= col("j"))
       .groupBy(col("j"), col("k"))
       .agg(sum((col("xj") * col("xk")).cast(dec)).as("g"))
       .collect()
     if (rows.isEmpty) return (Array.empty, Array.empty)
-    val dim = rows.iterator.map(_.getInt(0)).max
+    val dim = rows.iterator.map(_.getInt(1)).max
     val g = Array.fill(dim, dim)(BigInt(0))
-    rows.foreach(r =>
-      g(r.getInt(0) - 1)(r.getInt(1) - 1) = BigInt(r.getDecimal(2).toBigInteger))
+    rows.foreach { r =>
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      g(r.getInt(0) - 1)(r.getInt(1) - 1) = v
+      g(r.getInt(1) - 1)(r.getInt(0) - 1) = v
+    }
     val gridL = EmbGridScale.toLong
     def mul(m: Array[Array[BigInt]], v: Array[BigInt]): Array[BigInt] =
       Array.tabulate(dim)(j =>

@@ -205,8 +205,15 @@ object SqlSurface {
       FROM dots d
       JOIN norms na ON na.doc_id = d.a
       JOIN norms nb ON nb.doc_id = d.b
-      WHERE CAST(d.dot AS DECIMAL(38,0)) * d.dot * 1000000
-        >= CAST(250000 AS DECIMAL(38,0)) * na.n2 * nb.n2
+      WHERE CASE
+        WHEN (CAST(d.dot AS DECIMAL(38,0)) * d.dot * 1000000
+              >= CAST(250000 AS DECIMAL(38,0)) * na.n2 * nb.n2) IS NULL
+        THEN CAST(raise_error(concat('sql_cosine_pairs: decimal(38) ',
+          'overflow in cosine threshold (docs ', d.a, ', ', d.b,
+          ') - corpus exceeds the documented weight-magnitude bound'))
+          AS BOOLEAN)
+        ELSE CAST(d.dot AS DECIMAL(38,0)) * d.dot * 1000000
+          >= CAST(250000 AS DECIMAL(38,0)) * na.n2 * nb.n2 END
       ORDER BY doc_a, doc_b"""),
 
     "sql_span_grams" -> sql("""

@@ -312,6 +312,10 @@ object TextOps {
     // join over the super totals (corpus/65536 rows — each extra level
     // divides the top frame by 256; add one when this outgrows broadcast).
     // No window anywhere runs unpartitioned; no task sees the corpus.
+    // Token counting here is the whitespace proxy; a tokenizer-exact
+    // budget swaps in `text_bpe_tokens`' per-doc n_bpe_tokens (the real
+    // merge-table BPE counts) — same packing plan, different count
+    // column.
     "docs_pack_batches" -> ((s, d) => {
       val budget = 512
       val toks = Tables.documents(s, d)
