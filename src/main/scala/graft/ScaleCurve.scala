@@ -72,7 +72,12 @@ object ScaleCurve {
     // corpus), and the PCA projection (Gram agg + projection, both
     // linear in vectors; the d²·iters eigensolve is scale-free)
     "docs_split_grouped", "text_dup_review_sample", "text_bpe_tokens",
-    "emb_pca_project")
+    "emb_pca_project",
+    // round-10 session-2 addition: the batch-vs-corpus band join — the
+    // curve evidences that the LSH bucket candidate bound holds when
+    // the two sides grow together (the self-join family's bound, with
+    // the mod-10 split keeping both sides proportional to the corpus)
+    "dedup_incremental_lsh")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

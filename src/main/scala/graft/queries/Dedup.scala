@@ -214,28 +214,14 @@ object Dedup {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val norm = normalize(docs, idCol, textCol)
     // verification + size table: persisted hashed shingle sets (narrow)
-    val sh = graft.Caching.persistTracked(norm.select(col("doc_id"),
-        graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0))
+    val sh = graft.Caching.persistTracked(hashedSetTable(norm))
     // signature path: per-doc projection over the string shingles (the
     // minhash kernel derives its own per-shingle md5s), persisted because
     // the band SELF-join scans it from both sides — unpersisted, each
     // side re-runs the shingle+signature kernels over the corpus
     // (measured 3x the query at sf0.1)
-    val sig = graft.Caching.persistTracked(
-      docShingles(norm).filter(size(col("shingles")) > 0)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.minhashSig(col("shingles")).as("ms")))
-    val rowsPerBand = NumPerm / Bands
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band_id"),
-        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
-          element_at(col("ms"), b * rowsPerBand + r + 1).cast("string")): _*)
-          .cast("binary")).as("h"))
-    }
-    val bands = sig.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.h"))
+    val sig = graft.Caching.persistTracked(signatureTable(norm))
+    val bands = bandTable(sig)
     val cand = bands.select(col("doc_id").as("a"), col("band_id"), col("h"))
       .join(bands.select(col("doc_id").as("b"), col("band_id"), col("h")),
         Seq("band_id", "h"))
@@ -252,6 +238,83 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("common"),
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc_id, hs): the distinct 60-bit hashed shingle set per document —
+    * the verification side of the MinHash family (empty-set docs absent,
+    * as they can never verify a pair). */
+  private def hashedSetTable(norm: DataFrame): DataFrame =
+    norm.select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** (doc_id, ms): the 16-permutation MinHash signature per document via
+    * the native kernel — a pure projection over the string shingles. */
+  private def signatureTable(norm: DataFrame): DataFrame =
+    docShingles(norm).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(col("shingles")).as("ms"))
+
+  /** (doc_id, band_id, h): the 4-band LSH bucket table of a signature
+    * frame — md5 over each band's comma-joined signature rows, the
+    * band-join key shared by the self-join ([[minhashLshPairs]]) and the
+    * batch-vs-corpus ([[minhashLshIncremental]]) shapes. */
+  private def bandTable(sig: DataFrame): DataFrame = {
+    val rowsPerBand = NumPerm / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("ms"), b * rowsPerBand + r + 1).cast("string")): _*)
+          .cast("binary")).as("h"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.h"))
+  }
+
+  /** Incremental NEAR-dup detection — the LSH sibling of [[incremental]]
+    * (which only catches byte-identical content): every (batch doc,
+    * corpus doc) pair whose exact Jaccard over hashed shingle sets is
+    * >= `minJ`, found by joining the BATCH's LSH band table against the
+    * CORPUS's band table instead of a corpus self-join.
+    *
+    * The continuous-ingest scale shape: a 100 TB corpus is represented
+    * by two narrow stored tables — (doc_id, 4 band hashes) and (doc_id,
+    * hashed shingle set) — built once at ingest (here derived from the
+    * corpus slice, which is exactly that ingest pass). A new batch never
+    * rescans corpus text: batch bands hash-join corpus bands (the only
+    * corpus-wide shuffle, on the band bucket key), and verification
+    * joins the candidate ids back to the two sides' shingle-set tables —
+    * candidates only, never the corpus cross batch. Both sides' kernels
+    * run exactly once; nothing is persisted because no frame is consumed
+    * twice (the self-join pressure that forces [[minhashLshPairs]] to
+    * persist does not exist here). Recall is the banding family's
+    * 1−(1−j⁴)⁴ (read out by `dedup_recall_lsh`); precision is exact by
+    * the verification join. */
+  def minhashLshIncremental(batch: DataFrame, corpus: DataFrame,
+                            minJ: Double, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val nb = normalize(batch, idCol, textCol)
+    val nc = normalize(corpus, idCol, textCol)
+    val cand = bandTable(signatureTable(nb))
+      .select(col("doc_id").as("a"), col("band_id"), col("h"))
+      .join(bandTable(signatureTable(nc))
+        .select(col("doc_id").as("b"), col("band_id"), col("h")),
+        Seq("band_id", "h"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(hashedSetTable(nb).select(col("doc_id").as("a"),
+        col("hs").as("hs_a")), "a")
+      .join(hashedSetTable(nc).select(col("doc_id").as("b"),
+        col("hs").as("hs_b")), "b")
+      .withColumn("common",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", col("common") * lit(1.0) /
+        (size(col("hs_a")) + size(col("hs_b")) - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a").as("batch_doc_id"), col("b").as("corpus_doc_id"),
+        col("common"), col("jaccard"))
+      .orderBy(col("batch_doc_id"), col("corpus_doc_id"))
   }
 
   /** 60-bit SimHash signature per document: bitwise majority vote of token
@@ -759,6 +822,16 @@ object Dedup {
       incremental(docs.filter(col("doc_id") % 10 =!= 0), known)
     }),
 
+    // ---- incremental NEAR-dup ([[minhashLshIncremental]]): the same
+    // batch/corpus split as dedup_incremental, but at near-dup
+    // granularity — batch bands joined against the corpus's stored band
+    // index, candidates verified by exact Jaccard >= 0.7
+    "dedup_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      minhashLshIncremental(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), minJ = 0.7)
+    }),
+
     // ---- MERGE/upsert snapshot maintenance ([[upsert]]): the corpus
     // snapshot full-outer-joined with a derived batch exercising all
     // four actions — doc_id % 3 == 0 re-delivers unchanged content
@@ -801,20 +874,21 @@ object Dedup {
   /** Candidate verification over the DISTINCT hashed shingle sets
     * (hinv/hsz from [[hashedShingleCtes]]) — replays the Spark side's
     * `array_intersect` over `graft_shingle_hashes` arrays exactly. */
-  private def verifySql(minJ: String) = s"""
+  private def verifySql(minJ: String, aName: String = "doc_a",
+                        bName: String = "doc_b") = s"""
       common AS (
         SELECT c.a, c.b, count(*) AS common
         FROM cand c
         JOIN hinv ia ON ia.doc_id = c.a
         JOIN hinv ib ON ib.doc_id = c.b AND ib.h = ia.h
         GROUP BY c.a, c.b)
-      SELECT c.a AS doc_a, c.b AS doc_b, CAST(c.common AS BIGINT) AS common,
+      SELECT c.a AS $aName, c.b AS $bName, CAST(c.common AS BIGINT) AS common,
         c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard
       FROM common c
       JOIN hsz sa ON sa.doc_id = c.a
       JOIN hsz sb ON sb.doc_id = c.b
       WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= $minJ
-      ORDER BY doc_a, doc_b"""
+      ORDER BY $aName, $bName"""
 
   /** Positional 8-gram (doc_id, hash, multiplicity) oracle CTEs replaying
     * `graft_gram_hashes(text, 8)` + the per-(doc, gram) count — one shared
@@ -955,6 +1029,22 @@ object Dedup {
                JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
                            AND a.doc_id < b.doc_id),
       ${verifySql("0.7")}""",
+
+    // the batch-vs-corpus band join over the SAME signature/band CTEs:
+    // a = batch side (doc_id % 10 <> 0), b = corpus side (% 10 = 0) —
+    // the engine's two-frame split replayed as predicates on the one
+    // shared band table, so the oracle cannot drift from the self-join
+    // family's signature definition
+    "dedup_incremental_lsh" -> s"""
+      WITH $hashedShingleCtes,
+      $minhashSigSql,
+      bands AS (
+        $minhashBandsSql),
+      cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM bands a
+               JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
+               WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+      ${verifySql("0.7", "batch_doc_id", "corpus_doc_id")}""",
 
     // both legs' CTE chains verbatim (capped exact pairs; banded+verified
     // LSH pairs over FULL sets), hit = their join — one source with the

@@ -114,6 +114,45 @@ object Pipeline {
                  c: String = "props"): org.apache.spark.sql.DataFrame =
     df.withColumn(c, when(propsClass(col(c)) === "ok", col(c)))
 
+  /** The temperature-mixture allocation table behind
+    * `docs_mixture_temperature`, over any frame with a `source` column —
+    * per-source natural vs α=1/2-tempered share (ppm grid) and the
+    * largest-remainder quota against `budget`. Weight = EXACT isqrt of
+    * the source's doc count: floor(sqrt(double)) lands within ±1 of
+    * truth (IEEE sqrt is correctly rounded in both engines) and the
+    * integer compare-adjust pins it, so no float reaches any emitted
+    * value. Null-source docs are unallocatable by contract (the
+    * budget_sample rule). All windows run on the #sources dimension —
+    * tiny at any corpus size. */
+  private[graft] def temperatureAllocation(docs: org.apache.spark.sql
+      .DataFrame, budget: Long): org.apache.spark.sql.DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    docs.filter(col("source").isNotNull)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("r0",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("wt",
+        when((col("r0") + 1) * (col("r0") + 1) <= col("n_docs"),
+          col("r0") + 1)
+        .when(col("r0") * col("r0") > col("n_docs"), col("r0") - 1)
+        .otherwise(col("r0")))
+      .withColumn("sn", sum(col("n_docs")).over(all))
+      .withColumn("sw", sum(col("wt")).over(all))
+      .withColumn("share_ppm", expr("(1000000 * n_docs) div sn"))
+      .withColumn("temp_ppm", expr("(1000000 * wt) div sw"))
+      .withColumn("base", expr(s"($budget * wt) div sw"))
+      .withColumn("rem", expr(s"($budget * wt) % sw"))
+      .withColumn("extra", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rrank", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("quota",
+        col("base") + when(col("rrank") <= col("extra"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("wt"), col("share_ppm"),
+        col("temp_ppm"), col("quota"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- deterministic train/val/test split: bucket = hash(doc_id) % 100
     // → 90/5/5. A pure projection — the split of any row is decidable
@@ -675,6 +714,24 @@ object Pipeline {
     // than reallocating — deterministic and recipe-auditable). Null-source
     // docs are unallocatable by contract (allocation needs a named
     // source); the oracle mirrors the filter.
+    // ---- temperature-scaled mixture allocation (the α-sampling recipe
+    // of multilingual/multi-source pretraining — Raffel et al. T5 /
+    // Xue et al. mT5: sampling share ∝ (natural share)^α with α = 1/2,
+    // which upweights small sources and damps head domination): the
+    // per-source allocation table a data-mixing run ships — natural vs
+    // tempered share side by side plus the exact-budget quota (the
+    // docs_budget_sample largest-remainder machinery with temperature
+    // weights; the doc-level fill is that query's gated join). Weight =
+    // isqrt(n_docs), EXACT integer sqrt: floor(sqrt(double)) is within
+    // ±1 of truth (IEEE sqrt is correctly rounded in both engines), and
+    // the integer compare-adjust pins it — no float survives into any
+    // emitted value. Scale shape: one map-side-combinable count per
+    // source, then every window runs on the #sources-row dimension
+    // (tiny at any corpus size; the unpartitioned windows are
+    // deliberate, the budget_sample discipline).
+    "docs_mixture_temperature" -> ((s, d) =>
+      temperatureAllocation(Tables.documents(s, d), budget = 200L)),
+
     "docs_budget_sample" -> ((s, d) => {
       val budget = 100L
       val docs = Tables.documents(s, d).filter(col("source").isNotNull)
@@ -1140,6 +1197,38 @@ object Pipeline {
           AS n_kept
       FROM t
       GROUP BY source, rate_pct
+      ORDER BY source""",
+
+    // isqrt replayed with the same floor(sqrt(double)) + integer
+    // compare-adjust; the HUGEINT window sums are cast back at the edge
+    "docs_mixture_temperature" -> """
+      WITH src AS (
+        SELECT source, count(*) AS n_docs
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source),
+      w0 AS (SELECT source, n_docs,
+          CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS r0
+        FROM src),
+      wts AS (SELECT source, n_docs,
+          CASE WHEN (r0 + 1) * (r0 + 1) <= n_docs THEN r0 + 1
+               WHEN r0 * r0 > n_docs THEN r0 - 1
+               ELSE r0 END AS wt
+        FROM w0),
+      tot AS (SELECT source, n_docs, wt,
+          sum(n_docs) OVER () AS sn, sum(wt) OVER () AS sw,
+          (200 * wt) // sum(wt) OVER () AS base,
+          (200 * wt) % sum(wt) OVER () AS rem
+        FROM wts),
+      q AS (SELECT source, n_docs, wt, sn, sw, base,
+          row_number() OVER (ORDER BY rem DESC, source) AS rrank,
+          200 - sum(base) OVER () AS extra
+        FROM tot)
+      SELECT source, n_docs, CAST(wt AS BIGINT) AS wt,
+        CAST((1000000 * n_docs) // sn AS BIGINT) AS share_ppm,
+        CAST((1000000 * wt) // sw AS BIGINT) AS temp_ppm,
+        CAST(base + CASE WHEN rrank <= extra THEN 1 ELSE 0 END AS BIGINT)
+          AS quota
+      FROM q
       ORDER BY source""",
 
     // the DuckDB windows sum BIGINT into HUGEINT — every comparison and

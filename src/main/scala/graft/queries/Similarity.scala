@@ -374,6 +374,28 @@ object Similarity {
     // ([[graft.functions.CosRatioKey]]) — so DuckDB replays it bit-for-bit.
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, k = 10, nprobe = 3)),
 
+    // ---- IVF index-health readout: per-cell population + corpus share
+    // (ppm grid) of the coarse index — the report that decides nprobe and
+    // flags a degenerate quantizer (one hot cell = the index scans like
+    // brute force; many empty cells = wasted probes). Reuses the gated
+    // ivfCents/ivfAssign pieces verbatim, so the readout cannot drift
+    // from the index it grades. Scale shape: assignment is the usual
+    // broadcast-centroids corpus pass; everything after runs on the
+    // k-row cell dimension (the unpartitioned share window is
+    // deliberate, the budget_sample discipline). Null-embedding vectors
+    // are excluded exactly as the oracle's unnest drops them; zero-norm
+    // vectors assign to their key-tie cell identically in both engines.
+    "sim_cell_histogram" -> ((s, d) => {
+      val g = ivfGrid(s, d).filter(col("n2").isNotNull)
+      val assign = ivfAssign(g, ivfCents(g))
+      val all = Window.partitionBy(lit(1))
+      assign.groupBy(col("cent_id")).agg(count(lit(1)).as("cell_size"))
+        .withColumn("tot", sum(col("cell_size")).over(all))
+        .withColumn("share_ppm", expr("(1000000 * cell_size) div tot"))
+        .select(col("cent_id"), col("cell_size"), col("share_ppm"))
+        .orderBy(col("cent_id"))
+    }),
+
     // ---- product-quantization ADC top-10: per-subspace codebooks trained
     // on the exact grid, corpus encoded to 8 nibbles, queries ranked by
     // table-lookup distances — see [[pqTopK]] for the memory story
@@ -1506,6 +1528,24 @@ object Similarity {
       SELECT qid, rank, vec_id FROM ivfranks
       WHERE rank <= 10
       ORDER BY qid, rank""",
+
+    // the shared coarse-index CTEs aggregated per cell; `label` IS the
+    // engine's cent_id (per-label centroids)
+    "sim_cell_histogram" -> s"""
+      WITH e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      $ivfCoarseCtes,
+      cells AS (SELECT CAST(label AS BIGINT) AS cent_id,
+                  count(*) AS cell_size
+                FROM assign GROUP BY label)
+      SELECT cent_id, cell_size,
+        CAST((1000000 * cell_size) // sum(cell_size) OVER () AS BIGINT)
+          AS share_ppm
+      FROM cells
+      ORDER BY cent_id""",
 
     // own-label dot only (unlike ivfCoarseCtes' all-labels `ad`); the
     // final ORDER BY d2 DESC, vec_id ASC LIMIT 20 mirrors the engine's

@@ -32,6 +32,35 @@ object TextOps {
   def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(asciiLower(c), "[^a-z]+"), w => length(w) > 0)
 
+  /** The Gopher rule measures (Rae et al. 2021, table A1) as one per-row
+    * projection on the exact integer grid — doc_id plus n_words,
+    * n_chars_nospace, mean_word_len_grid, alpha_word_pct,
+    * symbol_word_pct, n_stop. THE one engine-side source for the filter
+    * panel (`docs_gopher_quality`) and the rule-ablation report
+    * (`docs_quality_ablation`); SQL twin: `gopherMeasureCtes`. */
+  private def gopherMeasures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", filter(split(col("text"), "\\s+"),
+        w => length(w) > 0))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_chars_nospace",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(col("ws"), w => w.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("n_symbol",
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("n_stop", size(filter(tokens(col("text")),
+        w => w === "the" || w === "a" || w === "of")).cast("long"))
+      .withColumn("mean_word_len_grid",
+        expr("(n_chars_nospace * 100) div greatest(n_words, 1)"))
+      .withColumn("alpha_word_pct",
+        expr("(n_alpha_words * 100) div greatest(n_words, 1)"))
+      .withColumn("symbol_word_pct",
+        expr("(n_symbol * 100) div greatest(n_words, 1)"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_nospace"),
+        col("mean_word_len_grid"), col("alpha_word_pct"),
+        col("symbol_word_pct"), col("n_stop"))
+
   /** The sparse TF-IDF cosine pair frame behind `text_cosine_pairs` and
     * `text_nearest_dup` (unsorted; columns doc_a, doc_b, n_shared,
     * cosine — see the query's scaladoc for the grid/threshold
@@ -464,34 +493,52 @@ object TextOps {
     // is a per-row projection — no shuffle before the final sort, which
     // is exactly why this filter family is tractable on a 100 TB corpus.
     "docs_gopher_quality" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("ws", filter(split(col("text"), "\\s+"),
-          w => length(w) > 0))
-        .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn("n_chars_nospace",
-          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
-        .withColumn("n_alpha_words",
-          size(filter(col("ws"), w => w.rlike("[a-zA-Z]"))).cast("long"))
-        .withColumn("n_symbol",
-          regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
-        .withColumn("n_stop", size(filter(tokens(col("text")),
-          w => w === "the" || w === "a" || w === "of")).cast("long"))
-        .withColumn("mean_word_len_grid",
-          expr("(n_chars_nospace * 100) div greatest(n_words, 1)"))
-        .withColumn("alpha_word_pct",
-          expr("(n_alpha_words * 100) div greatest(n_words, 1)"))
-        .withColumn("symbol_word_pct",
-          expr("(n_symbol * 100) div greatest(n_words, 1)"))
+      gopherMeasures(Tables.documents(s, d))
         .withColumn("pass",
           col("n_words").between(50, 100000) &&
             col("mean_word_len_grid").between(300, 1000) &&
             col("alpha_word_pct") >= 80 &&
             col("symbol_word_pct") < 10 &&
             col("n_stop") >= 2)
-        .select(col("doc_id"), col("n_words"), col("n_chars_nospace"),
-          col("mean_word_len_grid"), col("alpha_word_pct"),
-          col("symbol_word_pct"), col("n_stop"), col("pass"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality-rule ablation (the filter-TUNING report behind the
+    // gopher panel): for each of the five rules, how many documents fail
+    // it at all, and how many fail ONLY it — i.e. exactly the documents
+    // that dropping (or loosening) that one rule would recover. The
+    // marginal-attrition table is what a filtering rollout reads before
+    // committing a threshold; a rule whose n_fail is large but whose
+    // n_fail_only is ~0 is redundant with the rest of the panel. Built on
+    // the SAME measure projection as docs_gopher_quality (shared
+    // gopherMeasures / gopherMeasureCtes — the two cannot drift). Scale
+    // shape: one per-row projection + ONE map-side-combinable global
+    // aggregation to a single 10-sum row, unpivoted by stack into 5
+    // rows — nothing after the projection scales with the corpus.
+    "docs_quality_ablation" -> ((s, d) => {
+      val f = gopherMeasures(Tables.documents(s, d))
+        .select(
+          when(!col("n_words").between(50, 100000), 1L).otherwise(0L)
+            .as("f1"),
+          when(!col("mean_word_len_grid").between(300, 1000), 1L)
+            .otherwise(0L).as("f2"),
+          when(col("alpha_word_pct") < 80, 1L).otherwise(0L).as("f3"),
+          when(col("symbol_word_pct") >= 10, 1L).otherwise(0L).as("f4"),
+          when(col("n_stop") < 2, 1L).otherwise(0L).as("f5"))
+        .withColumn("nf",
+          col("f1") + col("f2") + col("f3") + col("f4") + col("f5"))
+      def only(c: String) =
+        sum(when(col(c) === 1 && col("nf") === 1, 1L).otherwise(0L))
+      f.agg(sum("f1").as("a1"), only("f1").as("o1"),
+          sum("f2").as("a2"), only("f2").as("o2"),
+          sum("f3").as("a3"), only("f3").as("o3"),
+          sum("f4").as("a4"), only("f4").as("o4"),
+          sum("f5").as("a5"), only("f5").as("o5"))
+        .select(expr("stack(5, " +
+          "'word_count', a1, o1, 'mean_word_len', a2, o2, " +
+          "'alpha_words', a3, o3, 'symbol_ratio', a4, o4, " +
+          "'stopwords', a5, o5) AS (rule, n_fail, n_fail_only)"))
+        .orderBy(col("rule"))
     }),
 
     // ---- blocklist term scrubbing (the redaction/PII-masking shape:
@@ -511,6 +558,35 @@ object TextOps {
           regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
           regexp_replace(col("text"), pat, "[REDACTED]").as("text_redacted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- structured PII audit (the pre-release scan a corpus ships
+    // through before extracts leave the pipeline): per-document counts of
+    // four PII classes — emails, IPv4 addresses, phone numbers, SSN-shaped
+    // ids — via one codegen'd regexp_count per class. Pure projection,
+    // shuffle-free, applies to 100 TB exactly as to 100 MB. The synthetic
+    // corpus carries no PII, so the scan runs on a derived demo corpus
+    // with deterministic per-arm injections (doc_id % 5 picks the class,
+    // the upsert-demo convention) — every detector has live hits at every
+    // fixture scale. Digit-class boundaries use the ASCII-word lookaround
+    // spelling of RE2's `\b` (the docs_redact_terms parity rule); the
+    // email pattern needs no boundary (the '@' anchor cannot occur inside
+    // another match class), and greedy-quantifier matches of these
+    // patterns are identical under Java's leftmost-first and RE2's
+    // leftmost-longest (no alternation in any of them).
+    "docs_pii_scan" -> ((s, d) => {
+      val m = col("doc_id") % 5
+      piiScan(Tables.documents(s, d).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(m === 1, concat(lit(" contact agent"), col("doc_id"),
+            lit("@example.com now")))
+          .when(m === 2, concat(lit(" node at 10.0."), col("doc_id") % 256,
+            lit(".17 port")))
+          .when(m === 3, concat(lit(" call 555-01"), col("doc_id") % 10,
+            lit("-4412 today")))
+          .when(m === 4, concat(lit(" ssn 123-45-678"), col("doc_id") % 10,
+            lit(" file")))
+          .otherwise(lit(""))).as("text")))
     }),
 
     // ---- corpus-boilerplate fraction: the share of each document's
@@ -766,6 +842,65 @@ object TextOps {
         .orderBy(col("query_id"), col("rn"))
     })
   )
+
+  /** The PII class counters behind `docs_pii_scan`, over any (doc_id,
+    * text) frame — per-document counts of emails, IPv4 addresses, phone
+    * numbers, and SSN-shaped ids, plus the total and the release flag.
+    * One codegen'd regexp_count per class; digit-class boundaries are the
+    * ASCII-word lookaround spelling of RE2's `\b` (the docs_redact_terms
+    * parity rule), so the DuckDB oracle's `\b` patterns agree on all
+    * inputs. */
+  private[graft] def piiScan(docs: DataFrame): DataFrame = {
+    val lb = "(?<![a-zA-Z0-9_])"
+    val la = "(?![a-zA-Z0-9_])"
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipv4Pat = s"$lb([0-9]{1,3}\\.){3}[0-9]{1,3}$la"
+    val phonePat = s"$lb[0-9]{3}-[0-9]{3}-[0-9]{4}$la"
+    val ssnPat = s"$lb[0-9]{3}-[0-9]{2}-[0-9]{4}$la"
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(ipv4Pat)).cast("long").as("n_ipv4"),
+        regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(ssnPat)).cast("long").as("n_ssn"))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+        col("n_phones"), col("n_ssn"),
+        (col("n_emails") + col("n_ipv4") + col("n_phones") + col("n_ssn"))
+          .as("pii_total"),
+        when(col("n_emails") + col("n_ipv4") + col("n_phones") +
+          col("n_ssn") > 0, 1L).otherwise(0L).as("has_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The Gopher measure chain as oracle CTEs (yields `g(doc_id, n_words,
+    * n_chars_nospace, mean_word_len_grid, alpha_word_pct,
+    * symbol_word_pct, n_stop)`) — SQL twin of [[gopherMeasures]], shared
+    * by the filter-panel and rule-ablation oracles. */
+  private val gopherMeasureCtes = """t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                      w -> len(w) > 0) AS ws,
+          CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT)
+            AS n_chars_nospace,
+          CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+            AS n_symbol,
+          CAST(len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+            w -> w = 'the' OR w = 'a' OR w = 'of')) AS BIGINT) AS n_stop
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+            AS BIGINT) AS n_alpha_words,
+          n_chars_nospace, n_symbol, n_stop
+        FROM t),
+      g AS (
+        SELECT doc_id, n_words, n_chars_nospace,
+          (n_chars_nospace * 100) // greatest(n_words, 1)
+            AS mean_word_len_grid,
+          (n_alpha_words * 100) // greatest(n_words, 1) AS alpha_word_pct,
+          (n_symbol * 100) // greatest(n_words, 1) AS symbol_word_pct,
+          n_stop
+        FROM m)"""
 
   private val wcOracle = (n: Int) => s"""
     SELECT word, count(*) AS cnt FROM (
@@ -1158,33 +1293,8 @@ object TextOps {
       WHERE rn = 1
       ORDER BY doc_id""",
 
-    "docs_gopher_quality" -> """
-      WITH t AS (
-        SELECT doc_id,
-          list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-                      w -> len(w) > 0) AS ws,
-          CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT)
-            AS n_chars_nospace,
-          CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
-            AS n_symbol,
-          CAST(len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
-            w -> w = 'the' OR w = 'a' OR w = 'of')) AS BIGINT) AS n_stop
-        FROM documents),
-      m AS (
-        SELECT doc_id,
-          CAST(len(ws) AS BIGINT) AS n_words,
-          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
-            AS BIGINT) AS n_alpha_words,
-          n_chars_nospace, n_symbol, n_stop
-        FROM t),
-      g AS (
-        SELECT doc_id, n_words, n_chars_nospace,
-          (n_chars_nospace * 100) // greatest(n_words, 1)
-            AS mean_word_len_grid,
-          (n_alpha_words * 100) // greatest(n_words, 1) AS alpha_word_pct,
-          (n_symbol * 100) // greatest(n_words, 1) AS symbol_word_pct,
-          n_stop
-        FROM m)
+    "docs_gopher_quality" -> s"""
+      WITH $gopherMeasureCtes
       SELECT doc_id, n_words, n_chars_nospace, mean_word_len_grid,
         alpha_word_pct, symbol_word_pct, n_stop,
         (n_words BETWEEN 50 AND 100000
@@ -1195,6 +1305,45 @@ object TextOps {
       FROM g
       ORDER BY doc_id""",
 
+    // the shared measure CTEs, per-rule fail flags, one 10-sum aggregate
+    // row unpivoted into the 5-rule ablation table
+    "docs_quality_ablation" -> s"""
+      WITH $gopherMeasureCtes,
+      f AS (SELECT
+          CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f1,
+          CASE WHEN mean_word_len_grid BETWEEN 300 AND 1000
+               THEN 0 ELSE 1 END AS f2,
+          CASE WHEN alpha_word_pct >= 80 THEN 0 ELSE 1 END AS f3,
+          CASE WHEN symbol_word_pct < 10 THEN 0 ELSE 1 END AS f4,
+          CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f5
+        FROM g),
+      ff AS (SELECT f1, f2, f3, f4, f5,
+          f1 + f2 + f3 + f4 + f5 AS nf FROM f),
+      a AS (SELECT
+          CAST(sum(f1) AS BIGINT) AS a1,
+          CAST(sum(CASE WHEN f1 = 1 AND nf = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS o1,
+          CAST(sum(f2) AS BIGINT) AS a2,
+          CAST(sum(CASE WHEN f2 = 1 AND nf = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS o2,
+          CAST(sum(f3) AS BIGINT) AS a3,
+          CAST(sum(CASE WHEN f3 = 1 AND nf = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS o3,
+          CAST(sum(f4) AS BIGINT) AS a4,
+          CAST(sum(CASE WHEN f4 = 1 AND nf = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS o4,
+          CAST(sum(f5) AS BIGINT) AS a5,
+          CAST(sum(CASE WHEN f5 = 1 AND nf = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS o5
+        FROM ff)
+      SELECT rule, n_fail, n_fail_only FROM (
+        SELECT 'word_count' AS rule, a1 AS n_fail, o1 AS n_fail_only FROM a
+        UNION ALL SELECT 'mean_word_len', a2, o2 FROM a
+        UNION ALL SELECT 'alpha_words', a3, o3 FROM a
+        UNION ALL SELECT 'symbol_ratio', a4, o4 FROM a
+        UNION ALL SELECT 'stopwords', a5, o5 FROM a) u
+      ORDER BY rule""",
+
     "docs_redact_terms" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(text,
@@ -1202,6 +1351,40 @@ object TextOps {
         regexp_replace(text, '\b(customer|supplier|order|value)\b',
           '[REDACTED]', 'g') AS text_redacted
       FROM documents
+      ORDER BY doc_id""",
+
+    // the demo-corpus injection replayed verbatim; `\b` is RE2's ASCII
+    // word boundary — the engine side spells it as the equivalent
+    // ASCII-word lookarounds (the docs_redact_terms parity rule)
+    "docs_pii_scan" -> """
+      WITH demo AS (SELECT doc_id,
+        coalesce(text, '') ||
+          CASE doc_id % 5
+            WHEN 1 THEN ' contact agent' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+            WHEN 2 THEN ' node at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.17 port'
+            WHEN 3 THEN ' call 555-01' || CAST(doc_id % 10 AS VARCHAR)
+                        || '-4412 today'
+            WHEN 4 THEN ' ssn 123-45-678' || CAST(doc_id % 10 AS VARCHAR)
+                        || ' file'
+            ELSE '' END AS text
+        FROM documents),
+      counted AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(text,
+          '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(text,
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn
+        FROM demo)
+      SELECT doc_id, n_emails, n_ipv4, n_phones, n_ssn,
+        n_emails + n_ipv4 + n_phones + n_ssn AS pii_total,
+        CAST(CASE WHEN n_emails + n_ipv4 + n_phones + n_ssn > 0
+             THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+      FROM counted
       ORDER BY doc_id""",
 
     "text_bigrams_top" -> """

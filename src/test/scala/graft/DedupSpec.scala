@@ -192,4 +192,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
+
+  test("incremental LSH equals the self-join pairs restricted to the " +
+    "cross-split, and surfaces the exact-dup batch/corpus pair") {
+    // same signatures, same banding, same verification — so the
+    // batch-vs-corpus form must agree exactly with the self-join form on
+    // every pair that crosses the doc_id % 10 split
+    val all = graft.queries.Dedup.queries("dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cross = all.filter { case (a, b, _) =>
+        (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, c) =>
+        if (a % 10 == 0) (b, a, c) else (a, b, c) }.toSet
+    val inc = graft.queries.Dedup.queries("dedup_incremental_lsh")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === cross)
+    // doc 1 (batch) is byte-identical to doc 0 (corpus): identical
+    // signatures share every band, so the pair MUST surface
+    assert(inc.exists(p => p._1 == 1L && p._2 == 0L))
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+/** Readout-vs-source consistency for the two round-10 report operators:
+  * the IVF cell histogram must account for exactly the assignable corpus
+  * with exact ppm shares, and the quality-rule ablation must agree row
+  * for row with flags recomputed from the gopher panel's own emitted
+  * measures (the two queries share one measure projection — this pins
+  * that the aggregation on top is right). */
+class IndexHealthSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("sim_cell_histogram accounts for every assignable vector with " +
+    "exact integer shares") {
+    val cells = graft.queries.Similarity.queries("sim_cell_histogram")(
+      spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    assert(cells.map(_._1).distinct.length === cells.length,
+      "duplicate cent_id rows")
+    val total = cells.map(_._2).sum
+    val nAssignable = Tables.embeddings(spark, d)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .count()
+    assert(total === nAssignable,
+      s"cell populations sum to $total, corpus has $nAssignable")
+    cells.foreach { case (id, size, ppm) =>
+      assert(size >= 1, s"cell $id emitted empty")
+      assert(ppm === 1000000L * size / total, s"cell $id share off-grid")
+    }
+  }
+
+  test("docs_quality_ablation equals flags recomputed from the gopher " +
+    "panel's emitted measures") {
+    val panel = graft.queries.TextOps.queries("docs_gopher_quality")(
+      spark, d).collect()
+    // recompute the five fail flags from the panel's own grid columns
+    val flags = panel.map { r =>
+      val nWords = r.getLong(1)
+      val mwl = r.getLong(3)
+      val alpha = r.getLong(4)
+      val sym = r.getLong(5)
+      val nStop = r.getLong(6)
+      Seq(
+        "word_count" -> (nWords < 50 || nWords > 100000),
+        "mean_word_len" -> (mwl < 300 || mwl > 1000),
+        "alpha_words" -> (alpha < 80),
+        "symbol_ratio" -> (sym >= 10),
+        "stopwords" -> (nStop < 2))
+    }
+    val expected = flags.head.map(_._1).map { rule =>
+      val per = flags.map(_.toMap)
+      val nFail = per.count(_(rule))
+      val nOnly = per.count(f => f(rule) && f.values.count(identity) == 1)
+      rule -> ((nFail.toLong, nOnly.toLong))
+    }.toMap
+    val got = graft.queries.TextOps.queries("docs_quality_ablation")(
+      spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (nFail, nOnly) => assert(nOnly <= nFail) }
+  }
+}

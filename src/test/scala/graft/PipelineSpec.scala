@@ -140,4 +140,48 @@ class PipelineSpec extends SparkSpec {
       assert(score == tf * 1000000L / df)
     }
   }
+
+  private def tempAlloc(counts: Map[String, Int], budget: Long) = {
+    import spark.implicits._
+    val docs = counts.toSeq.flatMap { case (src, n) =>
+      (0 until n).map(i => (src, s"$src-$i"))
+    }.toDF("source", "doc_id")
+    graft.queries.Pipeline.temperatureAllocation(docs, budget)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+  }
+
+  test("temperature allocation: exact isqrt weights at squares and " +
+    "neighbors, quota sums to the budget") {
+    // counts straddle perfect squares: isqrt must be exact on both sides
+    val out = tempAlloc(
+      Map("a" -> 1, "b" -> 3, "c" -> 4, "d" -> 99, "e" -> 100), 16L)
+    assert(out("a")._2 === 1L) // isqrt(1)
+    assert(out("b")._2 === 1L) // isqrt(3)
+    assert(out("c")._2 === 2L) // isqrt(4)
+    assert(out("d")._2 === 9L) // isqrt(99)
+    assert(out("e")._2 === 10L) // isqrt(100)
+    assert(out.values.map(_._5).sum === 16L, "largest-remainder quota " +
+      "must sum exactly to the budget")
+    // each quota within 1 of its real-valued share (apportionment bound)
+    val sw = out.values.map(_._2).sum.toDouble
+    out.values.foreach { case (_, wt, _, _, q) =>
+      assert(math.abs(q - 16L * wt / sw) <= 1.0)
+    }
+  }
+
+  test("temperature allocation upweights small sources: tempered share " +
+    "exceeds natural share exactly for the below-average source") {
+    val out = tempAlloc(Map("big" -> 400, "small" -> 4), 10L)
+    val (bigN, _, bigShare, bigTemp, _) = out("big")
+    val (smallN, _, smallShare, smallTemp, _) = out("small")
+    assert(bigN === 400L && smallN === 4L)
+    assert(smallTemp > smallShare, "α=1/2 must upweight the small source")
+    assert(bigTemp < bigShare, "α=1/2 must damp the head source")
+    // exact grid values: shares 400/404 and 4/404; weights 20 and 2
+    assert(smallShare === 1000000L * 4 / 404)
+    assert(smallTemp === 1000000L * 2 / 22)
+  }
 }

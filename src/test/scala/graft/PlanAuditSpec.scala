@@ -306,4 +306,87 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "global distinct reappeared")
     assert(!p.contains("SinglePartition"))
   }
+
+  test("upsert is one full-outer hash-partitioned join — no window, " +
+    "no cartesian") {
+    val p = plan("dedup_upsert_snapshot")
+    assert(p.contains("FullOuter"), "the MERGE join lost full-outer")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PCA projection never joins or shuffles the corpus (directions " +
+    "are compiled constants)") {
+    val p = plan("emb_pca_project")
+    assert(!p.contains("Join"), "projection reintroduced a join")
+    assert(!p.contains("Window"))
+    assert(!p.contains("HashAggregate"),
+      "projection reintroduced an aggregation")
+  }
+
+  test("BPE encode is a projection over the vocabulary; the merge-rank " +
+    "window runs on an alphabet-bounded input") {
+    // text_bpe_tokens: no window anywhere — the encode is a compiled
+    // replace-fold, token counts are hash aggregates
+    assert(!plan("text_bpe_tokens").contains("Window"))
+    // the merges query's global rank window is exempt from the
+    // no-SinglePartition rule because its input is bounded by the pair
+    // ALPHABET (<= 26^2 rows post-aggregation), not the corpus — pin
+    // that bound so the exemption cannot silently widen
+    assert(graft.queries.TextOps.bpePairCounts(spark, d).count() <= 676L)
+  }
+
+  test("review sample windows partition by band — the only " +
+    "SinglePartition exchange is the 1-row n_docs count") {
+    // the sample rides the cosine-pairs frame, which carries the same
+    // 1-row global doc-count broadcast-stats exchange text_cosine_pairs'
+    // audit documents. That scalar count is scale-free; what must never
+    // appear is a WINDOW (or any wide operator) running on a
+    // single-partition corpus. Sectioned check: every operator section
+    // mentioning SinglePartition must be that count exchange.
+    val p = plan("text_dup_review_sample")
+    val sections = p.split("\n\\s*\n")
+    val sp = sections.filter(_.contains("SinglePartition"))
+    assert(sp.nonEmpty || !p.contains("SinglePartition"))
+    sp.foreach { s =>
+      assert(s.contains("Exchange") && s.contains("Input [1]: [count#"),
+        s"non-scalar-count SinglePartition section:\n$s")
+    }
+  }
+
+  test("q35 unsalted skew join broadcasts the small dim (the " +
+    "first-choice skew remedy)") {
+    assert(plan("q35_join_skew_aqe").contains("BroadcastHashJoin"))
+  }
+
+  test("incremental LSH never plans a cartesian and never windows the " +
+    "corpus (band hash joins + candidate-only verification)") {
+    val p = plan("dedup_incremental_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
+
+  test("pii scan is a pure projection: no join, no aggregation") {
+    val p = plan("docs_pii_scan")
+    assert(!p.contains("Join"))
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("temperature allocation and quality ablation never join the " +
+    "corpus; ablation aggregates to one map-side-combinable row") {
+    val t = plan("docs_mixture_temperature")
+    assert(!t.contains("Join"), "allocation must stay on the source dim")
+    val a = plan("docs_quality_ablation")
+    assert(!a.contains("Join"))
+    assert(!a.contains("Window"))
+    assert(a.contains("HashAggregate"))
+  }
+
+  test("cell histogram broadcasts the centroid table into the " +
+    "assignment pass") {
+    val p = plan("sim_cell_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid cross must ride a broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
