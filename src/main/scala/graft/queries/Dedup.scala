@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -803,6 +804,26 @@ object Dedup {
         .orderBy(col("cluster_size"))
     }),
 
+    // ---- threshold-tuning sweep: verified pair counts per 0.1-wide
+    // Jaccard band from 0.5 up, with the cumulative count at-or-above
+    // each band — the readout that decides WHERE to set the near-dup
+    // threshold before a dedup rollout commits to one (a fat 0.5-0.6
+    // band means the threshold choice moves a lot of mass; an empty one
+    // means it's insensitive). One pair computation at the family's
+    // df-capped candidate bound serves every band; the band is one IEEE
+    // multiply+floor on the bit-stable jaccard (the review-sample
+    // convention), and the cumulative window runs on the ≤6-row band
+    // dimension.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      jaccardPairsUnsorted(Tables.documents(s, d), 0.5)
+        .withColumn("band", floor(col("jaccard") * 10).cast("long"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+          Window.orderBy(col("band").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("band"))
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       simhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -1107,6 +1128,31 @@ object Dedup {
         count(*) AS n_clusters
       FROM sizes GROUP BY cluster_size
       ORDER BY cluster_size""",
+
+    // the neardup candidate/verify chain at 0.5, banded by the same IEEE
+    // multiply+floor, cumulated over the tiny band dimension
+    "dedup_threshold_sweep" -> s"""
+      WITH $hashedShingleCtes,
+      df AS (SELECT h, count(*) AS df FROM hinv GROUP BY h),
+      invc AS (SELECT hinv.doc_id, hinv.h FROM hinv
+               JOIN df ON df.h = hinv.h WHERE df.df <= 1000),
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                 FROM invc a JOIN invc b ON a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+      j AS (SELECT c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard
+            FROM common c
+            JOIN hsz sa ON sa.doc_id = c.a
+            JOIN hsz sb ON sb.doc_id = c.b
+            WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.5),
+      bands AS (SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band,
+                  count(*) AS n_pairs
+                FROM j GROUP BY band)
+      SELECT band, n_pairs,
+        CAST(sum(n_pairs) OVER (ORDER BY band DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_at_or_above
+      FROM bands
+      ORDER BY band""",
 
     "dedup_simhash" -> s"""
       WITH $simhashCtes

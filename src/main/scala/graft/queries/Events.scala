@@ -255,6 +255,45 @@ object Events {
     }),
 
     // ---- timestamp parts + date_trunc: daily counts
+    // ---- incremental aggregate maintenance (the materialized-view
+    // upkeep shape — how a 100 TB daily rollup is actually KEPT current):
+    // the per-day aggregate SNAPSHOT (already-ingested slice, event_id %
+    // 10 == 0) merged with the new batch's per-day PARTIAL aggregate by
+    // one full-outer join on the day key, summing counts and exact cent
+    // sums, with a per-day action audit (insert = day first seen in the
+    // batch / update = day grew / keep = untouched). History is never
+    // rescanned: only its aggregate table (one row per day) and the
+    // batch's partial are touched — the only corpus-wide work is the
+    // batch's own map-side-combinable aggregation. Cent sums stay
+    // decimal(38) integers through the merge and surface as DOUBLE only
+    // at the edge (the gridSum convention — a mid-merge double would
+    // break associativity); merged == direct-full-aggregate equality is
+    // pinned in EventsSpec.
+    "events_agg_incremental" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("event_id"), cents(col("value")).cast(dec).as("vc"))
+      val snap = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_snap"), sum(col("vc")).as("c_snap"))
+      val delta = ev.filter(col("event_id") % 10 =!= 0)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_delta"), sum(col("vc")).as("c_delta"))
+      snap.join(delta, Seq("day"), "full_outer")
+        .select(col("day"),
+          (coalesce(col("n_snap"), lit(0L)) +
+            coalesce(col("n_delta"), lit(0L))).as("n_events"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          ((coalesce(col("c_snap"), lit(0L).cast(dec)) +
+            coalesce(col("c_delta"), lit(0L).cast(dec))).cast("double") /
+            lit(100.0)).as("sum_value"),
+          when(col("n_snap").isNull, "insert")
+            .when(col("n_delta").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy(col("day"))
+    }),
+
     "events_daily" -> ((s, d) => {
       Tables.events(s, d)
         .filter(col("ts").isNotNull)
@@ -1119,6 +1158,29 @@ object Events {
       FROM events
       WHERE ts IS NOT NULL
       GROUP BY 1, 2
+      ORDER BY day""",
+
+    // snapshot/delta split and the MERGE replayed on HUGEINT cent sums,
+    // cast to DOUBLE only at the edge (the gridSum convention)
+    "events_agg_incremental" -> """
+      WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_id,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE ts IS NOT NULL),
+      snap AS (SELECT day, count(*) AS n_snap, sum(vc) AS c_snap
+               FROM ev WHERE event_id % 10 = 0 GROUP BY day),
+      delta AS (SELECT day, count(*) AS n_delta, sum(vc) AS c_delta
+                FROM ev WHERE event_id % 10 <> 0 GROUP BY day)
+      SELECT coalesce(s.day, dl.day) AS day,
+        CAST(coalesce(s.n_snap, 0) + coalesce(dl.n_delta, 0) AS BIGINT)
+          AS n_events,
+        CAST(coalesce(dl.n_delta, 0) AS BIGINT) AS n_delta,
+        CAST(coalesce(s.c_snap, 0) + coalesce(dl.c_delta, 0) AS DOUBLE)
+          / 100.0 AS sum_value,
+        CASE WHEN s.day IS NULL THEN 'insert'
+             WHEN dl.day IS NULL THEN 'keep'
+             ELSE 'update' END AS action
+      FROM snap s FULL OUTER JOIN delta dl ON dl.day = s.day
       ORDER BY day""",
 
     "events_buckets" -> """

@@ -114,6 +114,55 @@ object Pipeline {
                  c: String = "props"): org.apache.spark.sql.DataFrame =
     df.withColumn(c, when(propsClass(col(c)) === "ok", col(c)))
 
+  /** The four curation stages behind `docs_curation_pipeline` and
+    * `docs_curation_disposition` — ONE definition of the corpus slice and
+    * every stage's survivor set, so the attrition panel and the per-doc
+    * audit cannot drift. Returns (docs, exact-dedup representatives,
+    * quality keepers (with n_words), decontamination survivors, final
+    * keep set). SQL twin: [[curationStageCtes]]. */
+  private def curationStages(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = graft.Caching.persistTracked(Tables.documents(s, d)
+      .filter(col("doc_id") % 20 =!= 0 && col("source").isNotNull))
+    // stage 1: exact-dedup representatives
+    val reps = docs.select(col("doc_id"), Dedup.fingerprint.as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // stage 2: quality gate over the representatives
+    val qk = graft.Caching.persistTracked(docs.join(reps, "doc_id")
+      .withColumn("ws", TextOps.tokens(col("text")))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", size(filter(col("ws"),
+        w => w === "the" || w === "a" || w === "of")).cast("long"))
+      .filter(col("n_words") >= 20 &&
+        col("n_stop").cast("double") / col("n_words") < 0.4)
+      .select(col("doc_id"), col("n_words")))
+    // stage 3: decontamination vs the held-out benchmark slice
+    val bench = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      .select(explode(
+        graft.functions.GraftFunctions.shingleHashes(col("text")))
+        .as("h")).distinct()
+    val contaminated = docs.join(qk.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.shingleHashes(col("text")))
+        .as("h"))
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5).select(col("doc_id"))
+    val surv3 = graft.Caching.persistTracked(
+      qk.join(contaminated, Seq("doc_id"), "left_anti"))
+    // stage 4: near-dup pruning among survivors (drop b of each pair)
+    val dropB = Dedup
+      .jaccardPairsUnsorted(docs.join(surv3.select(col("doc_id")),
+        "doc_id"), 0.6)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val finalKeep = surv3.join(dropB, Seq("doc_id"), "left_anti")
+    (docs, reps, qk, surv3, finalKeep)
+  }
+
   /** The temperature-mixture allocation table behind
     * `docs_mixture_temperature`, over any frame with a `source` column —
     * per-source natural vs α=1/2-tempered share (ppm grid) and the
@@ -575,43 +624,37 @@ object Pipeline {
     // already-audited shapes; stage membership flows as id sets
     // (anti/semi joins, hash-partitioned on doc_id); nothing rescans
     // text more than its own stage needs.
+    // ---- per-document curation audit (the disposition table behind the
+    // attrition panel): for EVERY document in the curated slice, which
+    // stage dropped it — exact_dup / quality / decontaminated / near_dup
+    // — or 'kept'. The lineage record a 100 TB curation rollout ships
+    // for appeal/debugging ("why is my document gone?"); the panel says
+    // how much each stage cost, this says WHOM it cost. Same factored
+    // stage machinery as the panel (curationStages — one definition, two
+    // readouts); four co-partitioned left joins on doc_id classify each
+    // document by its first missing survivor set.
+    "docs_curation_disposition" -> ((s, d) => {
+      val (docs, reps, qk, surv3, finalKeep) = curationStages(s, d)
+      docs.select(col("doc_id"))
+        .join(reps.select(col("doc_id"), lit(1L).as("s1")),
+          Seq("doc_id"), "left")
+        .join(qk.select(col("doc_id"), lit(1L).as("s2")),
+          Seq("doc_id"), "left")
+        .join(surv3.select(col("doc_id"), lit(1L).as("s3")),
+          Seq("doc_id"), "left")
+        .join(finalKeep.select(col("doc_id"), lit(1L).as("s4")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("s1").isNull, "exact_dup")
+            .when(col("s2").isNull, "quality")
+            .when(col("s3").isNull, "decontaminated")
+            .when(col("s4").isNull, "near_dup")
+            .otherwise("kept").as("disposition"))
+        .orderBy(col("doc_id"))
+    }),
+
     "docs_curation_pipeline" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val docs = graft.Caching.persistTracked(Tables.documents(s, d)
-        .filter(col("doc_id") % 20 =!= 0 && col("source").isNotNull))
-      // stage 1: exact-dedup representatives
-      val reps = docs.select(col("doc_id"), Dedup.fingerprint.as("fp"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      // stage 2: quality gate over the representatives
-      val qk = graft.Caching.persistTracked(docs.join(reps, "doc_id")
-        .withColumn("ws", TextOps.tokens(col("text")))
-        .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn("n_stop", size(filter(col("ws"),
-          w => w === "the" || w === "a" || w === "of")).cast("long"))
-        .filter(col("n_words") >= 20 &&
-          col("n_stop").cast("double") / col("n_words") < 0.4)
-        .select(col("doc_id"), col("n_words")))
-      // stage 3: decontamination vs the held-out benchmark slice
-      val bench = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
-        .select(explode(
-          graft.functions.GraftFunctions.shingleHashes(col("text")))
-          .as("h")).distinct()
-      val contaminated = docs.join(qk.select(col("doc_id")), "doc_id")
-        .select(col("doc_id"), explode(
-          graft.functions.GraftFunctions.shingleHashes(col("text")))
-          .as("h"))
-        .join(broadcast(bench), Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 5).select(col("doc_id"))
-      val surv3 = graft.Caching.persistTracked(
-        qk.join(contaminated, Seq("doc_id"), "left_anti"))
-      // stage 4: near-dup pruning among survivors (drop b of each pair)
-      val dropB = Dedup
-        .jaccardPairsUnsorted(docs.join(surv3.select(col("doc_id")),
-          "doc_id"), 0.6)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val finalKeep = surv3.join(dropB, Seq("doc_id"), "left_anti")
+      val (docs, reps, qk, surv3, finalKeep) = curationStages(s, d)
       // attrition panel per source
       def bySource(ids: org.apache.spark.sql.DataFrame, n: String) =
         docs.join(ids, "doc_id").groupBy(col("source"))
@@ -780,6 +823,54 @@ object Pipeline {
         .orderBy(col("w_id"))
     })
   )
+
+  /** The four curation stages as oracle CTEs (raw slice through the
+    * `final` survivor set) — SQL twin of [[curationStages]], shared by
+    * the attrition-panel and disposition oracles. */
+  private val curationStageCtes: String = s"""${Dedup.hashedShingleCtes},
+      raw AS (SELECT doc_id, text, source FROM documents
+              WHERE doc_id % 20 <> 0 AND source IS NOT NULL),
+      keep AS (
+        SELECT min(doc_id) AS doc_id FROM raw
+        GROUP BY $fpExprSql),
+      tokq AS (
+        SELECT r.doc_id,
+          len(list_filter(string_split_regex(translate(r.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+                          x -> len(x) > 0)) AS n_words,
+          len(list_filter(string_split_regex(translate(r.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+                          x -> x = 'the' OR x = 'a' OR x = 'of')) AS n_stop
+        FROM raw r JOIN keep k ON k.doc_id = r.doc_id),
+      qual AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words FROM tokq
+        WHERE n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words < 0.4),
+      bench AS (SELECT DISTINCT h FROM hinv WHERE doc_id % 20 = 0),
+      contam AS (
+        SELECT hinv.doc_id FROM hinv
+        JOIN bench USING (h)
+        JOIN qual ON qual.doc_id = hinv.doc_id
+        GROUP BY hinv.doc_id HAVING count(*) >= 5),
+      surv3 AS (
+        SELECT q.doc_id, q.n_words FROM qual q
+        LEFT JOIN contam c ON c.doc_id = q.doc_id
+        WHERE c.doc_id IS NULL),
+      hinv_s AS (SELECT hinv.doc_id, hinv.h FROM hinv
+                 JOIN surv3 ON surv3.doc_id = hinv.doc_id),
+      dfs AS (SELECT h, count(*) AS df FROM hinv_s GROUP BY h),
+      invc AS (SELECT hinv_s.doc_id, hinv_s.h FROM hinv_s
+               JOIN dfs ON dfs.h = hinv_s.h WHERE dfs.df <= 1000),
+      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                 FROM invc a JOIN invc b ON a.h = b.h
+                  AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+      dropb AS (
+        SELECT DISTINCT c.b AS doc_id FROM common c
+        JOIN hsz sa ON sa.doc_id = c.a
+        JOIN hsz sb ON sb.doc_id = c.b
+        WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6),
+      final AS (
+        SELECT s.doc_id, s.n_words FROM surv3 s
+        LEFT JOIN dropb dx ON dx.doc_id = s.doc_id
+        WHERE dx.doc_id IS NULL)"""
 
   val oracles: Map[String, String] = Map(
     "docs_split_train_val" -> """
@@ -1095,51 +1186,25 @@ object Pipeline {
     // hashedShingleCtes (full corpus); every stage restriction happens by
     // id-set join, and the near-dup df cap is recomputed on the survivor
     // subset exactly as the engine does.
+    // the shared stage CTEs classified per document by the first
+    // missing survivor set
+    "docs_curation_disposition" -> s"""
+      WITH $curationStageCtes
+      SELECT r.doc_id,
+        CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+             WHEN q.doc_id IS NULL THEN 'quality'
+             WHEN s3.doc_id IS NULL THEN 'decontaminated'
+             WHEN f.doc_id IS NULL THEN 'near_dup'
+             ELSE 'kept' END AS disposition
+      FROM raw r
+      LEFT JOIN keep k ON k.doc_id = r.doc_id
+      LEFT JOIN qual q ON q.doc_id = r.doc_id
+      LEFT JOIN surv3 s3 ON s3.doc_id = r.doc_id
+      LEFT JOIN final f ON f.doc_id = r.doc_id
+      ORDER BY r.doc_id""",
+
     "docs_curation_pipeline" -> s"""
-      WITH ${Dedup.hashedShingleCtes},
-      raw AS (SELECT doc_id, text, source FROM documents
-              WHERE doc_id % 20 <> 0 AND source IS NOT NULL),
-      keep AS (
-        SELECT min(doc_id) AS doc_id FROM raw
-        GROUP BY $fpExprSql),
-      tokq AS (
-        SELECT r.doc_id,
-          len(list_filter(string_split_regex(translate(r.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
-                          x -> len(x) > 0)) AS n_words,
-          len(list_filter(string_split_regex(translate(r.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
-                          x -> x = 'the' OR x = 'a' OR x = 'of')) AS n_stop
-        FROM raw r JOIN keep k ON k.doc_id = r.doc_id),
-      qual AS (
-        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words FROM tokq
-        WHERE n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words < 0.4),
-      bench AS (SELECT DISTINCT h FROM hinv WHERE doc_id % 20 = 0),
-      contam AS (
-        SELECT hinv.doc_id FROM hinv
-        JOIN bench USING (h)
-        JOIN qual ON qual.doc_id = hinv.doc_id
-        GROUP BY hinv.doc_id HAVING count(*) >= 5),
-      surv3 AS (
-        SELECT q.doc_id, q.n_words FROM qual q
-        LEFT JOIN contam c ON c.doc_id = q.doc_id
-        WHERE c.doc_id IS NULL),
-      hinv_s AS (SELECT hinv.doc_id, hinv.h FROM hinv
-                 JOIN surv3 ON surv3.doc_id = hinv.doc_id),
-      dfs AS (SELECT h, count(*) AS df FROM hinv_s GROUP BY h),
-      invc AS (SELECT hinv_s.doc_id, hinv_s.h FROM hinv_s
-               JOIN dfs ON dfs.h = hinv_s.h WHERE dfs.df <= 1000),
-      common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-                 FROM invc a JOIN invc b ON a.h = b.h
-                  AND a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id),
-      dropb AS (
-        SELECT DISTINCT c.b AS doc_id FROM common c
-        JOIN hsz sa ON sa.doc_id = c.a
-        JOIN hsz sb ON sb.doc_id = c.b
-        WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.6),
-      final AS (
-        SELECT s.doc_id, s.n_words FROM surv3 s
-        LEFT JOIN dropb dx ON dx.doc_id = s.doc_id
-        WHERE dx.doc_id IS NULL),
+      WITH $curationStageCtes,
       p_raw AS (SELECT source, count(*) AS n_raw FROM raw GROUP BY source),
       p_exact AS (SELECT r.source, count(*) AS n FROM raw r
                   JOIN keep k ON k.doc_id = r.doc_id GROUP BY r.source),

@@ -151,6 +151,51 @@ object Similarity {
         .orderBy(col("qid"))
     }),
 
+    // ---- recall@10 of int8-quantized cosine ranking vs the float brute
+    // — the quality readout for the 4× memory compression
+    // emb_quantize_int8 gates (completing the per-index-quality family:
+    // IVF, PQ, LSH banding, and now scalar quantization). Codes follow
+    // the gated quantization rule exactly (per-vector symmetric scale,
+    // q = floor(x·127/m + 0.5); zero/null vectors off the index — the
+    // same exclusion as the brute leg's norm guard, so the legs see one
+    // corpus); ranking is the exact-integer cosine-ratio key over the
+    // int8 grid (the IVF convention — no float ever ranks), truth is the
+    // shared brute leg, and the metric is pure set intersection.
+    "sim_recall_int8" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val gf = graft.functions.GraftFunctions
+      val emb = Tables.embeddings(s, d)
+      val q8 = emb
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("xs"))
+        .withColumn("m", array_max(transform(col("xs"), x => abs(x))))
+        .filter(col("m") > 0)
+        .select(col("vec_id"), transform(col("xs"),
+          x => floor(x * (lit(127.0) / col("m")) + lit(0.5)).cast("long"))
+          .as("qv"))
+      val qq = q8.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val wR = Window.partitionBy(col("qid"))
+        .orderBy(col("key").desc, col("vec_id").asc)
+      val i8 = q8.crossJoin(broadcast(qq))
+        .withColumn("key", gf.cosKey(gf.dotl(col("qv"), col("qq")),
+          gf.dotl(col("qv"), col("qv"))))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid").as("iqid"), col("vec_id").as("i8_vec_id"))
+      val q = emb.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      bruteTopK(emb, q, 10).select(col("qid"), col("vec_id"))
+        .join(i8, col("qid") === col("iqid") &&
+          col("vec_id") === col("i8_vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_brute"),
+          count(col("i8_vec_id")).as("n_hits"))
+        .select(col("qid"), col("n_brute"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_brute")).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- recall@10 of the PQ-ADC index against EXACT squared-L2 ground
     // truth (PQ ranks by L2, so its truth leg is the exact-integer d2 =
     // qn2 − 2·q·v + n2 brute scan, not the cosine brute of
@@ -365,6 +410,37 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- whitening apply — the step PCA projection feeds: each
+    // projected coordinate divided by the integer sqrt of its direction's
+    // Rayleigh quotient on the ORIGINAL Gram (the eigenvalue estimate),
+    // equalizing variance across the two principal axes — the
+    // decorrelate-and-rescale preprocessing of classic whitening, on
+    // exact integers end to end. The divide is floorDiv via the pmod
+    // trick (sign-safe in both engines); the isqrt is float-seeded +
+    // integer-adjusted ([[isqrtSeeded]] — identical in both engines
+    // below the loud 1e30 guard). Scale shape: identical to
+    // emb_pca_project — the d²-row Gram aggregate, the driver-side
+    // solve on d² rows, and one broadcast-constants projection pass;
+    // the two extra Rayleigh reductions are d-length driver loops.
+    "emb_whiten_project" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val gf = graft.functions.GraftFunctions
+      val (v1, v2, u1, u2) = pcaSolve(s, d)
+      val r1 = isqrtSeeded(u1).toLong
+      val r2 = isqrtSeeded(u2).toLong
+      def vcol(v: Array[Long]) =
+        if (v.isEmpty) array().cast("array<bigint>")
+        else array(v.map(lit(_)): _*)
+      ivfGrid(s, d)
+        .select(col("vec_id"),
+          gf.dotl(col("xg"), vcol(v1)).as("p1"),
+          gf.dotl(col("xg"), vcol(v2)).as("p2"))
+        .select(col("vec_id"),
+          expr(s"(p1 - pmod(p1, ${r1}L)) div ${r1}L").as("w1"),
+          expr(s"(p2 - pmod(p2, ${r2}L)) div ${r2}L").as("w2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- IVF-style ANN top-k: assign corpus to nearest centroid, probe the
     // 3 centroids nearest each query, brute-force only within probed cells.
     // Approximate as a NEIGHBOR ALGORITHM, yet fully oracle-checkable: the
@@ -400,6 +476,21 @@ object Similarity {
     // on the exact grid, corpus encoded to 8 nibbles, queries ranked by
     // table-lookup distances — see [[pqTopK]] for the memory story
     "sim_pq_topk" -> ((s, d) => pqTopK(s, d, k = 10)),
+
+    // ---- PQ index-health readout (the memory-side sibling of
+    // sim_cell_histogram): per-subspace quantization distortion — count,
+    // total, and average of each vector's squared-L2 distance to its
+    // ASSIGNED code. The number that decides whether 16 codes per
+    // subspace suffice (a subspace whose avg distortion dwarfs the rest
+    // is under-coded and poisons every ADC ranking through it). The
+    // assigned distance IS the min over the trained codebook, so no
+    // argmin/code join is needed: one broadcast-codebook pass, a
+    // map-side-combinable min per (vector, subspace), then the tiny
+    // per-subspace rollup — all exact integers, trained by the gated
+    // pqTrain pieces (the readout cannot drift from the index it
+    // grades; oracle aggregates the shared d1 block).
+    "sim_pq_distortion" -> ((s, d) =>
+      pqDistortionOf(Tables.embeddings(s, d))),
 
     // ---- IVF+PQ: probed cells bound WHAT is scanned, codes bound the
     // BYTES per scanned vector — the production ANN layout, composed
@@ -615,6 +706,35 @@ object Similarity {
     * the oracle side and unbounded BigInt here. */
   private[graft] def pcaComponents(s: SparkSession,
                                    d: String): (Array[Long], Array[Long]) = {
+    val (v1, v2, _, _) = pcaSolve(s, d)
+    (v1, v2)
+  }
+
+  /** Float-seeded exact integer sqrt (max'd at 1 for divisor use): the
+    * double seed is within ±1 of truth for u < 2¹⁰⁸ (√u·2⁻⁵⁴ < 1) and
+    * the integer compare-adjust pins it — both engines convert to DOUBLE
+    * with round-to-nearest and take the correctly-rounded IEEE sqrt, so
+    * the seed (and therefore the result) is identical. Guarded loudly at
+    * 10³⁰, far below the 2¹⁰⁸ breakdown, matching the whiten scaladoc's
+    * magnitude bound. */
+  private[graft] def isqrtSeeded(u: BigInt): BigInt = {
+    require(u >= 0 && u < BigInt(10).pow(30),
+      s"isqrtSeeded: $u outside the float-seeded bound [0, 1e30) — " +
+        "re-grid the embeddings coarser")
+    val r0 = BigInt(math.sqrt(u.toDouble).toLong)
+    val r = if ((r0 + 1) * (r0 + 1) <= u) r0 + 1
+            else if (r0 * r0 > u) r0 - 1 else r0
+    r.max(1)
+  }
+
+  /** The PCA power-iteration solve behind `emb_pca_project` and
+    * `emb_whiten_project`: top-2 sign-pinned integer directions PLUS the
+    * two Rayleigh quotients u_i = ⌊(v_iᵀ G v_i) / (v_iᵀ v_i)⌋ on the
+    * ORIGINAL Gram (the integer eigenvalue estimates whitening divides
+    * by). All BigInt; truncation ≡ floor throughout because a Gram is
+    * PSD (both numerators non-negative — the `//` parity precondition). */
+  private[graft] def pcaSolve(s: SparkSession, d: String)
+      : (Array[Long], Array[Long], BigInt, BigInt) = {
     val dec = DecimalType(38, 0)
     val e1 = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
@@ -630,7 +750,7 @@ object Similarity {
       .groupBy(col("j"), col("k"))
       .agg(sum((col("xj") * col("xk")).cast(dec)).as("g"))
       .collect()
-    if (rows.isEmpty) return (Array.empty, Array.empty)
+    if (rows.isEmpty) return (Array.empty, Array.empty, BigInt(0), BigInt(0))
     val dim = rows.iterator.map(_.getInt(1)).max
     val g = Array.fill(dim, dim)(BigInt(0))
     rows.foreach { r =>
@@ -659,7 +779,12 @@ object Similarity {
     val g2 = Array.tabulate(dim, dim)((j, k) =>
       g(j)(k) - v1(j) * v1(k) * u / den)
     val v2 = power(g2)
-    (v1.map(_.toLong), v2.map(_.toLong))
+    // leg-2 Rayleigh on the ORIGINAL Gram (the variance whitening needs,
+    // not the deflated matrix's)
+    val w2 = mul(g, v2)
+    val den2 = v2.foldLeft(BigInt(0))((a, x) => a + x * x).max(BigInt(1))
+    val num2 = (0 until dim).foldLeft(BigInt(0))((a, j) => a + v2(j) * w2(j))
+    (v1.map(_.toLong), v2.map(_.toLong), u, num2 / den2)
   }
 
   /** One integer power-iteration leg as a DuckDB CTE chain over gram CTE
@@ -688,8 +813,11 @@ object Similarity {
     * 20-round leg 1 → integer Hotelling deflation → 20-round leg 2 →
     * exact integer projections. Validated bit-identical against the
     * BigInt solver on the driver fixtures. */
-  private[graft] lazy val pcaOracleSql: String = s"""
-      WITH ex AS MATERIALIZED (SELECT vec_id,
+  /** The shared PCA CTE chain (gridded elements → HUGEINT Gram →
+    * 20-round leg 1 → integer Hotelling deflation → 20-round leg 2);
+    * yields `ex`, `gm`, `pf`, `qf`, `uu(u)`, `dn(den)` for the
+    * projection and whitening oracles to build on. */
+  private lazy val pcaChainCtes: String = s"""ex AS MATERIALIZED (SELECT vec_id,
           CAST(generate_subscripts(embedding, 1) AS INT) AS j,
           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
             AS BIGINT) AS x
@@ -710,12 +838,47 @@ object Similarity {
           g.g - (va.v * vb.v * uu.u) // dn.den AS g
         FROM gm g JOIN pf va ON va.j = g.j JOIN pf vb ON vb.j = g.k, uu, dn),
       q0 AS (SELECT DISTINCT j, CAST(1000000 AS HUGEINT) AS v FROM g2),
-      ${pcaPowerSql("q", "g2")}
+      ${pcaPowerSql("q", "g2")}"""
+
+  private[graft] lazy val pcaOracleSql: String = s"""
+      WITH $pcaChainCtes
       SELECT e.vec_id,
         CAST(sum(CAST(e.x AS HUGEINT) * a.v) AS BIGINT) AS p1,
         CAST(sum(CAST(e.x AS HUGEINT) * b.v) AS BIGINT) AS p2
       FROM ex e JOIN pf a ON a.j = e.j JOIN qf b ON b.j = e.j
       GROUP BY e.vec_id ORDER BY e.vec_id"""
+
+  /** The `emb_whiten_project` oracle: the shared chain + leg-2's Rayleigh
+    * quotient on the ORIGINAL Gram + the float-seeded isqrt (identical to
+    * [[isqrtSeeded]]) + the floorDiv'd whitened coordinates. */
+  private[graft] lazy val whitenOracleSql: String = s"""
+      WITH $pcaChainCtes,
+      wd2 AS (SELECT g.j AS j, sum(g.g * v.v) AS w
+        FROM gm g JOIN qf v ON v.j = g.k GROUP BY g.j),
+      dn2 AS (SELECT greatest(CAST(sum(v * v) AS HUGEINT), 1) AS den
+        FROM qf),
+      nu2 AS (SELECT CAST(sum(v.v * w.w) AS HUGEINT) AS num
+        FROM qf v JOIN wd2 w ON w.j = v.j),
+      uu2 AS (SELECT num // den AS u FROM nu2, dn2),
+      r1 AS (SELECT greatest(CASE
+          WHEN (r0 + 1) * (r0 + 1) <= u THEN r0 + 1
+          WHEN r0 * r0 > u THEN r0 - 1 ELSE r0 END, 1) AS r
+        FROM (SELECT u, CAST(floor(sqrt(CAST(u AS DOUBLE))) AS HUGEINT)
+          AS r0 FROM uu) t),
+      r2 AS (SELECT greatest(CASE
+          WHEN (r0 + 1) * (r0 + 1) <= u THEN r0 + 1
+          WHEN r0 * r0 > u THEN r0 - 1 ELSE r0 END, 1) AS r
+        FROM (SELECT u, CAST(floor(sqrt(CAST(u AS DOUBLE))) AS HUGEINT)
+          AS r0 FROM uu2) t),
+      proj AS (SELECT e.vec_id,
+          CAST(sum(CAST(e.x AS HUGEINT) * a.v) AS HUGEINT) AS p1,
+          CAST(sum(CAST(e.x AS HUGEINT) * b.v) AS HUGEINT) AS p2
+        FROM ex e JOIN pf a ON a.j = e.j JOIN qf b ON b.j = e.j
+        GROUP BY e.vec_id)
+      SELECT vec_id,
+        CAST((p1 - ((p1 % r1.r + r1.r) % r1.r)) // r1.r AS BIGINT) AS w1,
+        CAST((p2 - ((p2 % r2.r + r2.r) % r2.r)) // r2.r AS BIGINT) AS w2
+      FROM proj, r1, r2 ORDER BY vec_id"""
 
   private[graft] def ivfGrid(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -866,6 +1029,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("adc2"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** [[queries]]' `sim_pq_distortion` over any (vec_id, embedding) frame
+    * — the unit-testable core. With ≤ [[PqK]] vectors every subvector is
+    * its own code, so every distortion is exactly 0 (the degenerate
+    * property `SimilaritySpec` pins for the ranking; `IndexHealthSpec`
+    * pins it here). */
+  private[graft] def pqDistortionOf(emb: DataFrame): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val sub = pqSubspaces(emb)
+    val cb = pqTrain(sub)
+    sub.join(broadcast(cb), "s")
+      .withColumn("dist2", col("ns2") + col("nc2") -
+        lit(2L) * gf.dotl(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("dist2")).as("d2"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"))
+      .withColumn("avg_d2", expr("sum_d2 div n_vecs"))
+      .orderBy(col("s"))
   }
 
   /** The persisted (vec_id, s, sv, ns2) subspace frame: gridded vectors
@@ -1324,6 +1507,42 @@ object Similarity {
     // blocks, so the three oracles cannot drift); the metric is pure set
     // intersection of their top-10 id sets, so it inherits their
     // cross-engine rank determinism
+    // the gated int8 rule replayed elementwise, the IVF cosine-ratio
+    // key over the int8 grid, truth = the shared brute block
+    "sim_recall_int8" -> s"""
+      WITH $bruteNnCtes,
+      el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+             FROM embeddings),
+      mx AS (SELECT vec_id, max(abs(x)) AS m FROM el GROUP BY vec_id
+             HAVING max(abs(x)) > 0),
+      q8 AS MATERIALIZED (SELECT el.vec_id, el.j,
+               CAST(floor(el.x * (127.0 / mx.m) + 0.5) AS BIGINT) AS q
+             FROM el JOIN mx ON mx.vec_id = el.vec_id),
+      n8 AS (SELECT vec_id, sum(CAST(q AS HUGEINT) * q) AS n2
+             FROM q8 GROUP BY vec_id),
+      dq AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+               sum(CAST(a.q AS HUGEINT) * b.q) AS dd
+             FROM q8 a JOIN q8 b ON b.j = a.j
+             WHERE a.vec_id <= 4 GROUP BY a.vec_id, b.vec_id),
+      i8key AS (SELECT dq.qid, dq.vec_id,
+                 (dq.dd * abs(dq.dd) * 1000000
+                    - ((dq.dd * abs(dq.dd) * 1000000) % n8.n2 + n8.n2)
+                      % n8.n2) // n8.n2 AS key
+               FROM dq JOIN n8 ON n8.vec_id = dq.vec_id),
+      i8top AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY key DESC, vec_id ASC) AS rn
+                  FROM i8key) t WHERE rn <= 10),
+      brute8 AS (SELECT qid, vec_id FROM bruteranks WHERE rank <= 10)
+      SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+        CAST(count(i.vec_id) AS DOUBLE) / count(*) AS recall
+      FROM brute8 b
+      LEFT JOIN i8top i ON i.qid = b.qid AND i.vec_id = b.vec_id
+      GROUP BY b.qid
+      ORDER BY b.qid""",
+
     "sim_recall_ivf" -> s"""
       WITH $bruteNnCtes,
       e AS (
@@ -1471,6 +1690,21 @@ object Similarity {
       GROUP BY b.qid
       ORDER BY b.qid""",
 
+    // the shared d1 block's min per (vector, subspace) IS the assigned
+    // distortion; tiny per-subspace rollup with HUGEINT cast back
+    "sim_pq_distortion" -> s"""
+      WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings),
+      $pqCtes,
+      md AS (SELECT vec_id, s, min(dist2) AS d2 FROM d1 GROUP BY vec_id, s)
+      SELECT s, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(d2) AS BIGINT) AS sum_d2,
+        CAST(sum(d2) // count(*) AS BIGINT) AS avg_d2
+      FROM md GROUP BY s ORDER BY s""",
+
     "sim_pq_topk" -> s"""
       WITH e AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS j,
@@ -1583,6 +1817,7 @@ object Similarity {
     // grid-then-multiply replayed exactly: xg are BIGINT, products sum
     // into HUGEINT (Spark: decimal(38)), surfaced as DOUBLE/1e12
     "emb_pca_project" -> pcaOracleSql,
+    "emb_whiten_project" -> whitenOracleSql,
 
     "emb_covariance" -> """
       WITH e AS (

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` corpus.
@@ -308,27 +309,36 @@ object TextOps {
     // priority tie-break. (The corpus vocabulary is synthetic, so the
     // markers are drawn from its actual high-frequency tokens per lang.)
     "text_langid" -> ((s, d) => {
-      val words = filter(split(asciiLower(col("text")), "[^a-z]+"),
-        w => length(w) > 0)
-      Tables.documents(s, d)
-        .withColumn("ws", words)
-        .withColumn("score_en", size(filter(col("ws"),
-          w => w === "the" || w === "a")).cast("long"))
-        .withColumn("score_zh", size(filter(col("ws"),
-          w => w === "shu" || w === "ju")).cast("long"))
+      langidScored(Tables.documents(s, d))
         // nullif: empty text has no vowel ratio (ANSI divide-by-zero guard,
         // mirrored in the oracle)
         .withColumn("vowel_ratio",
           length(regexp_replace(asciiLower(col("text")), "[^aeiou]", ""))
             .cast("double") / nullif(length(col("text")), lit(0)))
-        .withColumn("lang_guess",
-          when(col("score_zh") > col("score_en"), "zh")
-            .when(col("score_en") > 0, "en")
-            .otherwise("und"))
         .select(col("doc_id"), col("lang").as("lang_label"),
           col("score_en"), col("score_zh"), col("vowel_ratio"),
           col("lang_guess"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- language-ID confusion matrix (the classifier-EVAL readout
+    // behind text_langid): (labeled lang × guessed lang) cell counts plus
+    // each label's total and the cell's recall on the ppm grid — the
+    // table that decides whether the n-gram heuristic is good enough to
+    // route documents, and where it fails. Built on the SAME scoring
+    // projection as text_langid (shared langidScored/langidScoreSql — the
+    // eval cannot drift from the classifier it grades). Scale shape: one
+    // map-side-combinable (label, guess) count; everything after runs on
+    // the #langs² cell dimension.
+    "text_langid_confusion" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang_label"))
+      langidScored(Tables.documents(s, d))
+        .select(col("lang").as("lang_label"), col("lang_guess"))
+        .groupBy(col("lang_label"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label_total", sum(col("n")).over(w))
+        .withColumn("recall_ppm", expr("(1000000 * n) div label_total"))
+        .orderBy(col("lang_label"), col("lang_guess"))
     }),
 
     // ---- sequence packing for training batches: assign documents (in
@@ -843,6 +853,25 @@ object TextOps {
     })
   )
 
+  /** The language-ID scoring projection behind `text_langid` and
+    * `text_langid_confusion` — stopword-hit scores per language family
+    * and the argmax guess, keeping every input column. SQL twin:
+    * [[langidScoreSql]]. */
+  private def langidScored(docs: DataFrame): DataFrame = {
+    val words = filter(split(asciiLower(col("text")), "[^a-z]+"),
+      w => length(w) > 0)
+    docs
+      .withColumn("ws", words)
+      .withColumn("score_en", size(filter(col("ws"),
+        w => w === "the" || w === "a")).cast("long"))
+      .withColumn("score_zh", size(filter(col("ws"),
+        w => w === "shu" || w === "ju")).cast("long"))
+      .withColumn("lang_guess",
+        when(col("score_zh") > col("score_en"), "zh")
+          .when(col("score_en") > 0, "en")
+          .otherwise("und"))
+  }
+
   /** The PII class counters behind `docs_pii_scan`, over any (doc_id,
     * text) frame — per-document counts of emails, IPv4 addresses, phone
     * numbers, and SSN-shaped ids, plus the total and the release flag.
@@ -870,6 +899,20 @@ object TextOps {
           col("n_ssn") > 0, 1L).otherwise(0L).as("has_pii"))
       .orderBy(col("doc_id"))
   }
+
+  /** The language-ID stopword scores as oracle SQL (two projected
+    * columns `score_en`, `score_zh`) and the argmax guess over them —
+    * SQL twins of [[langidScored]], shared by the langid and confusion
+    * oracles. */
+  private val langidScoreSql = """
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+            w -> w = 'the' OR w = 'a')) AS score_en,
+          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+            w -> w = 'shu' OR w = 'ju')) AS score_zh"""
+
+  private val langidGuessSql = """CASE WHEN score_zh > score_en THEN 'zh'
+             WHEN score_en > 0 THEN 'en'
+             ELSE 'und' END"""
 
   /** The Gopher measure chain as oracle CTEs (yields `g(doc_id, n_words,
     * n_chars_nospace, mean_word_len_grid, alpha_word_pct,
@@ -1190,21 +1233,31 @@ object TextOps {
         FROM documents) t
       ORDER BY doc_id""",
 
-    "text_langid" -> """
+    "text_langid" -> s"""
       SELECT doc_id, lang AS lang_label, score_en, score_zh,
         CAST(n_vowel AS DOUBLE) / nullif(length(text), 0) AS vowel_ratio,
-        CASE WHEN score_zh > score_en THEN 'zh'
-             WHEN score_en > 0 THEN 'en'
-             ELSE 'und' END AS lang_guess
+        $langidGuessSql AS lang_guess
       FROM (
-        SELECT doc_id, lang, text,
-          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
-            w -> w = 'the' OR w = 'a')) AS score_en,
-          len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
-            w -> w = 'shu' OR w = 'ju')) AS score_zh,
+        SELECT doc_id, lang, text, $langidScoreSql,
           length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^aeiou]', '', 'g')) AS n_vowel
         FROM documents) t
       ORDER BY doc_id""",
+
+    // the shared scoring expressions aggregated to (label, guess) cells;
+    // label totals and recall on the HUGEINT-safe ppm grid
+    "text_langid_confusion" -> s"""
+      WITH sc AS (
+        SELECT lang AS lang_label, $langidGuessSql AS lang_guess
+        FROM (SELECT lang, $langidScoreSql FROM documents) t),
+      cells AS (SELECT lang_label, lang_guess, count(*) AS n
+                FROM sc GROUP BY lang_label, lang_guess)
+      SELECT lang_label, lang_guess, n,
+        CAST(sum(n) OVER (PARTITION BY lang_label) AS BIGINT)
+          AS label_total,
+        CAST((1000000 * n) // sum(n) OVER (PARTITION BY lang_label)
+          AS BIGINT) AS recall_ppm
+      FROM cells
+      ORDER BY lang_label, lang_guess""",
 
     "docs_pack_batches" -> """
       WITH t AS (

@@ -128,4 +128,30 @@ class CurationSpec extends SparkSpec {
     assert(kept === expected)
     assert(kept.size < raw.length) // the rule actually drops something
   }
+
+  test("curation disposition reconciles with the attrition panel: each " +
+    "stage's per-doc drops sum to the panel's stage deltas") {
+    val disp = graft.queries.Pipeline.queries("docs_curation_disposition")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(disp.nonEmpty)
+    val byStage = disp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
+    val panel = graft.queries.Pipeline.queries("docs_curation_pipeline")(
+      spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    val (raw, exact, quality, decontam, fin) = panel
+      .foldLeft((0L, 0L, 0L, 0L, 0L)) { case ((a, b, c, d0, e), p) =>
+        (a + p._1, b + p._2, c + p._3, d0 + p._4, e + p._5) }
+    assert(disp.length.toLong === raw, "one disposition row per raw doc")
+    assert(byStage("exact_dup") === raw - exact)
+    assert(byStage("quality") === exact - quality)
+    assert(byStage("decontaminated") === quality - decontam)
+    assert(byStage("near_dup") === decontam - fin)
+    assert(byStage("kept") === fin)
+    // every document classified by exactly the five labels
+    assert(byStage.keys.toSet.subsetOf(Set("exact_dup", "quality",
+      "decontaminated", "near_dup", "kept")))
+  }
 }

@@ -193,6 +193,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
+  test("threshold sweep bands partition the >=0.5 pairs and cumulate " +
+    "to the neardup threshold's count") {
+    val sw = graft.queries.Dedup.queries("dedup_threshold_sweep")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sw.nonEmpty)
+    assert(sw.forall(b => b._1 >= 5 && b._1 <= 10), s"band out of range: $sw")
+    assert(sw.map(_._1) === sw.map(_._1).sorted, "bands must be ordered")
+    // cumulative-from-top: non-increasing as band rises, and the lowest
+    // band's cumulative equals the total pair count
+    assert(sw.map(_._3).reverse === sw.map(_._3).reverse.sorted)
+    assert(sw.head._3 === sw.map(_._2).sum)
+    // cross-check against the gated 0.6-threshold pair query: its count
+    // must equal the sweep's mass at band >= 6
+    val atPoint6 = graft.queries.Dedup.queries("dedup_neardup_jaccard")(
+      spark, dir).count()
+    assert(sw.filter(_._1 >= 6).map(_._2).sum === atPoint6)
+  }
+
   test("incremental LSH equals the self-join pairs restricted to the " +
     "cross-split, and surfaces the exact-dup batch/corpus pair") {
     // same signatures, same banding, same verification — so the

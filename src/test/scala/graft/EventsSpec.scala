@@ -113,4 +113,37 @@ class EventsSpec extends SparkSpec {
       "ewma diverged from the local replay")
     assert(got.nonEmpty)
   }
+
+  test("incremental aggregate merge equals the direct full aggregate, " +
+    "bit for bit, with a consistent action audit") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val merged = SparkEntry.queries("events_agg_incremental")(spark, d)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    assert(merged.nonEmpty)
+    // the merge must reconstruct the direct one-pass aggregate exactly —
+    // that is the whole point of incremental maintenance
+    val directMap = Tables.events(spark, d).filter(col("ts").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sv"))
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(merged.map(_._1).toSet === directMap.keySet)
+    merged.foreach { case (day, n, nDelta, sv, action) =>
+      val (dn, dsv) = directMap(day)
+      assert(n === dn, s"count diverged for day $day")
+      assert(sv === dsv, s"sum diverged for day $day")
+      assert(nDelta >= 0 && nDelta <= n)
+      action match {
+        case "insert" => assert(nDelta === n)
+        case "keep"   => assert(nDelta === 0L)
+        case "update" => assert(nDelta > 0 && nDelta < n)
+        case other    => fail(s"unknown action $other")
+      }
+    }
+  }
 }

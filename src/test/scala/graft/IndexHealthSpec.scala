@@ -30,6 +30,54 @@ class IndexHealthSpec extends SparkSpec {
     }
   }
 
+  test("pq distortion is zero when every vector is its own code, and " +
+    "non-negative with consistent integer averages on the fixture") {
+    import spark.implicits._
+    // <= PqK vectors: training seeds every vector as an init code, so
+    // each subvector's nearest code is itself — distortion exactly 0
+    val vecs = (0 until 10).map { i =>
+      i.toLong -> (0 until 64).map(j =>
+        math.sin(i * 64 + j + 1.0).toFloat).toArray
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val degen = graft.queries.Similarity.pqDistortionOf(emb).collect()
+    assert(degen.length === 8)
+    degen.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      assert(r.getLong(2) === 0L, s"subspace ${r.getLong(0)} distorted")
+      assert(r.getLong(3) === 0L)
+    }
+    val real = graft.queries.Similarity.queries("sim_pq_distortion")(
+      spark, d).collect()
+    assert(real.length === 8)
+    real.foreach { r =>
+      val (n, sumD2, avg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sumD2 >= 0L)
+      assert(avg === sumD2 / n, "avg must be the floor integer average")
+    }
+  }
+
+  test("langid confusion cells equal the per-doc langid output " +
+    "aggregated driver-side") {
+    val perDoc = graft.queries.TextOps.queries("text_langid")(spark, d)
+      .collect().map(r => (r.getString(1), r.getString(5)))
+    val expected = perDoc.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val labelTotals = perDoc.groupBy(_._1).view.mapValues(_.length.toLong)
+      .toMap
+    val got = graft.queries.TextOps.queries("text_langid_confusion")(
+      spark, d).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ===
+      expected.keySet)
+    got.foreach { r =>
+      val cell = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === expected(cell))
+      assert(r.getLong(3) === labelTotals(cell._1))
+      assert(r.getLong(4) === 1000000L * expected(cell) /
+        labelTotals(cell._1))
+    }
+  }
+
   test("docs_quality_ablation equals flags recomputed from the gopher " +
     "panel's emitted measures") {
     val panel = graft.queries.TextOps.queries("docs_gopher_quality")(

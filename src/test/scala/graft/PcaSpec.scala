@@ -39,4 +39,42 @@ class PcaSpec extends SparkSpec {
       a + BigInt(v1(j)) * BigInt(v2(j)))
     assert(dot * dot * 4 < n1 * n2, s"|cos(v1,v2)| >= 0.5 (dot=$dot)")
   }
+
+  test("isqrtSeeded is the exact integer sqrt at squares, neighbors, " +
+    "and large values; the 1e30 guard fails loudly") {
+    for (n <- Seq(BigInt(0), BigInt(1), BigInt(2), BigInt(3), BigInt(4),
+        BigInt(99), BigInt(100), BigInt(101),
+        BigInt("123456789012345678"), BigInt(10).pow(29))) {
+      val r = Similarity.isqrtSeeded(n)
+      assert(r * r <= n.max(1), s"isqrt($n)=$r overshoots")
+      assert((r + 1) * (r + 1) > n, s"isqrt($n)=$r undershoots")
+    }
+    // divisor use: isqrt(0) is floored at 1
+    assert(Similarity.isqrtSeeded(BigInt(0)) === BigInt(1))
+    intercept[IllegalArgumentException] {
+      Similarity.isqrtSeeded(BigInt(10).pow(30))
+    }
+  }
+
+  test("whitening divides each projection by its direction's integer " +
+    "eigenvalue sqrt — replayable from pcaSolve exactly") {
+    val (_, _, u1, u2) = Similarity.pcaSolve(spark, d)
+    val r1 = Similarity.isqrtSeeded(u1)
+    val r2 = Similarity.isqrtSeeded(u2)
+    assert(u1 >= u2, "leg-1 Rayleigh must dominate on the original Gram")
+    val proj = SparkEntry.queries("emb_pca_project")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val whit = SparkEntry.queries("emb_whiten_project")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(whit.nonEmpty)
+    def floorDiv(p: BigInt, r: BigInt): Long = {
+      val m = ((p % r) + r) % r
+      ((p - m) / r).toLong
+    }
+    whit.foreach { case (id, w1, w2) =>
+      val (p1, p2) = proj(id)
+      assert(w1 === floorDiv(BigInt(p1), r1), s"w1 diverged for vec $id")
+      assert(w2 === floorDiv(BigInt(p2), r2), s"w2 diverged for vec $id")
+    }
+  }
 }

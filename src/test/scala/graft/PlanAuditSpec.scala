@@ -389,4 +389,44 @@ class PlanAuditSpec extends SparkSpec {
       "centroid cross must ride a broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("incremental aggregate merge is one full-outer join of two " +
+    "partial aggregates — no window, no cartesian") {
+    val p = plan("events_agg_incremental")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("int8 recall broadcasts the query codes (no cartesian) like " +
+    "the other brute legs") {
+    val p = plan("sim_recall_int8")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whitening stays a constant-divisor projection like the PCA " +
+    "apply — no join, no window, no aggregation") {
+    val p = plan("emb_whiten_project")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Window"))
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("curation disposition is id-keyed hash joins only — no " +
+    "cartesian, no window") {
+    val p = plan("docs_curation_disposition")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
+
+  test("langid confusion never joins; pq distortion broadcasts the " +
+    "codebook; threshold sweep plans no cartesian") {
+    assert(!plan("text_langid_confusion").contains("Join"))
+    val pq = plan("sim_pq_distortion")
+    assert(pq.contains("BroadcastHashJoin"),
+      "codebook join must broadcast")
+    assert(!pq.contains("CartesianProduct"))
+    assert(!plan("dedup_threshold_sweep").contains("CartesianProduct"))
+  }
 }

@@ -98,4 +98,25 @@ class RecallSpec extends SparkSpec {
       assert(row.getDouble(3) == truth.intersect(lsh).size.toDouble / truth.size)
     assert(row.getLong(2) <= math.min(row.getLong(0), row.getLong(1)))
   }
+
+  test("int8 recall is a well-formed per-query metric and is exact " +
+    "when quantization preserves the brute ordering") {
+    val brute = topkSet(
+      graft.queries.Similarity.queries("sim_topk")(spark, dir))
+    val got = graft.queries.Similarity.queries("sim_recall_int8")(
+      spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (qid, (nBrute, nHits, recall)) =>
+      assert(nBrute === brute(qid).size.toLong)
+      assert(nHits >= 0 && nHits <= nBrute)
+      assert(recall === nHits.toDouble / nBrute)
+    }
+    // 8-bit codes at 64 dims keep cosine ordering almost intact — the
+    // whole point of scalar quantization; demand a non-degenerate recall
+    val overall = got.values.map(_._2).sum.toDouble /
+      got.values.map(_._1).sum
+    assert(overall >= 0.5, s"int8 recall collapsed: $overall")
+  }
 }
