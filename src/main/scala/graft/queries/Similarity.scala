@@ -403,7 +403,9 @@ object Similarity {
       def vcol(v: Array[Long]) =
         if (v.isEmpty) array().cast("array<bigint>")
         else array(v.map(lit(_)): _*)
-      ivfGrid(s, d)
+      // null embeddings are off the projection exactly as the oracle's
+      // unnest drops them (nulls-corpus lesson)
+      ivfGrid(s, d).filter(col("n2").isNotNull)
         .select(col("vec_id"),
           gf.dotl(col("xg"), vcol(v1)).as("p1"),
           gf.dotl(col("xg"), vcol(v2)).as("p2"))
@@ -431,7 +433,7 @@ object Similarity {
       def vcol(v: Array[Long]) =
         if (v.isEmpty) array().cast("array<bigint>")
         else array(v.map(lit(_)): _*)
-      ivfGrid(s, d)
+      ivfGrid(s, d).filter(col("n2").isNotNull)
         .select(col("vec_id"),
           gf.dotl(col("xg"), vcol(v1)).as("p1"),
           gf.dotl(col("xg"), vcol(v2)).as("p2"))

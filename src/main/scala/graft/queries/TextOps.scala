@@ -338,7 +338,10 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .withColumn("label_total", sum(col("n")).over(w))
         .withColumn("recall_ppm", expr("(1000000 * n) div label_total"))
-        .orderBy(col("lang_label"), col("lang_guess"))
+        // nulls LAST: a salted-null lang label must land where DuckDB's
+        // ASC default puts it (Spark's ASC default is nulls first)
+        .orderBy(col("lang_label").asc_nulls_last,
+          col("lang_guess").asc_nulls_last)
     }),
 
     // ---- sequence packing for training batches: assign documents (in
@@ -526,15 +529,19 @@ object TextOps {
     // aggregation to a single 10-sum row, unpivoted by stack into 5
     // rows — nothing after the projection scales with the corpus.
     "docs_quality_ablation" -> ((s, d) => {
+      // positive-test form (rule-holds → 0, ELSE → 1) so a NULL measure
+      // (null text) counts as a FAILURE in both engines — the negated
+      // form's when(NULL) would fall through to "pass" while the
+      // oracle's CASE ELSE 1 marks it failed (nulls-corpus lesson)
       val f = gopherMeasures(Tables.documents(s, d))
         .select(
-          when(!col("n_words").between(50, 100000), 1L).otherwise(0L)
+          when(col("n_words").between(50, 100000), 0L).otherwise(1L)
             .as("f1"),
-          when(!col("mean_word_len_grid").between(300, 1000), 1L)
-            .otherwise(0L).as("f2"),
-          when(col("alpha_word_pct") < 80, 1L).otherwise(0L).as("f3"),
-          when(col("symbol_word_pct") >= 10, 1L).otherwise(0L).as("f4"),
-          when(col("n_stop") < 2, 1L).otherwise(0L).as("f5"))
+          when(col("mean_word_len_grid").between(300, 1000), 0L)
+            .otherwise(1L).as("f2"),
+          when(col("alpha_word_pct") >= 80, 0L).otherwise(1L).as("f3"),
+          when(col("symbol_word_pct") < 10, 0L).otherwise(1L).as("f4"),
+          when(col("n_stop") >= 2, 0L).otherwise(1L).as("f5"))
         .withColumn("nf",
           col("f1") + col("f2") + col("f3") + col("f4") + col("f5"))
       def only(c: String) =
