@@ -237,7 +237,42 @@ object SqlSurface {
       FROM documents d
       LEFT JOIN per ON per.doc_id = d.doc_id
       LEFT JOIN uq ON uq.doc_id = d.doc_id
-      ORDER BY d.doc_id""")
+      ORDER BY d.doc_id"""),
+
+    // ---- the PII audit from SQL text (regexp_count + the ASCII-word
+    // lookaround boundary patterns, straight through the parser) —
+    // result parity with docs_pii_scan by construction, so it shares
+    // that query's oracle verbatim
+    "sql_pii_scan" -> sql("""
+      WITH demo AS (SELECT doc_id,
+        concat(coalesce(text, ''),
+          CASE doc_id % 5
+            WHEN 1 THEN concat(' contact agent', doc_id,
+                               '@example.com now')
+            WHEN 2 THEN concat(' node at 10.0.', doc_id % 256, '.17 port')
+            WHEN 3 THEN concat(' call 555-01', doc_id % 10, '-4412 today')
+            WHEN 4 THEN concat(' ssn 123-45-678', doc_id % 10, ' file')
+            ELSE '' END) AS text
+        FROM documents),
+      counted AS (SELECT doc_id,
+        CAST(regexp_count(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}') AS BIGINT) AS n_emails,
+        CAST(regexp_count(text,
+          '(?<![a-zA-Z0-9_])([0-9]{1,3}\\.){3}[0-9]{1,3}(?![a-zA-Z0-9_])')
+          AS BIGINT) AS n_ipv4,
+        CAST(regexp_count(text,
+          '(?<![a-zA-Z0-9_])[0-9]{3}-[0-9]{3}-[0-9]{4}(?![a-zA-Z0-9_])')
+          AS BIGINT) AS n_phones,
+        CAST(regexp_count(text,
+          '(?<![a-zA-Z0-9_])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![a-zA-Z0-9_])')
+          AS BIGINT) AS n_ssn
+        FROM demo)
+      SELECT doc_id, n_emails, n_ipv4, n_phones, n_ssn,
+        n_emails + n_ipv4 + n_phones + n_ssn AS pii_total,
+        CAST(CASE WHEN n_emails + n_ipv4 + n_phones + n_ssn > 0
+             THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+      FROM counted
+      ORDER BY doc_id""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,6 +304,7 @@ object SqlSurface {
     "sql_simhash" -> Dedup.oracles("dedup_simhash"),
     // the DataFrame twin's oracle verbatim — same grams, same counts
     "sql_span_grams" -> Dedup.oracles("dedup_span_grams"),
+    "sql_pii_scan" -> TextOps.oracles("docs_pii_scan"),
     // the DataFrame twin's oracle verbatim — same grid, same threshold
     "sql_cosine_pairs" -> TextOps.oracles("text_cosine_pairs")
   )
