@@ -294,31 +294,34 @@ object Similarity {
     // blocked by the metadata key so no all-pairs product exists. The
     // threshold sits >4e-4 from every pair's cosine in this corpus, far
     // above any cross-engine float noise, so membership is deterministic.
-    "dedup_embed_cosine" -> ((s, d) => {
+    "dedup_embed_cosine" -> ((s, d) =>
+      labelCosinePairs(Tables.embeddings(s, d))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ---- SRP banding recall vs the label-blocked cosine leg — the
+    // embedding-family analog of dedup_recall_lsh, completing the recall
+    // readout for the LAST candidate generator without one. Truth = the
+    // gated dedup_embed_cosine pair set (label-blocked float cosine >=
+    // 0.35); candidate leg = the gated dedup_embed_lsh pair set (global
+    // SRP banding, gridded cosine gate). The metric reads what the
+    // banding loses against the blocked scan — INCLUDING the grid/float
+    // boundary effects, which is exactly the number a rollout needs
+    // before swapping the blocked scan for the banded one. Both legs ARE
+    // the gated plans; one semi-join; the 1-row aggregates broadcast.
+    "dedup_recall_embed" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = Tables.embeddings(s, d)
-      val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-        .withColumn("na", sqrt(dotd(col("ea"), col("ea"))))
-      val b = emb.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
-        .withColumn("nb", sqrt(dotd(col("eb"), col("eb"))))
-      a.join(b, "label")
-        .filter(col("vec_a") < col("vec_b"))
-        // zero-norm guard, same contract as sim_nn_per_label: no cosine
-        // exists for a zero vector, and ANSI mode raises DIVIDE_BY_ZERO on
-        // the bare division. The guard lives INSIDE a when(): conjuncts in
-        // a filter chain may be reordered by the optimizer, but when()'s
-        // branch is conditionally evaluated — the division can never see a
-        // zero norm. The no-branch sentinel must be NULL, not NaN: Spark's
-        // total ordering puts NaN ABOVE every value, so NaN >= 0.35 is
-        // true, while null >= 0.35 is null and the filter drops the row.
-        .filter(when(col("na") > 0 && col("nb") > 0,
-          dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
-          >= 0.35)
-        .select(col("label").cast("long").as("label"), col("vec_a"),
-          col("vec_b"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      val truth = graft.Caching.persistTracked(
+        labelCosinePairs(emb).select(col("vec_a"), col("vec_b")))
+      val lsh = graft.Caching.persistTracked(
+        srpCosinePairs(emb).select(col("vec_a"), col("vec_b")))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nHit = truth.join(lsh, Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nTrue.crossJoin(broadcast(nLsh)).crossJoin(broadcast(nHit))
+        .select(col("n_true"), col("n_lsh"), col("n_hit"),
+          expr("CAST(n_hit AS DOUBLE) / nullif(n_true, 0)").as("recall"))
     }),
 
     // ---- per-label elementwise centroids on the exact 1e-6 grid (the
@@ -615,6 +618,34 @@ object Similarity {
       srpCosinePairs(Tables.embeddings(s, d))
     })
   )
+
+  /** The label-blocked float-cosine near-dup pairs behind
+    * `dedup_embed_cosine` (unsorted core; columns label, vec_a, vec_b) —
+    * shared with the `dedup_recall_embed` truth leg. */
+  private def labelCosinePairs(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+      .withColumn("na", sqrt(dotd(col("ea"), col("ea"))))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+      .withColumn("nb", sqrt(dotd(col("eb"), col("eb"))))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      // zero-norm guard, same contract as sim_nn_per_label: no cosine
+      // exists for a zero vector, and ANSI mode raises DIVIDE_BY_ZERO on
+      // the bare division. The guard lives INSIDE a when(): conjuncts in
+      // a filter chain may be reordered by the optimizer, but when()'s
+      // branch is conditionally evaluated — the division can never see a
+      // zero norm. The no-branch sentinel must be NULL, not NaN: Spark's
+      // total ordering puts NaN ABOVE every value, so NaN >= 0.35 is
+      // true, while null >= 0.35 is null and the filter drops the row.
+      .filter(when(col("na") > 0 && col("nb") > 0,
+        dotd(col("ea"), col("eb")) / (col("na") * col("nb")))
+        >= 0.35)
+      .select(col("label").cast("long").as("label"), col("vec_a"),
+        col("vec_b"))
+  }
 
   /** SRP-LSH near-dup pairs at (gridded) cosine >= 0.35: 64 md5-derived
     * Rademacher hyperplanes, 8 bands × 8 bits, verification on candidate
@@ -1433,6 +1464,62 @@ object Similarity {
           PARTITION BY qid ORDER BY key DESC, vec_id ASC) AS BIGINT) AS rank
         FROM fkey)"""
 
+  /** The dedup_embed_cosine pair set as oracle CTEs (yields
+    * `cpairs(label, vec_a, vec_b)`) — shared with the
+    * `dedup_recall_embed` truth leg. */
+  private val embedCosinePairSql = """nnc0 AS MATERIALIZED (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+      nnc AS MATERIALIZED (
+        SELECT * FROM nnc0
+        WHERE list_inner_product(embedding, embedding) > 0),
+      cpairs AS (
+        SELECT CAST(a.label AS BIGINT) AS label,
+          a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM nnc a
+        JOIN nnc b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)"""
+
+  /** The dedup_embed_lsh pair set as oracle CTEs (yields
+    * `lpairs(vec_a, vec_b, bands_hit)`) — shared with the
+    * `dedup_recall_embed` candidate leg. */
+  private val embedLshPairSql = """e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) AS xg
+        FROM embeddings),
+      sgn AS (
+        SELECT vec_id, p.range AS p, j,
+          CASE WHEN CAST(('0x' || substr(md5('srp|' || p.range || '|' || j),
+                 1, 1)) AS INT) >= 8
+               THEN xg ELSE -xg END AS s
+        FROM e CROSS JOIN range(0, 64) p),
+      bits AS (SELECT vec_id, p,
+                 CASE WHEN sum(s) > 0 THEN 1 ELSE 0 END AS bit
+               FROM sgn GROUP BY vec_id, p),
+      bands AS (SELECT vec_id, p // 8 AS band_id,
+                  CAST(sum(bit << CAST(p % 8 AS INT)) AS BIGINT) AS band_val
+                FROM bits GROUP BY vec_id, p // 8),
+      cand AS (SELECT a.vec_id AS a, b.vec_id AS b, count(*) AS bands_hit
+               FROM bands a JOIN bands b ON a.band_id = b.band_id
+                 AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+               GROUP BY a.vec_id, b.vec_id),
+      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
+             FROM e GROUP BY vec_id),
+      dots AS (SELECT c.a, c.b, c.bands_hit,
+                 sum(CAST(ea.xg AS HUGEINT) * eb.xg) AS dot
+               FROM cand c
+               JOIN e ea ON ea.vec_id = c.a
+               JOIN e eb ON eb.vec_id = c.b AND eb.j = ea.j
+               GROUP BY c.a, c.b, c.bands_hit),
+      lpairs AS (
+        SELECT d.a AS vec_a, d.b AS vec_b,
+          CAST(d.bands_hit AS BIGINT) AS bands_hit
+        FROM dots d
+        JOIN n2 na ON na.vec_id = d.a
+        JOIN n2 nb ON nb.vec_id = d.b
+        WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= 1225 * na.n2 * nb.n2)"""
+
   val oracles: Map[String, String] = Map(
     "sim_knn_label" -> """
       WITH e AS (
@@ -1583,18 +1670,9 @@ object Similarity {
       WHERE rn = 1
       ORDER BY vec_id""",
 
-    "dedup_embed_cosine" -> """
-      WITH nn0 AS MATERIALIZED (
-        SELECT vec_id, label, embedding FROM embeddings
-        WHERE embedding IS NOT NULL),
-      nn AS MATERIALIZED (
-        SELECT * FROM nn0
-        WHERE list_inner_product(embedding, embedding) > 0)
-      SELECT CAST(a.label AS BIGINT) AS label,
-        a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM nn a
-      JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    "dedup_embed_cosine" -> s"""
+      WITH $embedCosinePairSql
+      SELECT label, vec_a, vec_b FROM cpairs
       ORDER BY vec_a, vec_b""",
 
     "emb_quantize_int8" -> """
@@ -1609,40 +1687,26 @@ object Similarity {
       WHERE s.m > 0
       ORDER BY e.vec_id, e.j""",
 
-    "dedup_embed_lsh" -> """
-      WITH e AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
-            AS BIGINT) AS xg
-        FROM embeddings),
-      sgn AS (
-        SELECT vec_id, p.range AS p, j,
-          CASE WHEN CAST(('0x' || substr(md5('srp|' || p.range || '|' || j),
-                 1, 1)) AS INT) >= 8
-               THEN xg ELSE -xg END AS s
-        FROM e CROSS JOIN range(0, 64) p),
-      bits AS (SELECT vec_id, p,
-                 CASE WHEN sum(s) > 0 THEN 1 ELSE 0 END AS bit
-               FROM sgn GROUP BY vec_id, p),
-      bands AS (SELECT vec_id, p // 8 AS band_id,
-                  CAST(sum(bit << CAST(p % 8 AS INT)) AS BIGINT) AS band_val
-                FROM bits GROUP BY vec_id, p // 8),
-      cand AS (SELECT a.vec_id AS a, b.vec_id AS b, count(*) AS bands_hit
-               FROM bands a JOIN bands b ON a.band_id = b.band_id
-                 AND a.band_val = b.band_val AND a.vec_id < b.vec_id
-               GROUP BY a.vec_id, b.vec_id),
-      n2 AS (SELECT vec_id, sum(CAST(xg AS HUGEINT) * xg) AS n2
-             FROM e GROUP BY vec_id),
-      dots AS (SELECT c.a, c.b, c.bands_hit,
-                 sum(CAST(ea.xg AS HUGEINT) * eb.xg) AS dot
-               FROM cand c
-               JOIN e ea ON ea.vec_id = c.a
-               JOIN e eb ON eb.vec_id = c.b AND eb.j = ea.j
-               GROUP BY c.a, c.b, c.bands_hit)
-      SELECT d.a AS vec_a, d.b AS vec_b, CAST(d.bands_hit AS BIGINT) AS bands_hit
-      FROM dots d JOIN n2 na ON na.vec_id = d.a JOIN n2 nb ON nb.vec_id = d.b
-      WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= 1225 * na.n2 * nb.n2
+    "dedup_embed_lsh" -> s"""
+      WITH $embedLshPairSql
+      SELECT vec_a, vec_b, bands_hit FROM lpairs
       ORDER BY vec_a, vec_b""",
+
+    // both legs' CTE chains verbatim, hit = their join — one source with
+    // the leg oracles, so the metric cannot drift (the dedup_recall_lsh
+    // shape)
+    "dedup_recall_embed" -> s"""
+      WITH $embedCosinePairSql,
+      $embedLshPairSql,
+      st AS (SELECT
+        (SELECT count(*) FROM cpairs) AS n_true,
+        (SELECT count(*) FROM lpairs) AS n_lsh,
+        (SELECT count(*) FROM cpairs c
+         JOIN lpairs l ON l.vec_a = c.vec_a AND l.vec_b = c.vec_b)
+          AS n_hit)
+      SELECT n_true, n_lsh, n_hit,
+        CAST(n_hit AS DOUBLE) / nullif(n_true, 0) AS recall
+      FROM st""",
 
     // replays the integer IVF path step for step: gridded vectors, rounded-
     // average integer centroids (floorDiv via the pmod trick), and the

@@ -321,6 +321,45 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- vocabulary growth curve (Heaps' law readout — the
+    // tokenizer/vocab-planning profile: how the distinct-term count
+    // grows as the corpus is ingested in id order; sub-linear growth
+    // flattening early = a vocabulary cap is safe, a still-steep tail =
+    // unbounded vocab pressure). Ten ingest-order deciles by doc_id
+    // (bucket = (doc_id·10) div (max_id+1) against one broadcast 1-row
+    // max — no corpus-wide window), each with CUMULATIVE docs, tokens,
+    // and vocabulary. The vocabulary leg never counts distinct per
+    // prefix (10 distinct passes): a term's first-appearance bucket is
+    // one map-side-combinable min per term, and the per-bucket
+    // new-term counts cumulate on the 10-row bucket dimension — one
+    // postings pass total, linear at any corpus size.
+    "text_vocab_growth" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val db = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("text"),
+          expr("(doc_id * 10) div (mx + 1)").as("bucket"))
+      val tb = db.select(col("bucket"), explode(tokens(col("text")))
+        .as("term"))
+      val nDocs = db.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      val nTok = tb.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+      val vNew = tb.groupBy(col("term"))
+        .agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("vocab_new"))
+      val cum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nDocs
+        .join(nTok, Seq("bucket"), "left_outer")
+        .join(vNew, Seq("bucket"), "left_outer")
+        .select(col("bucket"),
+          sum(col("n_docs")).over(cum).as("n_docs_cum"),
+          sum(coalesce(col("n_tokens"), lit(0L))).over(cum)
+            .as("n_tokens_cum"),
+          sum(coalesce(col("vocab_new"), lit(0L))).over(cum)
+            .as("vocab_cum"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- language-ID confusion matrix (the classifier-EVAL readout
     // behind text_langid): (labeled lang × guessed lang) cell counts plus
     // each label's total and the cell's recall on the ppm grid — the
@@ -1249,6 +1288,36 @@ object TextOps {
           length(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^aeiou]', '', 'g')) AS n_vowel
         FROM documents) t
       ORDER BY doc_id""",
+
+    // decile bucketing against the 1-row max, first-appearance bucket
+    // per term, cumulative windows on the 10-row bucket dimension
+    "text_vocab_growth" -> """
+      WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      db AS (SELECT doc_id, text, (doc_id * 10) // (mx + 1) AS bucket
+             FROM documents, mx),
+      tb AS (SELECT bucket,
+               unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
+                      x -> len(x) > 0)) AS term
+             FROM db),
+      ndocs AS (SELECT bucket, count(*) AS n_docs FROM db GROUP BY bucket),
+      ntok AS (SELECT bucket, count(*) AS n_tokens FROM tb GROUP BY bucket),
+      vnew AS (SELECT bucket, count(*) AS vocab_new FROM (
+                 SELECT term, min(bucket) AS bucket FROM tb GROUP BY term) t
+               GROUP BY bucket)
+      SELECT d.bucket,
+        CAST(sum(d.n_docs) OVER (ORDER BY d.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_docs_cum,
+        CAST(sum(coalesce(ntok.n_tokens, 0)) OVER (ORDER BY d.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_tokens_cum,
+        CAST(sum(coalesce(vnew.vocab_new, 0)) OVER (ORDER BY d.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS vocab_cum
+      FROM ndocs d
+      LEFT JOIN ntok ON ntok.bucket = d.bucket
+      LEFT JOIN vnew ON vnew.bucket = d.bucket
+      ORDER BY d.bucket""",
 
     // the shared scoring expressions aggregated to (label, guess) cells;
     // label totals and recall on the HUGEINT-safe ppm grid

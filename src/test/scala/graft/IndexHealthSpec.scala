@@ -78,6 +78,27 @@ class IndexHealthSpec extends SparkSpec {
     }
   }
 
+  test("vocab growth curve: cumulative columns are monotone and close " +
+    "on the exact corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TextOps.queries("text_vocab_growth")(
+      spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._1) === rows.map(_._1).sorted)
+    Seq[((Long, Long, Long, Long)) => Long](_._2, _._3, _._4).foreach {
+      f => assert(rows.map(f) === rows.map(f).sorted, "non-monotone") }
+    val docs = Tables.documents(spark, d)
+    val toks = docs.select(explode(
+      graft.queries.TextOps.tokens(col("text"))).as("t"))
+    assert(rows.last._2 === docs.count())
+    assert(rows.last._3 === toks.count())
+    assert(rows.last._4 === toks.distinct().count())
+    // Heaps: vocabulary grows strictly slower than tokens after the
+    // first decile on any natural-language-like corpus
+    assert(rows.last._4 < rows.last._3)
+  }
+
   test("docs_quality_ablation equals flags recomputed from the gopher " +
     "panel's emitted measures") {
     val panel = graft.queries.TextOps.queries("docs_gopher_quality")(

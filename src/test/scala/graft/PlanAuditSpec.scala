@@ -405,6 +405,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("embed recall and vocab growth plan no cartesian (1-row " +
+    "aggregates and the decile max ride broadcasts)") {
+    assert(!plan("dedup_recall_embed").contains("CartesianProduct"))
+    assert(!plan("text_vocab_growth").contains("CartesianProduct"))
+  }
+
   test("whitening stays a constant-divisor projection like the PCA " +
     "apply — no join, no window, no aggregation") {
     val p = plan("emb_whiten_project")

@@ -99,6 +99,25 @@ class RecallSpec extends SparkSpec {
     assert(row.getLong(2) <= math.min(row.getLong(0), row.getLong(1)))
   }
 
+  test("embed recall agrees with its two gated legs' pair sets") {
+    def pairSet(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select(col("vec_a"), col("vec_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet("dedup_embed_cosine")
+    val lsh = pairSet("dedup_embed_lsh")
+    val row = SparkEntry.queries("dedup_recall_embed")(spark, dir)
+      .collect().head
+    Caching.releaseAll(); spark.catalog.clearCache()
+    assert(row.getLong(0) == truth.size.toLong, "n_true")
+    assert(row.getLong(1) == lsh.size.toLong, "n_lsh")
+    assert(row.getLong(2) == truth.intersect(lsh).size.toLong, "n_hit")
+    if (truth.nonEmpty)
+      assert(row.getDouble(3) ==
+        truth.intersect(lsh).size.toDouble / truth.size)
+    assert(row.getLong(2) <= math.min(row.getLong(0), row.getLong(1)))
+  }
+
   test("int8 recall is a well-formed per-query metric and is exact " +
     "when quantization preserves the brute ordering") {
     val brute = topkSet(
