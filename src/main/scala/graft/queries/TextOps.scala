@@ -836,6 +836,122 @@ object TextOps {
         .orderBy(col("band"), col("rn"))
     }),
 
+    // ---- corpus-common segment removal with document REWRITE — the
+    // C4/CCNet line-dedup rule (Raffel et al. 2020 §2.2 drop any line
+    // occurring ≥3 times in the corpus; CCNet dedups on normalized
+    // paragraph hashes) re-expressed for a corpus whose documents are
+    // token streams without line structure: the unit is a fixed 3-token
+    // non-overlapping segment (the fixture's ~50-word vocabulary makes 3
+    // the discriminating width — 8-token segments never repeat on random
+    // token soup; a production corpus swaps in the line/sentence splitter,
+    // nothing else changes). A segment is boilerplate when its content
+    // appears in ≥3 DISTINCT documents; the query emits each document's
+    // segment count, dropped count, and the REASSEMBLED kept text — the
+    // rewrite itself, not just a report. Scale shape: inverted-index, no
+    // pair join — one distinct + groupBy on 60-bit segment hashes (the
+    // corpus-frequency table), one hash join back to flag segments, one
+    // per-doc regroup to reassemble (collect_list bounded by the per-doc
+    // segment count — the same per-record bound as any text rewrite).
+    // Docs with no tokens (null/empty text) surface as nulls via the
+    // left-join spine in both engines.
+    "text_segment_dedup" -> ((s, d) => {
+      val segW = 3
+      val segs = graft.Caching.persistTracked(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .withColumn("nseg",
+          expr(s"(CAST(size(ws) AS BIGINT) - 1) div $segW + 1"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(CAST(0 AS BIGINT), nseg - 1)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("ws"),
+            (col("i") * segW + 1).cast("int"), lit(segW)), " ").as("seg"))
+        .withColumn("h",
+          conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long")))
+      val boiler = segs.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("seg_df"))
+        .filter(col("seg_df") >= 3)
+        .select(col("h"), lit(1L).as("b"))
+      val perDoc = segs.join(boiler, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("b") === 1L, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(transform(array_sort(collect_list(
+            when(col("b").isNull, struct(col("i"), col("seg"))))),
+            x => x.getField("seg")), " ").as("kept_text"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+          col("kept_text"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    }),
+
+    // ---- corpus n-gram diversity (distinct-n, Li et al. 2016; the
+    // repetition/mode-collapse readout run over generated or curated
+    // corpora): for n = 1, 2, 3, the total n-gram occurrences, the
+    // distinct n-gram count, and their ratio on the ppm grid. One
+    // tokenize pass persisted and shared by the three legs; each leg is
+    // a projection (gram content hashed to 60 bits — the shuffle carries
+    // fixed-width longs, not gram strings) into one count + exact
+    // count-distinct aggregate. The exact distinct is the honest corpus
+    // profile at fixture scale; the 100 TB estimate swaps in HLL
+    // (`q20_agg_approx_distinct`'s operator) — same plan, sketch
+    // aggregate, no distinct expand.
+    "text_ngram_diversity" -> ((s, d) => {
+      val toks = graft.Caching.persistTracked(Tables.documents(s, d)
+        .select(tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0))
+      def leg(n: Int) = toks
+        .filter(size(col("ws")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(0, size(ws) - $n), " +
+            s"i -> array_join(slice(ws, i + 1, $n), ' '))")).as("g"))
+        .select(conv(substring(md5(col("g")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("total_grams"),
+          count_distinct(col("h")).as("distinct_grams"))
+        .select(lit(n.toLong).as("n"), col("total_grams"),
+          col("distinct_grams"),
+          expr("(distinct_grams * 1000000) div greatest(total_grams, 1)")
+            .as("distinct_ppm"))
+      leg(1).union(leg(2)).union(leg(3)).orderBy(col("n"))
+    }),
+
+    // ---- count-min sketch (Cormode & Muthukrishnan 2005) — the THIRD
+    // mergeable-sketch family member (after the GK quantile sketch and
+    // the Misra–Gries heavy-hitter sketch): d = 4 rows × w = 16
+    // counters, bucket = md5-derived hash per (row, token). The counter
+    // table is ONE map-side-combinable aggregation onto ≤ d·w = 64
+    // keys — no vocabulary shuffle, mergeable across partitions/batches
+    // by plain addition (the property `CmsSpec` pins) — built from the
+    // per-doc `graft_term_counts` projection so the explode carries
+    // per-doc-distinct terms, not raw token instances. The readout joins
+    // the top-20 true-count tokens (the truth leg — the vocabulary
+    // groupBy the sketch AVOIDS, present here only to grade it, like
+    // every `*_recall_*` readout) against the broadcast counter table:
+    // est = min over rows, and the deterministic one-sided guarantee
+    // est ≥ true surfaces as a non-negative overcount column. All
+    // integer; the oracle replays hashes, counters, and mins exactly.
+    "text_cms_counts" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val tf = graft.Caching.persistTracked(cmsTermCounts(
+        Tables.documents(s, d)))
+      val counters = cmsCounters(tf)
+      val top = tf.groupBy(col("term"))
+        .agg(sum(col("tf")).cast("long").as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("term").asc)
+        .limit(20)
+      top.select(col("term"), col("true_cnt"),
+          explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("bucket", cmsBucket(col("r"), col("term")))
+        .join(broadcast(counters), Seq("r", "bucket"))
+        .groupBy(col("term"), col("true_cnt"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("term").as("word"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overcount"))
+        .orderBy(col("true_cnt").desc, col("word").asc)
+    }),
+
     // ---- BM25 retrieval top-k (Robertson/Spärck Jones; the ranking
     // function behind every lexical retrieval stage of a RAG/eval
     // pipeline), on the exact integer grid. Contract (documented, like
@@ -898,6 +1014,32 @@ object TextOps {
         .orderBy(col("query_id"), col("rn"))
     })
   )
+
+  /** Per-doc (term, tf) pairs from the native `graft_term_counts` kernel
+    * — the CMS build input (the explode carries per-doc-distinct terms,
+    * not raw token instances). Requires `ensureRegistered`. */
+  private[graft] def cmsTermCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(
+      graft.functions.GraftFunctions.termCounts(col("text"))))
+      .toDF("term", "tf")
+
+  /** The count-min bucket hash: row-salted 60-bit md5 prefix mod w = 16.
+    * Cross-engine: `('0x' || substr(md5('cms' || r || ':' || term), 1,
+    * 15))::BIGINT % 16` in DuckDB. */
+  private[graft] def cmsBucket(r: Column, t: Column): Column =
+    conv(substring(md5(concat(lit("cms"), r.cast("string"), lit(":"),
+      t)), 1, 15), 16, 10).cast("long") % 16
+
+  /** The CMS counter table (r, bucket, c) from a (term, tf) frame: one
+    * map-side-combinable aggregation onto ≤ 4·16 keys. Mergeable by
+    * plain addition across corpus splits — pinned in CmsSpec. */
+  private[graft] def cmsCounters(tf: DataFrame): DataFrame =
+    tf.select(col("term"), col("tf"),
+        explode(expr("sequence(0, 3)")).as("r"))
+      .select(col("r"), cmsBucket(col("r"), col("term")).as("bucket"),
+        col("tf"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("tf")).cast("long").as("c"))
 
   /** The language-ID scoring projection behind `text_langid` and
     * `text_langid_confusion` — stopword-hit scores per language family
@@ -1185,6 +1327,106 @@ object TextOps {
         FROM banded)
       SELECT band, rn, doc_id, nbr, cosine FROM smp WHERE rn <= 5
       ORDER BY band, rn""",
+
+    // the segment pipeline replayed: 3-token non-overlapping slices,
+    // 60-bit md5 segment hashes, distinct-doc frequency, >= 3 docs =
+    // boilerplate, kept text reassembled in segment order (string_agg
+    // over an all-dropped doc is NULL -> coalesce to '', matching
+    // Spark's array_join on an empty array); token-less docs surface
+    // as nulls through the left-join spine in both engines
+    "text_segment_dedup" -> s"""
+      WITH tok AS (
+        SELECT doc_id, list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          w -> len(w) > 0) AS ws
+        FROM documents),
+      segs AS (
+        SELECT doc_id, i,
+          array_to_string(ws[(CAST(i*3+1 AS INT)):(CAST(i*3+3 AS INT))],
+            ' ') AS seg
+        FROM (SELECT doc_id, ws,
+                unnest(range(0, (len(ws) - 1) // 3 + 1)) AS i
+              FROM tok WHERE len(ws) > 0) t),
+      hs AS (
+        SELECT doc_id, i, seg,
+          CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS h
+        FROM segs),
+      boiler AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM hs) dh
+        GROUP BY h HAVING count(*) >= 3),
+      fl AS (
+        SELECT hs.doc_id, hs.i, hs.seg,
+          CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS dropped
+        FROM hs LEFT JOIN boiler b ON b.h = hs.h),
+      pd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+          CAST(sum(dropped) AS BIGINT) AS n_dropped,
+          coalesce(string_agg(seg, ' ' ORDER BY i)
+            FILTER (WHERE dropped = 0), '') AS kept_text
+        FROM fl GROUP BY doc_id)
+      SELECT d.doc_id, p.n_segments, p.n_dropped, p.kept_text
+      FROM documents d LEFT JOIN pd p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+
+    // the three gram legs replayed over 60-bit gram hashes; range is
+    // end-exclusive so range(0, len-n+1) matches sequence(0, size-n);
+    // greatest(total, 1) keeps the empty-corpus row at ppm 0
+    "text_ngram_diversity" -> {
+      def leg(n: Int) = s"""
+        SELECT CAST($n AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS total_grams,
+          CAST(count(DISTINCT h) AS BIGINT) AS distinct_grams,
+          CAST((count(DISTINCT h) * 1000000)
+            // greatest(count(*), 1) AS BIGINT) AS distinct_ppm
+        FROM (
+          SELECT CAST(('0x' || substr(md5(
+            array_to_string(ws[(CAST(i+1 AS INT)):(CAST(i+$n AS INT))],
+              ' ')), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT ws, unnest(range(0, len(ws) - $n + 1)) AS i
+                FROM tok WHERE len(ws) >= $n) t) g"""
+      s"""
+      WITH tok AS (
+        SELECT list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          w -> len(w) > 0) AS ws
+        FROM documents)
+      SELECT * FROM (${leg(1)} UNION ALL ${leg(2)} UNION ALL ${leg(3)}) u
+      ORDER BY n"""
+    },
+
+    // the sketch replayed: per-doc term counts, 4x256 counter grid from
+    // the same md5 bucket hash, top-20 truth leg, est = min over rows
+    "text_cms_counts" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      r AS (SELECT unnest(generate_series(0, 3)) AS r),
+      cnts AS (
+        SELECT r.r AS r,
+          CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':'
+            || t.term), 1, 15)) AS BIGINT) % 16 AS bucket,
+          CAST(sum(t.tf) AS BIGINT) AS c
+        FROM tf t CROSS JOIN r
+        GROUP BY 1, 2),
+      top AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS true_cnt FROM tf
+        GROUP BY term
+        ORDER BY true_cnt DESC, term ASC LIMIT 20),
+      est AS (
+        SELECT tp.term, tp.true_cnt, min(c.c) AS cms_est
+        FROM top tp CROSS JOIN r
+        JOIN cnts c ON c.r = r.r AND c.bucket =
+          CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':'
+            || tp.term), 1, 15)) AS BIGINT) % 16
+        GROUP BY tp.term, tp.true_cnt)
+      SELECT term AS word, true_cnt, cms_est,
+        cms_est - true_cnt AS overcount
+      FROM est
+      ORDER BY true_cnt DESC, word ASC""",
 
     // BM25 grid arithmetic replayed term-for-term: every factor is BIGINT
     // math (// is DuckDB's integer div), so scores are bit-equal. The
