@@ -710,6 +710,138 @@ object Events {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- last-touch revenue attribution: every order is attributed to
+    // the user's most recent event at or before the order date (the
+    // marketing-attribution staple), then revenue rolls up by attributed
+    // event type — 'none' when no event precedes the order. Built ON the
+    // gated as-of machinery ([[graft.operators.AsOf.lastValueAsOf]] with
+    // the roles swapped from `events_asof_order`: orders probe, events
+    // build), so the scalable union+window shape — one shuffle on the
+    // user key, one window pass, no range-join pair explosion — is
+    // shared, not re-derived. Ties: events at the order's exact instant
+    // attribute (inclusive as-of, build-before-probe at equal time);
+    // equal-time events resolve to the max event type (total). Timeline
+    // contract on the build side: an event with a null ts, user, or type
+    // can't be a touchpoint (off the timeline / unattributable). The
+    // price joins back by order key AFTER attribution — the as-of walk
+    // carries only (key, time, id), never the measure. Revenue rides the
+    // cents grid; the final rollup is #event-types + 1 rows.
+    "events_attribution" -> ((s, d) => {
+      val touch = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+      graft.operators.AsOf.lastValueAsOf(
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey",
+        touch, "user_id", "ts", "event_type")
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey").as("id"), col("o_totalprice")), "id")
+        .groupBy(coalesce(col("asof_value"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("touch_type"))
+    }),
+
+    // ---- attribute-history compaction (the SCD2 / gaps-and-islands
+    // build): consecutive same-type runs per user collapse to validity
+    // intervals [valid_from, valid_to] with their event count — how a
+    // dimension-maintenance pipeline turns an event log into a
+    // slowly-changing-dimension history (type-2 rows), and the classic
+    // islands operator (island id = rn_overall − rn_within_type, a pure
+    // two-window subtraction over the (ts, event_id) total order). One
+    // hash exchange on the user key, two window passes sharing the sort,
+    // one map-side-combinable regroup — no self-join, no recurrence.
+    // Timeline contract: null ts off the timeline, a history needs an
+    // owner and an attribute (null user/type excluded, mirrored).
+    // first_event (min event id) makes the output order total even when
+    // two same-user islands share a boundary instant.
+    "events_type_islands" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byUserType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("isl",
+          row_number().over(byUser) - row_number().over(byUserType))
+        .groupBy(col("user_id"), col("event_type"), col("isl"))
+        .agg(min(col("ts")).cast("timestamp_ntz").as("valid_from"),
+          max(col("ts")).cast("timestamp_ntz").as("valid_to"),
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("first_event"))
+        .orderBy(col("user_id"), col("first_event"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+    }),
+
+    // ---- top event-type paths (sequence mining, the 3-gram cut): the
+    // 25 most common length-3 journeys across all users — the "what do
+    // users actually do" readout behind funnel design, generalizing
+    // `events_transitions`' bigram matrix to paths. Two lead windows
+    // share one partitioned sort over the (ts, event_id) total order
+    // (same single-exchange shape as the debounce family), the path
+    // count is map-side combinable, and the top-25 is a bounded heap
+    // (TakeOrderedAndProject) under the (n desc, path asc) total order.
+    // Timeline contract as events_transitions; '>' is a safe separator
+    // because event types are a closed slug vocabulary.
+    "events_path_topn" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(byUser))
+        .withColumn("t3", lead(col("t1"), 2).over(byUser))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(25)
+    }),
+
+    // ---- l-diversity release gate: `events_kanon_release`'s k-anonymity
+    // (≥ 5 distinct users per generalized QI group) is not enough when
+    // every row of a group shares one sensitive value — the group is
+    // k-anonymous yet discloses the attribute (the homogeneity attack;
+    // Machanavajjhala et al., ICDE'06). This gate additionally requires
+    // ≥ 2 distinct sensitive values (here the low/mid/high value bucket)
+    // per group before release. Same scale shape as kanon: two exact
+    // distinct-counts over the TINY generalized-QI dimension, the group
+    // table broadcast back onto the events — the stream is never
+    // shuffled by user. A row with a null value has no sensitive
+    // attribute and is never releasable (conservative, mirrored), on top
+    // of kanon's null-QI rule.
+    "events_ldiversity_release" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("qhour"),
+          col("user_id"),
+          when(col("value") < 50.0, "low")
+            .when(col("value") < 150.0, "mid")
+            .otherwise("high").as("sbucket"),
+          col("value"))
+      val g = e.groupBy(col("event_type"), col("qhour"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("sbucket")).as("n_sensitive"))
+        .filter(col("n_users") >= 5 && col("n_sensitive") >= 2)
+      e.join(g, Seq("event_type", "qhour"))
+        .select(col("event_id"), col("event_type"), col("qhour"),
+          col("n_users"), col("n_sensitive"), col("value"))
+        .orderBy(col("event_id"), col("event_type"), col("qhour"),
+          col("value"))
+    }),
+
     // ---- string-function surface over part names
     "part_strings" -> ((s, d) => {
       Tables.part(s, d)
@@ -1285,6 +1417,110 @@ object Events {
       SELECT event_id, k AS user_id, t AS ts, asof_orderkey
       FROM w WHERE side = 0
       ORDER BY event_id""",
+
+    // the same union+window as-of replay with the roles swapped (orders
+    // probe, events build): build rows sort before probe rows at the
+    // same instant (side DESC), equal-time events resolve to the max
+    // type (v ASC then last_value); revenue on the cent grid via the
+    // gridSum shape
+    "events_attribution" -> """
+      WITH touch AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      u AS (
+        SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS id,
+          CAST(NULL AS VARCHAR) AS v, 0 AS side
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts, CAST(NULL AS BIGINT), event_type, 1
+        FROM touch),
+      w AS (
+        SELECT k, t, id, side,
+          last_value(v IGNORE NULLS) OVER (
+            PARTITION BY k
+            ORDER BY t ASC NULLS FIRST, side DESC, v ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+        FROM u),
+      a AS (SELECT id, touch FROM w WHERE side = 0)
+      SELECT coalesce(a.touch, 'none') AS touch_type,
+        count(*) AS n_orders,
+        CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS revenue
+      FROM a JOIN orders o ON o.o_orderkey = a.id
+      GROUP BY 1
+      ORDER BY touch_type""",
+
+    // islands id = rn_overall − rn_within_type, both windows over the
+    // same (ts, event_id) total order — a pure replay of the engine's
+    // two-window subtraction
+    "events_type_islands" -> """
+      WITH e AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      n AS (
+        SELECT user_id, event_type, ts, event_id,
+          row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)
+          - row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts, event_id) AS isl
+        FROM e)
+      SELECT user_id, event_type,
+        CAST(min(ts) AS TIMESTAMP) AS valid_from,
+        CAST(max(ts) AS TIMESTAMP) AS valid_to,
+        count(*) AS n_events, min(event_id) AS first_event
+      FROM n
+      GROUP BY user_id, event_type, isl
+      ORDER BY user_id, first_event, event_type, valid_from, valid_to,
+        n_events""",
+
+    // two leads over one partitioned sort; the top-25 is total under
+    // (n DESC, path ASC)
+    "events_path_topn" -> """
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type AS t1 FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      l AS (
+        SELECT t1,
+          lead(t1, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS t2,
+          lead(t1, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS t3
+        FROM e)
+      SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      FROM l WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+      ORDER BY n DESC, path ASC
+      LIMIT 25""",
+
+    // kanon's shape plus the second distinct-count over the sensitive
+    // bucket (count(DISTINCT) ignores NULL user_id in both engines —
+    // mirrored); null value rows excluded up front, mirrored
+    "events_ldiversity_release" -> """
+      WITH e AS (
+        SELECT event_id, event_type,
+          CAST(date_trunc('hour', ts) AS TIMESTAMP) AS qhour, user_id,
+          CASE WHEN value < 50.0 THEN 'low'
+               WHEN value < 150.0 THEN 'mid'
+               ELSE 'high' END AS sbucket,
+          value
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL),
+      g AS (
+        SELECT event_type, qhour,
+          count(DISTINCT user_id) AS n_users,
+          count(DISTINCT sbucket) AS n_sensitive
+        FROM e GROUP BY event_type, qhour
+        HAVING count(DISTINCT user_id) >= 5
+           AND count(DISTINCT sbucket) >= 2)
+      SELECT e.event_id, e.event_type, e.qhour, g.n_users, g.n_sensitive,
+        e.value
+      FROM e JOIN g ON g.event_type = e.event_type AND g.qhour = e.qhour
+      ORDER BY e.event_id ASC NULLS FIRST, e.event_type ASC, e.qhour ASC,
+        e.value ASC NULLS FIRST""",
 
     "orders_by_month" -> """
       SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

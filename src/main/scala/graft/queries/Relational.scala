@@ -699,6 +699,36 @@ object Relational {
         .select(col("l_suppkey").as("suppkey"), col("s_name"),
           col("n_items"), col("sum_price"))
         .orderBy(col("suppkey"))
+    }),
+
+    // ---- k-core decomposition (k = 3) over the co-purchase graph — the
+    // degeneracy-peel operator that completes the graph-curation family
+    // (PageRank = importance, components = clusters, triangles = local
+    // density, k-core = the cohesive backbone: spam/link-farm filtering
+    // and influence-seed selection both read core membership). Edges are
+    // q34's bounded co-purchase pairs (≥ 2 shared orders). Peeling is
+    // the standard iterative rule — drop every node whose current degree
+    // is < k, recompute, repeat — run to fixpoint or a 20-round cap (the
+    // peel is idempotent at the fixpoint, so an early-converged engine
+    // result equals the oracle's fixed 20-round replay; the sf0.01 graph
+    // cascades 11 rounds, so the cap carries real headroom; a corpus
+    // still shrinking at round 20 diverges loudly via the count check in
+    // [[kcore]], never silently). Each round is one map-side-combinable
+    // degree count + two semi-joins, localCheckpoint-snapped so the plan
+    // never accretes lineage — O(m) per round, O(m^1.5) total worst
+    // case, the distributed-peel shape of Montresor et al. (arXiv
+    // 1103.5320). Output: surviving nodes with their within-core degree.
+    "q36_kcore" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.select(col("o"), col("p").as("pa"))
+        .join(items.select(col("o"), col("p").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      kcore(edges, k = 3, maxRounds = 20)
     })
   )
 
@@ -737,6 +767,45 @@ object Relational {
         col("n_triangles"),
         expr("(3 * n_triangles * 1000000) div nullif(n_wedges, 0)")
           .as("transitivity_grid"))
+  }
+
+  /** k-core by iterative peeling over an undirected edge list (`a < b`
+    * per row, no duplicates) — the engine behind `q36_kcore`, factored so
+    * specs can drive hand-built graphs. Each round drops every edge with
+    * an endpoint of degree < k; the loop exits early at the fixpoint
+    * (edge count unchanged — peeling only ever removes, so equal counts
+    * mean an identical set) and is capped at `maxRounds` to match the
+    * oracle's fixed-depth recursive replay. The cap is a loud contract:
+    * a graph still shrinking at the cap would diverge from the fixpoint,
+    * so [[kcore]] requires convergence rather than returning a
+    * half-peeled set. Per round: one union-degree count (map-side
+    * combinable) + two left-semi joins, snapshot via localCheckpoint so
+    * lineage stays one round deep (the components-loop convention). */
+  private[graft] def kcore(edges0: DataFrame, k: Int,
+                           maxRounds: Int): DataFrame = {
+    val snap: DataFrame => DataFrame = df => df.localCheckpoint(eager = true)
+    var edges = snap(edges0)
+    var m = edges.count()
+    var rounds = 0
+    var converged = m == 0L
+    while (!converged && rounds < maxRounds) {
+      val deg = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val good = deg.filter(col("deg") >= k).select(col("v"))
+      val next = snap(edges
+        .join(good.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(good.select(col("v").as("b")), Seq("b"), "left_semi"))
+      val m2 = next.count()
+      converged = m2 == m
+      edges = next; m = m2; rounds += 1
+    }
+    require(converged || m == 0L,
+      s"kcore() still peeling after $rounds rounds ($m edges) — raise " +
+        "maxRounds (and the oracle's replay depth) for this graph")
+    edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("v"))
   }
 
   /** The bucketed-layout join behind `q27_join_bucketed`: write orders and
@@ -835,6 +904,41 @@ object Relational {
         CAST((3 * n_triangles * 1000000) // nullif(n_wedges, 0) AS BIGINT)
           AS transitivity_grid
       FROM st""",
+
+    // the peel replayed as a recursive CTE on the EDGE set: the working
+    // table (one round's surviving edges) is referenced ONCE per step —
+    // each edge expands to both orientations via a 2-row VALUES cross,
+    // degree is a window over the orientation rows, and the per-edge
+    // gate is the min over its two rows; 20 fixed rounds (idempotent
+    // past the fixpoint, matching the engine's early exit; the sf0.01
+    // co-purchase graph cascades for 11 rounds — measured — so depth
+    // must clear it with headroom), final set = rows at r = 20 (empty
+    // when the graph fully peeled — the recursion stops emitting and
+    // r = 20 never appears)
+    "q36_kcore" -> """
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT a.p AS a, b.p AS b FROM items a
+        JOIN items b ON b.o = a.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2),
+      peel(r, a, b) AS (
+        SELECT 0, a, b FROM e
+        UNION ALL
+        SELECT y.r + 1, y.a, y.b FROM (
+          SELECT x.r, x.a, x.b, x.flip,
+            min(x.deg) OVER (PARTITION BY x.a, x.b) AS mindeg
+          FROM (
+            SELECT p.r, p.a, p.b, f.flip,
+              count(*) OVER (PARTITION BY
+                CASE WHEN f.flip = 0 THEN p.a ELSE p.b END) AS deg
+            FROM peel p, (VALUES (0), (1)) f(flip)) x) y
+        WHERE y.flip = 0 AND y.mindeg >= 3 AND y.r < 20),
+      fin AS (SELECT a, b FROM peel WHERE r = 20)
+      SELECT v, count(*) AS core_deg FROM (
+        SELECT a AS v FROM fin UNION ALL SELECT b AS v FROM fin) u
+      GROUP BY v
+      ORDER BY v""",
 
     // 3 PageRank iterations unrolled as one CTE per step; every factor is
     // BIGINT (// = integer div), contributions divided BEFORE the sum in
