@@ -778,6 +778,45 @@ object Dedup {
           expr("CAST(n_hit AS DOUBLE) / nullif(n_true, 0)").as("recall"))
     }),
 
+    // ---- LSH banding PRECISION (the other axis of the band/row design
+    // trade: `dedup_recall_lsh` reads what the banding MISSES, this
+    // reads what it WASTES — the fraction of raw band-collision
+    // candidates that survive exact verification, i.e. how much of the
+    // verification join's cost is spent on false candidates; low
+    // precision means fewer rows per band, high precision with low
+    // recall means more). Same machinery as the gated LSH plan: the
+    // candidate set IS `dedup_minhash_lsh`'s pre-verification band
+    // self-join (md5 signatures, so bit-stable cross-engine), the
+    // verified set the same full-hashed-set Jaccard ≥ 0.7 filter — so
+    // the metric cannot drift from the plan it grades. The readout is
+    // two 1-row aggregates cross-joined (broadcast); candidates stay
+    // bucketed by the banding bound at any corpus size.
+    "dedup_precision_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val norm = normalize(Tables.documents(s, d), "doc_id", "text")
+      val sh = graft.Caching.persistTracked(hashedSetTable(norm))
+      val bands = bandTable(signatureTable(norm))
+      val cand = graft.Caching.persistTracked(
+        bands.select(col("doc_id").as("a"), col("band_id"), col("h"))
+          .join(bands.select(col("doc_id").as("b"), col("band_id"),
+            col("h")), Seq("band_id", "h"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct())
+      val ver = cand
+        .join(sh.select(col("doc_id").as("a"), col("hs").as("hs_a")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("hs").as("hs_b")), "b")
+        .withColumn("common",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        .filter(col("common") * lit(1.0) /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common")) >= 0.7)
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nVer = ver.agg(count(lit(1)).as("n_true_dup"))
+      nCand.crossJoin(broadcast(nVer))
+        .select(col("n_cand"), col("n_true_dup"),
+          expr("CAST(n_true_dup AS DOUBLE) / nullif(n_cand, 0)")
+            .as("precision"))
+    }),
+
     "dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val pairs = jaccardPairsUnsorted(Tables.documents(s, d), 0.6)
@@ -1109,6 +1148,35 @@ object Dedup {
          JOIN lsh l ON l.a = t.a AND l.b = t.b) AS n_hit)
       SELECT n_true, n_lsh, n_hit,
         CAST(n_hit AS DOUBLE) / nullif(n_true, 0) AS recall
+      FROM st""",
+
+    // the recall oracle's LSH leg, read at both stages: raw band
+    // candidates vs the verified subset
+    "dedup_precision_lsh" -> s"""
+      WITH $hashedShingleCtes,
+      $minhashSigSql,
+      bands AS (
+        $minhashBandsSql),
+      cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM bands a
+               JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
+                           AND a.doc_id < b.doc_id),
+      lshcommon AS (
+        SELECT c.a, c.b, count(*) AS common
+        FROM cand c
+        JOIN hinv ia ON ia.doc_id = c.a
+        JOIN hinv ib ON ib.doc_id = c.b AND ib.h = ia.h
+        GROUP BY c.a, c.b),
+      ver AS (
+        SELECT c.a, c.b FROM lshcommon c
+        JOIN hsz sa ON sa.doc_id = c.a
+        JOIN hsz sb ON sb.doc_id = c.b
+        WHERE c.common * 1.0 / (sa.n + sb.n - c.common) >= 0.7),
+      st AS (SELECT
+        (SELECT count(*) FROM cand) AS n_cand,
+        (SELECT count(*) FROM ver) AS n_true_dup)
+      SELECT n_cand, n_true_dup,
+        CAST(n_true_dup AS DOUBLE) / nullif(n_cand, 0) AS "precision"
       FROM st""",
 
     "dedup_components" -> s"""

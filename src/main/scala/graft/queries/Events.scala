@@ -842,6 +842,93 @@ object Events {
           col("value"))
     }),
 
+    // ---- time-series gap fill (resample + forward fill): the hourly
+    // rollup per event type extended to a DENSE hour spine (every hour
+    // between the type's first and last activity), missing hours marked
+    // and their running level carried forward (last observation carried
+    // forward — the imputation step before any downstream diff/trend
+    // model, and the dashboard contract "no silent holes"). Scale shape:
+    // the heavy input collapses in ONE map-side-combinable hourly
+    // aggregate; the spine (types × hours) is generated from the tiny
+    // per-type [min, max] span via sequence() and is orders of magnitude
+    // smaller than the stream; the forward-fill window runs per type
+    // over that small spine. Money rides the cent grid (gridSum); an
+    // hour whose events all carry null values is OBSERVED (n > 0) with a
+    // null hour_sum — the fill carries the last real level through it,
+    // mirrored in the oracle. Null ts/type off the timeline.
+    "events_gapfill" -> ((s, d) => {
+      val actual = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"), col("value"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("hour_sum"))
+      val spine = actual.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val fillW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Long.MinValue, org.apache.spark.sql.expressions
+          .Window.currentRow)
+      spine.join(actual, Seq("event_type", "hour"), "left_outer")
+        .withColumn("is_gap", when(col("n").isNull, 1L).otherwise(0L))
+        .withColumn("filled_sum",
+          last(col("hour_sum"), ignoreNulls = true).over(fillW))
+        .select(col("event_type"),
+          col("hour").cast("timestamp_ntz").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"), col("is_gap"),
+          col("hour_sum"), col("filled_sum"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // ---- user-level contribution bounding (the deterministic prep step
+    // of every user-level differential-privacy release, and the hot-user
+    // damper of any per-user telemetry rollup): each user contributes at
+    // most 8 events (their FIRST 8 in (ts, event_id) order — a stable,
+    // replayable cut, not a sample) and each event's value is clipped to
+    // the [-100.00, +100.00] cent window, so any one user moves any
+    // type's bounded_sum by at most 8 × 100.00 — the finite sensitivity
+    // a DP mechanism needs BEFORE noise is even considered (the noise
+    // itself is out of scope: it is random by definition; this gates the
+    // deterministic 99% of the pipeline). One hash exchange on the user
+    // key; the rn <= 8 cut is a WindowGroupLimit (bounded per-key state,
+    // never a full per-user sort at the driver); the per-type audit
+    // joins two map-side-combinable aggregates on the tiny type
+    // dimension. A null-user event has no owner to bound — excluded
+    // (conservative, mirrored); null values contribute nothing to the
+    // sum but do consume the user's event budget (they are events).
+    "events_contrib_bounded" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+      val kept = e.withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") <= 8)
+        .withColumn("clipped",
+          when(col("value").isNotNull,
+            greatest(least(cents(col("value")), lit(10000L)),
+              lit(-10000L))))
+      val boundedAgg = kept.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          (sum(col("clipped")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 100.0).as("bounded_sum"))
+      val totals = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"))
+      // left join: a type whose every event falls beyond its users'
+      // first-8 budget has totals but no kept rows — it must still
+      // appear in the audit (n_kept 0, sum null), not vanish
+      totals.join(boundedAgg, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"),
+          col("bounded_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- string-function surface over part names
     "part_strings" -> ((s, d) => {
       Tables.part(s, d)
@@ -1494,6 +1581,72 @@ object Events {
       GROUP BY 1
       ORDER BY n DESC, path ASC
       LIMIT 25""",
+
+    // dense spine via generate_series over the per-type [min, max] hour
+    // span; fill = last_value IGNORE NULLS over the spine; cent-grid sums
+    "events_gapfill" -> """
+      WITH actual AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+            AS hour,
+          count(*) AS n,
+          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS hour_sum
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+               FROM actual GROUP BY event_type),
+      spine AS (
+        SELECT s.event_type,
+          unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+        FROM span s),
+      j AS (
+        SELECT sp.event_type, sp.hour,
+          coalesce(a.n, 0) AS n,
+          CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+          a.hour_sum
+        FROM spine sp
+        LEFT JOIN actual a
+          ON a.event_type = sp.event_type AND a.hour = sp.hour)
+      SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+        CAST(is_gap AS BIGINT) AS is_gap, hour_sum,
+        last_value(hour_sum IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS filled_sum
+      FROM j
+      ORDER BY event_type, hour""",
+
+    // the first-8-per-user cut replayed by the same (ts, event_id)
+    // row_number; clip on the cent grid; HUGEINT sum, DOUBLE at the edge
+    "events_contrib_bounded" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, ts, value FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      kept AS (
+        SELECT event_type,
+          CASE WHEN value IS NOT NULL THEN
+            greatest(least(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+              10000), -10000) END AS clipped
+        FROM (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM e)
+        WHERE rn <= 8),
+      ba AS (
+        SELECT event_type, count(*) AS n_kept,
+          CAST(sum(clipped) AS DOUBLE) / 100.0 AS bounded_sum
+        FROM kept GROUP BY event_type),
+      tot AS (SELECT event_type, count(*) AS n_total
+              FROM e GROUP BY event_type)
+      SELECT t.event_type, t.n_total,
+        coalesce(b.n_kept, 0) AS n_kept,
+        t.n_total - coalesce(b.n_kept, 0) AS n_dropped,
+        b.bounded_sum
+      FROM tot t LEFT JOIN ba b ON b.event_type = t.event_type
+      ORDER BY t.event_type""",
 
     // kanon's shape plus the second distinct-count over the sensitive
     // bucket (count(DISTINCT) ignores NULL user_id in both engines —

@@ -729,6 +729,63 @@ object Relational {
         .filter(col("n_ab") >= 2)
         .select(col("pa").as("a"), col("pb").as("b"))
       kcore(edges, k = 3, maxRounds = 20)
+    }),
+
+    // ---- data-quality audit (the Deequ/Great-Expectations constraint
+    // panel — the gate a 100 TB ingest runs BEFORE any query trusts the
+    // tables): referential integrity (FK orphans via anti join — a null
+    // FK can't reference anything, so it violates, same in both
+    // engines' NOT-EXISTS semantics), primary-key uniqueness (rows in
+    // key groups of size > 1, null keys always violations), domain
+    // ranges (non-positive retail price, lineitem quantity outside
+    // [1, 50]), and timeline completeness (null event ts). Each check is
+    // one map-side-combinable aggregate or one anti join hash-partitioned
+    // on the key (Catalyst broadcasts the small side); the output is a
+    // fixed 6-row panel with the violation rate on the exact ppm grid —
+    // no float, no sampling: at 100 TB an audit that samples is an audit
+    // that misses the one corrupt partition it exists to catch.
+    "q37_dq_audit" -> ((s, d) => {
+      def panel(name: String, viol: org.apache.spark.sql.DataFrame,
+                base: org.apache.spark.sql.DataFrame) =
+        viol.agg(count(lit(1)).as("n_violations"))
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("n_rows"))))
+          .select(lit(name).as("check"), col("n_violations"),
+            col("n_rows"))
+      def flagged(name: String, base: org.apache.spark.sql.DataFrame,
+                  bad: org.apache.spark.sql.Column) =
+        panel(name, base.filter(bad), base)
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      val checks = Seq(
+        panel("orders_fk_customer",
+          orders.join(customer.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti"), orders),
+        panel("lineitem_fk_orders",
+          lineitem.join(orders.select(col("o_orderkey").as("ok")),
+            col("l_orderkey") === col("ok"), "left_anti"), lineitem),
+        // direct aggregate, never an expansion: a pathological billion-row
+        // duplicate group must cost one counter, not a billion exploded rows
+        customer.groupBy(col("c_custkey")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(when(col("c_custkey").isNull || col("c") > 1,
+            col("c"))), lit(0L)).cast("long").as("n_violations"))
+          .crossJoin(broadcast(
+            customer.agg(count(lit(1)).as("n_rows"))))
+          .select(lit("customer_pk_unique").as("check"),
+            col("n_violations"), col("n_rows")),
+        flagged("part_price_positive", Tables.part(s, d),
+          col("p_retailprice").isNull || col("p_retailprice") <= 0),
+        flagged("lineitem_qty_range", lineitem,
+          col("l_quantity").isNull || col("l_quantity") < 1 ||
+            col("l_quantity") > 50),
+        flagged("events_ts_present", Tables.events(s, d),
+          col("ts").isNull))
+      checks.reduce(_ unionAll _)
+        .select(col("check"), col("n_violations"), col("n_rows"),
+          when(col("n_rows") > 0,
+            expr("n_violations * 1000000 div n_rows"))
+            .otherwise(lit(0L)).as("rate_ppm"))
+        .orderBy(col("check"))
     })
   )
 
@@ -939,6 +996,47 @@ object Relational {
         SELECT a AS v FROM fin UNION ALL SELECT b AS v FROM fin) u
       GROUP BY v
       ORDER BY v""",
+
+    // each check one scalar pair; NOT EXISTS mirrors the anti join's
+    // null-FK-is-a-violation semantics; ppm on integer //
+    "q37_dq_audit" -> """
+      WITH checks(chk, n_violations, n_rows) AS (
+        SELECT 'orders_fk_customer',
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+          (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'customer_pk_unique',
+          (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+            (SELECT c_custkey, count(*) AS c FROM customer
+             GROUP BY c_custkey) g
+           WHERE g.c_custkey IS NULL OR g.c > 1),
+          (SELECT count(*) FROM customer)
+        UNION ALL
+        SELECT 'part_price_positive',
+          (SELECT count(*) FROM part
+           WHERE p_retailprice IS NULL OR p_retailprice <= 0),
+          (SELECT count(*) FROM part)
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+          (SELECT count(*) FROM lineitem
+           WHERE l_quantity IS NULL OR l_quantity < 1
+              OR l_quantity > 50),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'events_ts_present',
+          (SELECT count(*) FROM events WHERE ts IS NULL),
+          (SELECT count(*) FROM events))
+      SELECT chk AS "check", n_violations, n_rows,
+        CASE WHEN n_rows > 0 THEN n_violations * 1000000 // n_rows
+             ELSE 0 END AS rate_ppm
+      FROM checks
+      ORDER BY "check"""",
 
     // 3 PageRank iterations unrolled as one CTE per step; every factor is
     // BIGINT (// = integer div), contributions divided BEFORE the sum in

@@ -975,45 +975,90 @@ object TextOps {
     // reused for dl, the corpus stats, df, and scoring); a production
     // index would materialize that frame once and serve every query from
     // it.
-    "text_bm25_topk" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      import s.implicits._
-      val qterms = Seq(
-        0L -> "scan", 0L -> "column",
-        1L -> "window", 1L -> "order",
-        2L -> "hash", 2L -> "join",
-        3L -> "stream", 3L -> "filter",
-        4L -> "spark", 4L -> "merge").toDF("query_id", "qterm")
-      val tf = graft.Caching.persistTracked(Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
-        .toDF("doc_id", "term", "tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        expr("sum(dl) div count(1)").as("avgdl"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score_grid").desc, col("doc_id").asc)
-      tf.join(broadcast(qterms), col("term") === col("qterm"))
-        .join(df, "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf3",
-          expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
-        .withColumn("tfn6", expr(
-          "(44 * tf * avgdl * 1000000) div " +
-            "(20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(expr("(idf3 * tfn6) div 1000")).as("score_grid"),
-          count(lit(1)).as("n_terms_matched"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
-        .select(col("query_id"), col("rn"), col("doc_id"),
-          col("score_grid"), col("n_terms_matched"))
-        .orderBy(col("query_id"), col("rn"))
+    "text_bm25_topk" -> ((s, d) =>
+      bm25TopK(s, d).orderBy(col("query_id"), col("rn"))),
+
+    // ---- retrieval evaluation: MRR@10 over the BM25 ranking (the
+    // metric an eval harness reports for any lexical/ANN retrieval
+    // stage). Ranking leg = the GATED `text_bm25_topk` plan verbatim
+    // (shared [[bm25TopK]] — the metric cannot drift from the query it
+    // grades, the recall-readout convention); relevance truth is
+    // deterministic boolean-AND containment (a doc is relevant to a
+    // query iff it matches ALL the query's terms — n_terms_matched at
+    // the query's own arity, no labels needed); per query, the rank of
+    // the first relevant doc in the top-10 and the reciprocal rank on
+    // the exact ppm grid (10⁶ div rank — 1/rank is rational, so the
+    // grid is exact, never a float log like nDCG's). A query with no
+    // relevant doc in its top-10 scores 0 (standard MRR@k), and the
+    // static query spine left-joins so it still appears. Cost: the
+    // bm25 plan + two tiny aggregates on the #queries dimension.
+    "text_mrr_eval" -> ((s, d) => {
+      val arity = bm25Queries(s).groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_qterms"))
+      val rel = bm25TopK(s, d)
+        .join(broadcast(arity), "query_id")
+        .filter(col("n_terms_matched") === col("n_qterms"))
+        .groupBy(col("query_id")).agg(min(col("rn")).as("fr"))
+      arity.select(col("query_id"))
+        .join(rel, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+          coalesce(expr("1000000 div fr"), lit(0L)).as("rr_ppm"))
+        .orderBy(col("query_id"))
     })
   )
+
+  /** The static retrieval query set shared by `text_bm25_topk` and
+    * `text_mrr_eval` (SQL twin: the `qt` VALUES CTE in
+    * [[bm25RankedSql]]). */
+  private def bm25Queries(s: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import s.implicits._
+    Seq(
+      0L -> "scan", 0L -> "column",
+      1L -> "window", 1L -> "order",
+      2L -> "hash", 2L -> "join",
+      3L -> "stream", 3L -> "filter",
+      4L -> "spark", 4L -> "merge").toDF("query_id", "qterm")
+  }
+
+  /** The BM25 top-10 ranking behind `text_bm25_topk`, factored so
+    * `text_mrr_eval` grades EXACTLY the gated plan: (query_id, rn,
+    * doc_id, score_grid, n_terms_matched), rn ≤ 10 per query, unsorted
+    * (each caller owns its presentation order). Grid arithmetic and plan
+    * shape documented at the `text_bm25_topk` entry. */
+  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val qterms = bm25Queries(s)
+    val tf = graft.Caching.persistTracked(Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+      .toDF("doc_id", "term", "tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_grid").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), col("term") === col("qterm"))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf3",
+        expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("tfn6", expr(
+        "(44 * tf * avgdl * 1000000) div " +
+          "(20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("(idf3 * tfn6) div 1000")).as("score_grid"),
+        count(lit(1)).as("n_terms_matched"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("doc_id"),
+        col("score_grid"), col("n_terms_matched"))
+  }
 
   /** Per-doc (term, tf) pairs from the native `graft_term_counts` kernel
     * — the CMS build input (the explode carries per-doc-distinct terms,
@@ -1240,6 +1285,45 @@ object TextOps {
         FROM g),
       fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4)"""
 
+  /** The BM25 ranked-list CTE chain (through `ranked`), shared verbatim
+    * by the `text_bm25_topk` and `text_mrr_eval` oracles — one source,
+    * so the metric's oracle cannot drift from the ranking's. */
+  private val bm25RankedSql = """qt(query_id, qterm) AS (VALUES
+        (0, 'scan'), (0, 'column'), (1, 'window'), (1, 'order'),
+        (2, 'hash'), (2, 'join'), (3, 'stream'), (3, 'filter'),
+        (4, 'spark'), (4, 'merge')),
+      tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl
+                FROM dl),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT qt.query_id, tf.doc_id,
+          ((2 * (s.n_docs - df.df) + 1) * 1000) // (2 * df.df + 1) AS idf3,
+          (44 * tf.tf * s.avgdl * 1000000) //
+            (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * dl.dl) AS tfn6
+        FROM qt
+        JOIN tf ON tf.term = qt.qterm
+        JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT query_id, doc_id,
+          sum((idf3 * tfn6) // 1000) AS score_grid,
+          count(*) AS n_terms_matched
+        FROM scored GROUP BY query_id, doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score_grid, n_terms_matched,
+          CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_grid DESC, doc_id ASC) AS BIGINT) AS rn
+        FROM agg)"""
+
   val oracles: Map[String, String] = Map(
     "wordcount_topn" -> wcOracle(20),
 
@@ -1432,48 +1516,33 @@ object TextOps {
     // math (// is DuckDB's integer div), so scores are bit-equal. The
     // per-term (idf3*tfn6)//1000 happens BEFORE the sum in both engines —
     // integer-div-then-sum is order-insensitive, sum-then-div is not.
-    "text_bm25_topk" -> """
-      WITH qt(query_id, qterm) AS (VALUES
-        (0, 'scan'), (0, 'column'), (1, 'window'), (1, 'order'),
-        (2, 'hash'), (2, 'join'), (3, 'stream'), (3, 'filter'),
-        (4, 'spark'), (4, 'merge')),
-      tok AS (
-        SELECT doc_id, unnest(list_filter(
-          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
-        FROM documents),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-             GROUP BY doc_id, term),
-      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-      stats AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl
-                FROM dl),
-      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      scored AS (
-        SELECT qt.query_id, tf.doc_id,
-          ((2 * (s.n_docs - df.df) + 1) * 1000) // (2 * df.df + 1) AS idf3,
-          (44 * tf.tf * s.avgdl * 1000000) //
-            (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * dl.dl) AS tfn6
-        FROM qt
-        JOIN tf ON tf.term = qt.qterm
-        JOIN df ON df.term = tf.term
-        JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN stats s),
-      agg AS (
-        SELECT query_id, doc_id,
-          sum((idf3 * tfn6) // 1000) AS score_grid,
-          count(*) AS n_terms_matched
-        FROM scored GROUP BY query_id, doc_id),
-      ranked AS (
-        SELECT query_id, doc_id, score_grid, n_terms_matched,
-          CAST(row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY score_grid DESC, doc_id ASC) AS BIGINT) AS rn
-        FROM agg)
+    // The CTE chain is shared with the MRR readout ([[bm25RankedSql]]).
+    "text_bm25_topk" -> s"""
+      WITH $bm25RankedSql
       SELECT CAST(query_id AS BIGINT) AS query_id, rn, doc_id,
         CAST(score_grid AS BIGINT) AS score_grid,
         CAST(n_terms_matched AS BIGINT) AS n_terms_matched
       FROM ranked
       WHERE rn <= 10
       ORDER BY query_id, rn""",
+
+    // the same ranked chain read as a metric: first all-terms-matched
+    // rank within the top-10 per query, reciprocal rank on the ppm grid
+    "text_mrr_eval" -> s"""
+      WITH $bm25RankedSql,
+      arity AS (SELECT query_id, count(*) AS n_qterms FROM qt
+                GROUP BY query_id),
+      rel AS (
+        SELECT r.query_id, min(r.rn) AS fr
+        FROM ranked r JOIN arity a ON a.query_id = r.query_id
+        WHERE r.rn <= 10 AND r.n_terms_matched = a.n_qterms
+        GROUP BY r.query_id)
+      SELECT CAST(a.query_id AS BIGINT) AS query_id,
+        CAST(coalesce(rel.fr, 0) AS BIGINT) AS first_rel_rank,
+        CAST(CASE WHEN rel.fr IS NULL THEN 0
+                  ELSE 1000000 // rel.fr END AS BIGINT) AS rr_ppm
+      FROM arity a LEFT JOIN rel ON rel.query_id = a.query_id
+      ORDER BY query_id""",
 
     "docs_boilerplate_ngrams" -> s"""
       WITH ${Dedup.hashedShingleCtes},
