@@ -929,6 +929,53 @@ object Events {
         .orderBy(col("event_type"))
     }),
 
+    // ---- seasonal-naive anomaly triage: per event type, the 5 hours
+    // whose revenue level deviates most from the same hour ONE DAY
+    // earlier (the seasonal-naive baseline — the first model any
+    // time-series monitoring stack runs, catching daily-pattern breaks
+    // that `events_anomaly`'s global μ±3σ misses because a 3am spike can
+    // sit well inside the all-hours band). Built on the gapfill family's
+    // dense spine (the 24-hour lag is only meaningful over a DENSE hour
+    // grid — on sparse observed hours, lag(24) reaches 24 OBSERVATIONS
+    // back, not 24 hours); gaps here are zero-filled (a silent hour is a
+    // real zero level for deviation purposes, where the LOCF fill of
+    // `events_gapfill` answers the imputation question instead). The
+    // first 24 spine hours have no baseline and are excluded, not
+    // compared against nothing. All arithmetic on exact cents in
+    // decimal(38) (HUGEINT in the oracle); the top-5 is a bounded
+    // per-type heap under the (|residual| desc, hour) total order —
+    // ranks from exact integers, doubles only at the output edge.
+    "events_seasonal_residual" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val actual = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"), col("value"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(sum(cents(col("value")).cast(dec)).as("c"))
+      val spine = actual.groupBy(col("event_type"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(abs(col("residual_c")).desc, col("hour"))
+      spine.join(actual, Seq("event_type", "hour"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0).cast(dec)))
+        .withColumn("c_prev", lag(col("c"), 24).over(byType))
+        .filter(col("c_prev").isNotNull)
+        .withColumn("residual_c", col("c") - col("c_prev"))
+        .withColumn("rn", row_number().over(rankW).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("event_type"),
+          col("hour").cast("timestamp_ntz").as("hour"), col("rn"),
+          (col("c").cast("double") / 100.0).as("hour_sum"),
+          (col("residual_c").cast("double") / 100.0).as("residual"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // ---- string-function surface over part names
     "part_strings" -> ((s, d) => {
       Tables.part(s, d)
@@ -1616,6 +1663,48 @@ object Events {
           AS filled_sum
       FROM j
       ORDER BY event_type, hour""",
+
+    // the gapfill spine zero-filled, lag(24) over the dense grid, top-5
+    // per type under (|residual| desc, hour); HUGEINT cents throughout,
+    // DOUBLE only at the edge
+    "events_seasonal_residual" -> """
+      WITH actual AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+            AS hour,
+          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS c
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+               FROM actual GROUP BY event_type),
+      spine AS (
+        SELECT s.event_type,
+          unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+        FROM span s),
+      dense AS (
+        SELECT sp.event_type, sp.hour, coalesce(a.c, 0) AS c
+        FROM spine sp
+        LEFT JOIN actual a
+          ON a.event_type = sp.event_type AND a.hour = sp.hour),
+      lagd AS (
+        SELECT event_type, hour, c,
+          lag(c, 24) OVER (PARTITION BY event_type ORDER BY hour)
+            AS c_prev
+        FROM dense),
+      resid AS (
+        SELECT event_type, hour, c, c - c_prev AS residual_c
+        FROM lagd WHERE c_prev IS NOT NULL),
+      ranked AS (
+        SELECT event_type, hour, c, residual_c,
+          CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(residual_c) DESC, hour) AS BIGINT) AS rn
+        FROM resid)
+      SELECT event_type, hour, rn,
+        CAST(c AS DOUBLE) / 100.0 AS hour_sum,
+        CAST(residual_c AS DOUBLE) / 100.0 AS residual
+      FROM ranked
+      WHERE rn <= 5
+      ORDER BY event_type, rn""",
 
     // the first-8-per-user cut replayed by the same (ts, event_id)
     // row_number; clip on the cent grid; HUGEINT sum, DOUBLE at the edge

@@ -163,6 +163,26 @@ object Pipeline {
     (docs, reps, qk, surv3, finalKeep)
   }
 
+  /** The hashed-feature linear scorer behind `docs_classifier_score` and
+    * `docs_quality_sample` — (doc_id, n_tokens, raw) with raw = Σ cnt·w
+    * an exact integer (plan rationale documented at the
+    * `docs_classifier_score` entry; SQL twin: [[classifierRawCtes]]).
+    * Factored so the sampler thins EXACTLY the gated scorer. */
+  private def classifierRaw(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+      .toDF("doc_id", "term", "tf")
+      .groupBy(col("doc_id"), (keyHash(col("term")) % 64).as("bucket"))
+      .agg(sum(col("tf")).as("cnt"))
+      .withColumn("w", expr("(bucket * 2654435761) % 2001 - 1000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("cnt * w")).as("raw"),
+        sum(col("cnt")).as("n_tokens"))
+  }
+
   /** The temperature-mixture allocation table behind
     * `docs_mixture_temperature`, over any frame with a `source` column —
     * per-source natural vs α=1/2-tempered share (ppm grid) and the
@@ -485,22 +505,46 @@ object Pipeline {
     // exactly as to 100 MB. raw = Σ cnt·w is an exact integer; the
     // surfaced score is the correctly-rounded double raw/n_tokens; the
     // keep decision compares the INTEGER raw against 0, never a float.
-    "docs_classifier_score" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.GraftFunctions.termCounts(col("text"))))
-        .toDF("doc_id", "term", "tf")
-        .groupBy(col("doc_id"), (keyHash(col("term")) % 64).as("bucket"))
-        .agg(sum(col("tf")).as("cnt"))
-        .withColumn("w", expr("(bucket * 2654435761) % 2001 - 1000"))
-        .groupBy(col("doc_id"))
-        .agg(sum(expr("cnt * w")).as("raw"),
-          sum(col("cnt")).as("n_tokens"))
+    "docs_classifier_score" -> ((s, d) =>
+      classifierRaw(s, d)
         .select(col("doc_id"), col("n_tokens"), col("raw"),
           (col("raw").cast("double") / col("n_tokens")).as("score"),
           when(col("raw") >= 0, lit(1L)).otherwise(lit(0L)).as("keep"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // ---- quality-weighted sampling (the data-SELECTION step after the
+    // classifier: instead of a hard keep/drop at raw ≥ 0, thin each
+    // quality band at its own rate — high quality kept whole, mid at
+    // 50%, low at 10% — the DSIR/DataComp-style soft selection that
+    // preserves some low-band mass for diversity while spending the
+    // token budget on quality). Scorer = the GATED `docs_classifier_score`
+    // plan (shared [[classifierRaw]]); band boundaries compare INTEGER
+    // raw against n_tokens-scaled thresholds (score ≥ -100 ⟺ raw ≥
+    // -100·n_tokens — no float at any decision); the keep decision is
+    // Bernoulli-by-hash (md5(doc_id) % 100 < rate), the only sampling
+    // scheme that is reproducible, partition-independent, and
+    // incremental-ingest-stable at 100 TB. Output is the per-band audit
+    // (counts + the token mass the budget actually buys); the per-doc
+    // decision is a pure projection any consumer replays from the same
+    // hash.
+    "docs_quality_sample" -> ((s, d) => {
+      classifierRaw(s, d)
+        .withColumn("band",
+          when(col("raw") >= 0, "high")
+            .when(col("raw") >= col("n_tokens") * lit(-100L), "mid")
+            .otherwise("low"))
+        .withColumn("rate_pct",
+          when(col("band") === "high", 100L)
+            .when(col("band") === "mid", 50L).otherwise(10L))
+        .withColumn("hb", keyHash(col("doc_id")) % 100)
+        .groupBy(col("band"), col("rate_pct"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("hb") < col("rate_pct"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("tokens_total"),
+          sum(when(col("hb") < col("rate_pct"), col("n_tokens"))
+            .otherwise(0L)).cast("long").as("tokens_kept"))
+        .orderBy(col("band"))
     }),
 
     // ---- benchmark decontamination: flag corpus documents sharing any
@@ -824,6 +868,27 @@ object Pipeline {
     })
   )
 
+  /** The classifier scorer as oracle CTEs (yields `sc(doc_id, raw,
+    * n_tokens)`) — SQL twin of [[classifierRaw]], shared by the score and
+    * quality-sample oracles. */
+  private val classifierRawCtes: String = """tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      feat AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket,
+          sum(tf) AS cnt
+        FROM tf GROUP BY doc_id, bucket),
+      sc AS (
+        SELECT doc_id,
+          CAST(sum(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS BIGINT)
+            AS raw,
+          CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM feat GROUP BY doc_id)"""
+
   /** The four curation stages as oracle CTEs (raw slice through the
     * `final` survivor set) — SQL twin of [[curationStages]], shared by
     * the attrition-panel and disposition oracles. */
@@ -1097,30 +1162,42 @@ object Pipeline {
 
     // the hashed-feature linear scorer replayed on the shared md5 bucket
     // convention; weights are the same centered multiplicative hash, raw
-    // stays integer, the keep gate compares raw to 0 (never the float)
-    "docs_classifier_score" -> """
-      WITH tok AS (
-        SELECT doc_id, unnest(list_filter(
-          string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), w -> len(w) > 0)) AS term
-        FROM documents),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-             GROUP BY doc_id, term),
-      feat AS (
-        SELECT doc_id,
-          CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket,
-          sum(tf) AS cnt
-        FROM tf GROUP BY doc_id, bucket),
-      sc AS (
-        SELECT doc_id,
-          CAST(sum(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS BIGINT)
-            AS raw,
-          CAST(sum(cnt) AS BIGINT) AS n_tokens
-        FROM feat GROUP BY doc_id)
+    // stays integer, the keep gate compares raw to 0 (never the float);
+    // the CTE chain is shared with the quality sampler's oracle
+    "docs_classifier_score" -> s"""
+      WITH $classifierRawCtes
       SELECT doc_id, n_tokens, raw,
         CAST(raw AS DOUBLE) / n_tokens AS score,
         CAST(CASE WHEN raw >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM sc
       ORDER BY doc_id""",
+
+    // the same scorer thinned per band: integer band boundaries
+    // (raw vs -100·n_tokens), Bernoulli-by-hash keep, HUGEINT token
+    // sums cast at the edge
+    "docs_quality_sample" -> s"""
+      WITH $classifierRawCtes,
+      banded AS (
+        SELECT doc_id, n_tokens,
+          CASE WHEN raw >= 0 THEN 'high'
+               WHEN raw >= n_tokens * -100 THEN 'mid'
+               ELSE 'low' END AS band,
+          CASE WHEN raw >= 0 THEN 100
+               WHEN raw >= n_tokens * -100 THEN 50
+               ELSE 10 END AS rate_pct,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 100 AS hb
+        FROM sc)
+      SELECT band, CAST(rate_pct AS BIGINT) AS rate_pct,
+        count(*) AS n_total,
+        CAST(sum(CASE WHEN hb < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        CAST(sum(CASE WHEN hb < rate_pct THEN n_tokens ELSE 0 END)
+          AS BIGINT) AS tokens_kept
+      FROM banded
+      GROUP BY band, rate_pct
+      ORDER BY band""",
 
     "docs_decontaminate" -> s"""
       WITH ${Dedup.hashedShingleCtes},

@@ -786,6 +786,44 @@ object Relational {
             expr("n_violations * 1000000 div n_rows"))
             .otherwise(lit(0L)).as("rate_ppm"))
         .orderBy(col("check"))
+    }),
+
+    // ---- range-partition boundary computation (the planning step of
+    // every distributed sort / sorted write: Spark's own RangePartitioner
+    // samples to pick split points — this is the EXACT version, the
+    // balanced 32-way cut of orders by price). Type-1 inverse CDF at
+    // ranks k·n div 32, k = 1..31, via the quantile family's
+    // no-total-sort shape: one map-side-combinable per-value count, a
+    // running sum over the DISTINCT-value dimension (O(distinct), never
+    // a per-row window), the 31-row target grid broadcast against it,
+    // boundary = min value whose cumulative count reaches the target
+    // rank. Everything on the exact cent grid; n_at_or_below exposes the
+    // realized balance (skewed value mass shows up as unequal gaps —
+    // exactly what the planner needs to see). The output is 31 rows at
+    // any corpus size.
+    "q38_range_boundaries" -> ((s, d) => {
+      val v = Tables.orders(s, d)
+        .filter(col("o_totalprice").isNotNull)
+        .select(cents(col("o_totalprice")).as("v"))
+      val cum = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+            .rowsBetween(Long.MinValue,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val n = v.agg(count(lit(1)).as("n"))
+      val targets = s.range(1, 32).select(col("id").as("k"))
+        .crossJoin(broadcast(n))
+        .withColumn("target_rank", expr("(k * n) div 32"))
+      val bounds = cum.join(broadcast(targets),
+          col("cum") >= col("target_rank"))
+        .groupBy(col("k"), col("target_rank"))
+        .agg(min(col("v")).as("bv"))
+      bounds.join(cum.select(col("v").as("bv"), col("cum")
+          .as("n_at_or_below")), "bv")
+        .select(col("k"), col("target_rank"),
+          (col("bv").cast("double") / 100.0).as("boundary"),
+          col("n_at_or_below"))
+        .orderBy(col("k"))
     })
   )
 
@@ -1037,6 +1075,31 @@ object Relational {
              ELSE 0 END AS rate_ppm
       FROM checks
       ORDER BY "check"""",
+
+    // the exact-rank cut replayed: per-value counts, running sum over
+    // distinct values, min value at-or-past each k*n//32 target
+    "q38_range_boundaries" -> """
+      WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL),
+      cum AS (
+        SELECT v, count(*) AS c,
+          sum(count(*)) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM v GROUP BY v),
+      n AS (SELECT count(*) AS n FROM v),
+      ks AS (SELECT unnest(generate_series(1, 31)) AS k),
+      t AS (SELECT k, (k * n.n) // 32 AS target_rank FROM ks CROSS JOIN n),
+      b AS (
+        SELECT t.k, t.target_rank, min(cum.v) AS bv
+        FROM t JOIN cum ON cum.cum >= t.target_rank
+        GROUP BY t.k, t.target_rank)
+      SELECT CAST(b.k AS BIGINT) AS k,
+        CAST(b.target_rank AS BIGINT) AS target_rank,
+        CAST(b.bv AS DOUBLE) / 100.0 AS boundary,
+        CAST(c2.cum AS BIGINT) AS n_at_or_below
+      FROM b JOIN cum c2 ON c2.v = b.bv
+      ORDER BY k""",
 
     // 3 PageRank iterations unrolled as one CTE per step; every factor is
     // BIGINT (// = integer div), contributions divided BEFORE the sum in

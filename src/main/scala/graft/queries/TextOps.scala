@@ -1005,6 +1005,37 @@ object TextOps {
           coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
           coalesce(expr("1000000 div fr"), lit(0L)).as("rr_ppm"))
         .orderBy(col("query_id"))
+    }),
+
+    // ---- tokenizer fertility per language (the multilingual-budget
+    // readout: fertility = sub-word pieces per whitespace word; a
+    // tokenizer trained on English typically fragments other languages
+    // into 2-4× the pieces, so a shared token budget silently
+    // under-trains them — this panel is how a mixture run SEES that
+    // before committing the budget). Language = the gated `text_langid`
+    // heuristic (shared [[langidScored]]); piece count = the GPT-2-family
+    // pre-tokenizer regex of `text_tokens`; fertility on the exact ppm
+    // grid (Σ pieces · 10⁶ div Σ words — never a float ratio). One
+    // projection + one map-side-combinable aggregate onto the ≤3-row
+    // language dimension; a null-text document has null counts (sums
+    // skip it, n_docs keeps it — its language is 'und' by the shared
+    // guess); an all-null group surfaces a null fertility rather than a
+    // divide-by-zero.
+    "text_token_fertility" -> ((s, d) => {
+      langidScored(Tables.documents(s, d))
+        .select(col("lang_guess"),
+          size(split(col("text"), "\\s+")).cast("long").as("ws"),
+          regexp_count(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
+            .as("bpe"))
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("n_ws_tokens"),
+          sum(col("bpe")).as("n_bpe_tokens"))
+        .withColumn("fertility_ppm",
+          when(col("n_ws_tokens") > 0,
+            expr("n_bpe_tokens * 1000000 div n_ws_tokens")))
+        .orderBy(col("lang_guess"))
     })
   )
 
@@ -1543,6 +1574,30 @@ object TextOps {
                   ELSE 1000000 // rel.fr END AS BIGINT) AS rr_ppm
       FROM arity a LEFT JOIN rel ON rel.query_id = a.query_id
       ORDER BY query_id""",
+
+    // shared langid scoring + the text_tokens piece/word counters,
+    // aggregated onto the language dimension; ppm ratio guarded against
+    // the empty-word group
+    "text_token_fertility" -> raw"""
+      WITH sc AS (
+        SELECT doc_id, text, $langidScoreSql
+        FROM documents),
+      g AS (
+        SELECT $langidGuessSql AS lang_guess,
+          len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS ws,
+          len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS bpe
+        FROM sc),
+      a AS (
+        SELECT lang_guess, count(*) AS n_docs,
+          CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+          CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens
+        FROM g GROUP BY lang_guess)
+      SELECT lang_guess, n_docs, n_ws_tokens, n_bpe_tokens,
+        CASE WHEN n_ws_tokens > 0
+             THEN n_bpe_tokens * 1000000 // n_ws_tokens END AS fertility_ppm
+      FROM a
+      ORDER BY lang_guess""",
 
     "docs_boilerplate_ngrams" -> s"""
       WITH ${Dedup.hashedShingleCtes},
