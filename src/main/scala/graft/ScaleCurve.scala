@@ -77,7 +77,13 @@ object ScaleCurve {
     // curve evidences that the LSH bucket candidate bound holds when
     // the two sides grow together (the self-join family's bound, with
     // the mod-10 split keeping both sides proportional to the corpus)
-    "dedup_incremental_lsh")
+    "dedup_incremental_lsh",
+    // round-10 session-4 additions: the k-core peel (O(m) per round;
+    // the salted corpus is 10 key-offset copies, so the peel depth is
+    // the per-copy depth while edges grow 10x — the curve evidences
+    // cost ∝ edges, not ∝ rounds·edges compounding) and the banding
+    // precision readout (rides the LSH candidate bound at both stages)
+    "q36_kcore", "dedup_precision_lsh")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

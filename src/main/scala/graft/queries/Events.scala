@@ -976,6 +976,41 @@ object Events {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // ---- conversion-lag histogram (the funnel's TIME dimension:
+    // `events_funnel` says WHO progressed, this says HOW LONG the
+    // view→purchase step takes — the number that sizes attribution
+    // windows and flags a broken checkout). Per user: first view, first
+    // purchase at-or-after it (the funnel's entry contract), lag in
+    // whole seconds (exact integer micros div 10⁶); the panel buckets
+    // lag on the power-of-two grid (`docs_length_histogram`'s
+    // exact-binary-digit-count convention — no float log), with
+    // same-instant conversions in their own 0 bucket. Two
+    // map-side-combinable min-aggregates on the user key, one join, then
+    // a regroup onto the ≤40-row bucket dimension — nothing after the
+    // per-user firsts scales with the event count.
+    "events_conversion_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(p, "user_id")
+        .select(expr(
+          "(unix_micros(t_purchase) - unix_micros(t_view)) div 1000000")
+          .as("lag_s"))
+        .withColumn("bucket",
+          when(col("lag_s") === 0, lit(0L))
+            .otherwise(length(bin(col("lag_s"))).cast("long")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lag_s")).as("min_lag_s"),
+          max(col("lag_s")).as("max_lag_s"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- string-function surface over part names
     "part_strings" -> ((s, d) => {
       Tables.part(s, d)
@@ -1663,6 +1698,32 @@ object Events {
           AS filled_sum
       FROM j
       ORDER BY event_type, hour""",
+
+    // the funnel's first-view / first-purchase-at-or-after contract,
+    // lag on exact epoch_us arithmetic, power-of-two bucket via the
+    // bin-digit-count convention (0 its own bucket)
+    "events_conversion_lag" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      v AS (SELECT user_id, min(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM ev e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+            GROUP BY e.user_id),
+      l AS (SELECT
+              (epoch_us(p.t_purchase) - epoch_us(v.t_view)) // 1000000
+                AS lag_s
+            FROM v JOIN p ON p.user_id = v.user_id),
+      b AS (SELECT CASE WHEN lag_s = 0 THEN 0
+                        ELSE length(bin(lag_s)) END AS bucket, lag_s
+            FROM l)
+      SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_users,
+        min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s
+      FROM b
+      GROUP BY bucket
+      ORDER BY bucket""",
 
     // the gapfill spine zero-filled, lag(24) over the dense grid, top-5
     // per type under (|residual| desc, hour); HUGEINT cents throughout,

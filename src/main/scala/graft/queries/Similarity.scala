@@ -324,6 +324,27 @@ object Similarity {
           expr("CAST(n_hit AS DOUBLE) / nullif(n_true, 0)").as("recall"))
     }),
 
+    // ---- SRP banding PRECISION — the waste axis of the embedding
+    // banding (the `dedup_precision_lsh` convention on the embedding
+    // family, completing the recall+precision readout pair for BOTH
+    // candidate generators): of the raw band-collision pairs, the
+    // fraction surviving the exact gridded-cosine gate — i.e. how much
+    // of the per-pair dot-product verification is spent on false
+    // candidates. Candidate and verified sets ARE the gated
+    // `dedup_embed_lsh` plan's own stages (shared [[srpStages]] /
+    // [[srpVerified]]); two 1-row aggregates, broadcast cross-join.
+    "dedup_precision_embed" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val (g, cand0) = srpStages(Tables.embeddings(s, d))
+      val cand = graft.Caching.persistTracked(cand0)
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nVer = srpVerified(g, cand).agg(count(lit(1)).as("n_true_dup"))
+      nCand.crossJoin(broadcast(nVer))
+        .select(col("n_cand"), col("n_true_dup"),
+          expr("CAST(n_true_dup AS DOUBLE) / nullif(n_cand, 0)")
+            .as("precision"))
+    }),
+
     // ---- per-label elementwise centroids on the exact 1e-6 grid (the
     // IVF coarse-quantizer training step, made hash-stable)
     "emb_centroids" -> ((s, d) => {
@@ -659,6 +680,16 @@ object Similarity {
     * intrinsically modest for SRP; the operator's value grows with the
     * tightness of the near-dup threshold. */
   def srpCosinePairs(emb: DataFrame): DataFrame = {
+    val (g, cand) = srpStages(emb)
+    srpVerified(g, cand)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("bands_hit"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The SRP candidate stages shared by [[srpCosinePairs]] and the
+    * precision readout: (g, cand) where g is the persisted gridded
+    * representation and cand the raw band-collision pairs. */
+  private def srpStages(emb: DataFrame): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val gf = graft.functions.GraftFunctions
     // exact-integer representation: gridded elements, squared norm, and all
@@ -681,6 +712,14 @@ object Similarity {
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("bands_hit"))
+    (g, cand)
+  }
+
+  /** The exact-integer cosine verification of [[srpCosinePairs]] over a
+    * candidate pair set — (a, b, bands_hit) pairs passing the gridded
+    * cosine ≥ 0.35 gate (dot² · 10⁴ ≥ n2·n2 · 1225, dot > 0). */
+  private def srpVerified(g: DataFrame, cand: DataFrame): DataFrame = {
+    val gf = graft.functions.GraftFunctions
     val dec = DecimalType(38, 0)
     cand
       .join(g.select(col("vec_id").as("a"), col("xg").as("xa"),
@@ -691,8 +730,7 @@ object Similarity {
       .filter(col("dot") > 0 &&
         col("dot").cast(dec) * col("dot").cast(dec) * lit(10000) >=
           col("na2").cast(dec) * col("nb2").cast(dec) * lit(1225))
-      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("bands_hit"))
-      .orderBy(col("vec_a"), col("vec_b"))
+      .select(col("a"), col("b"), col("bands_hit"))
   }
 
   /** IVF probe path shared by the query above and the test suite.
@@ -1706,6 +1744,18 @@ object Similarity {
           AS n_hit)
       SELECT n_true, n_lsh, n_hit,
         CAST(n_hit AS DOUBLE) / nullif(n_true, 0) AS recall
+      FROM st""",
+
+    // the SRP chain read at both stages: raw band collisions (cand) vs
+    // the exact-cosine-verified subset (lpairs) — same CTEs as the LSH
+    // and recall oracles, so the three readouts share one definition
+    "dedup_precision_embed" -> s"""
+      WITH $embedLshPairSql,
+      st AS (SELECT
+        (SELECT count(*) FROM cand) AS n_cand,
+        (SELECT count(*) FROM lpairs) AS n_true_dup)
+      SELECT n_cand, n_true_dup,
+        CAST(n_true_dup AS DOUBLE) / nullif(n_cand, 0) AS "precision"
       FROM st""",
 
     // replays the integer IVF path step for step: gridded vectors, rounded-

@@ -272,7 +272,43 @@ object SqlSurface {
         CAST(CASE WHEN n_emails + n_ipv4 + n_phones + n_ssn > 0
              THEN 1 ELSE 0 END AS BIGINT) AS has_pii
       FROM counted
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""),
+
+    // ---- the dense-spine gap fill as one SQL string — exercises
+    // sequence()/explode spine generation, the exact-decimal money-grid
+    // sum, and IGNORE NULLS window frames through the parser frontend
+    // (the forward-fill family's first SQL twin). Same output, same
+    // oracle as events_gapfill.
+    "sql_gapfill" -> sql("""
+      WITH actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(38, 0)))
+            AS DOUBLE) / 100.0 AS hour_sum
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      spine AS (
+        SELECT event_type,
+          explode(sequence(h0, h1, interval 1 hour)) AS hour
+        FROM (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+              FROM actual GROUP BY event_type)),
+      j AS (
+        SELECT sp.event_type, sp.hour,
+          CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+          CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_gap,
+          a.hour_sum
+        FROM spine sp
+        LEFT JOIN actual a
+          ON a.event_type = sp.event_type AND a.hour = sp.hour)
+      SELECT event_type, CAST(hour AS TIMESTAMP_NTZ) AS hour, n, is_gap,
+        hour_sum,
+        last_value(hour_sum) IGNORE NULLS OVER (
+          PARTITION BY event_type ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS filled_sum
+      FROM j
+      ORDER BY event_type, hour""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,6 +342,8 @@ object SqlSurface {
     "sql_span_grams" -> Dedup.oracles("dedup_span_grams"),
     "sql_pii_scan" -> TextOps.oracles("docs_pii_scan"),
     // the DataFrame twin's oracle verbatim — same grid, same threshold
-    "sql_cosine_pairs" -> TextOps.oracles("text_cosine_pairs")
+    "sql_cosine_pairs" -> TextOps.oracles("text_cosine_pairs"),
+    // the DataFrame twin's oracle verbatim — same spine, same fill
+    "sql_gapfill" -> Events.oracles("events_gapfill")
   )
 }

@@ -39,6 +39,20 @@ class RetrievalEvalSpec extends SparkSpec {
     Caching.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("SRP embedding precision's verified count == the gated SRP pair " +
+    "set; verified is a candidate subset") {
+    val pairs = graft.queries.Similarity
+      .queries("dedup_embed_lsh")(spark, sf).count()
+    val row = graft.queries.Similarity
+      .queries("dedup_precision_embed")(spark, sf).collect().head
+    val (nCand, nVer) = (row.getLong(0), row.getLong(1))
+    assert(nVer === pairs, "embed precision drifted from the SRP plan")
+    assert(nVer <= nCand)
+    if (nCand > 0)
+      assert(math.abs(row.getDouble(2) - nVer.toDouble / nCand) == 0.0)
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("LSH precision's verified count == the gated verified pair set; " +
     "precision is a fraction of the candidate count") {
     val pairs = graft.queries.Dedup

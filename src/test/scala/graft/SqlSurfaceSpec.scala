@@ -29,6 +29,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows("sql_span_grams") == rows("dedup_span_grams"))
   }
 
+  test("sql_gapfill == events_gapfill (DataFrame)") {
+    assert(rows("sql_gapfill") == rows("events_gapfill"))
+  }
+
   test("sql_cosine_pairs == text_cosine_pairs (DataFrame)") {
     val eq = rows("sql_cosine_pairs") == rows("text_cosine_pairs")
     Caching.releaseAll(); spark.catalog.clearCache()
