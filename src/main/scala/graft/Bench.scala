@@ -90,14 +90,23 @@ object Bench {
     }.sorted
     val drift =
       if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
-    // flag = drift-normalized ratio >1.5x AND >0.25s above the drift-scaled
-    // reference — sub-second queries flap a pure ratio threshold on
-    // scheduler noise alone (measured: a clean sweep flags 3-4 of them
-    // spuriously without the floor)
+    // flag = drift-normalized ratio >1.5x AND an absolute margin above the
+    // drift-scaled reference — sub-second queries flap a pure ratio
+    // threshold on scheduler noise alone (measured: a clean sweep flags
+    // 3-4 of them spuriously without the floor). Streaming queries get a
+    // 1.0s floor instead of the generic 0.25s: their wall time is
+    // micro-batch startup + checkpoint I/O, whose measured within-run
+    // spread is ±3s (r8: one isolated run of events_stream_sliding
+    // spanned 3.69-9.40s; r11 adjudication: events_stream_throttle raw
+    // [2.76..10.83] across 22 isolated reps with a stable ~3.0s median) —
+    // a 0.25s floor flags that variance as regression noise every few
+    // sweeps (r9: 6 flags, r10: 1, all adjudicated machine noise).
+    def floorFor(n: String): Double =
+      if (n.startsWith("events_stream_")) 1.0 else 0.25
     val flagged = results.toSeq
       .filter { case (n, v) =>
         v > 0 && reference.get(n).exists(r =>
-          r > 0 && v > r * drift * 1.5 && v - r * drift > 0.25)
+          r > 0 && v > r * drift * 1.5 && v - r * drift > floorFor(n))
       }
       .sortBy { case (n, v) => -(v / reference(n)) }
       .map { case (n, v) =>

@@ -83,7 +83,16 @@ object ScaleCurve {
     // the per-copy depth while edges grow 10x — the curve evidences
     // cost ∝ edges, not ∝ rounds·edges compounding) and the banding
     // precision readout (rides the LSH candidate bound at both stages)
-    "q36_kcore", "dedup_precision_lsh")
+    "q36_kcore", "dedup_precision_lsh",
+    // round-11 additions: the CSV landing-zone rollup (layout write +
+    // scan+parse both linear in rows — the write is memoized per JVM,
+    // so the curve times the FIRST invocation's write plus the scan;
+    // still the honest cost a landing-zone pays), the sketch-union
+    // distinct maintenance (two map-side-combinable sketch builds +
+    // a 30-row merge — linear scan cost, constant merge cost), and the
+    // now-live attribution as-of walk (union + one window pass over
+    // events∪orders, linear in both)
+    "events_csv_daily", "events_uniques_incremental", "events_attribution")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

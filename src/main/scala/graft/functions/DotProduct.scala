@@ -182,10 +182,18 @@ object GraftFunctions {
       "graft_top_bigram"),
     (children: Seq[Expression]) => GraftTopBigram(children(0)))
 
+  val bpeEncodeInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[GraftBpeEncode].getName,
+      "graft_bpe_encode"),
+    (children: Seq[Expression]) =>
+      GraftBpeEncode(children(0), children(1), children(2)))
+
   private val all = Seq(dotInfo, dotlInfo, cosKeyInfo, srpBandsInfo, shinglesInfo,
     shingleHashesInfo, simhashInfo, simhashWideInfo, minhashSigInfo,
     termCountsInfo, winnowInfo, bigramCountsInfo, topBigramInfo,
-    gramHashesInfo)
+    gramHashesInfo, bpeEncodeInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. Also attaches the
@@ -230,4 +238,12 @@ object GraftFunctions {
     call_function("graft_bigram_counts", text)
   def topBigram(text: Column): Column =
     call_function("graft_top_bigram", text)
+  /** Merge-table-driven BPE encode with the table as constant literals —
+    * the production-table-size path (see [[GraftBpeEncode]]). */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_encode", word,
+      org.apache.spark.sql.functions.lit(
+        merges.map { case (a, b) => a + " " + b }.toArray),
+      org.apache.spark.sql.functions.lit(
+        merges.map { case (a, b) => a + b }.toArray))
 }

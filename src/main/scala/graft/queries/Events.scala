@@ -324,6 +324,58 @@ object Events {
     // the pruned result equals the full-scan join.
     "events_dpp_daily" -> ((s, d) => partitionPrunedDaily(s, d)),
 
+    // ---- CSV source end-to-end ([[csvDaily]]): the first gated query
+    // whose FACT SCAN is not parquet — the landing-zone ingest shape
+    // (100 TB pipelines receive CSV/JSONL drops long before anything is
+    // columnar). The events table is exported once per JVM to a CSV
+    // layout (TempLayouts.cached, the events_dpp_daily convention), read
+    // back with an EXPLICIT schema (never inferSchema — that is a full
+    // extra pass over the data), and rolled up daily; the gate asserts
+    // IN THE PLAN that the null-timeline filter is pushed into the CSV
+    // scan and the scan schema is pruned to the referenced columns. The
+    // oracle replays the rollup from the parquet table: the layout is
+    // cost-level machinery (DuckDB cannot see a JVM-lifetime temp dir),
+    // but CSV FIDELITY is genuinely gated — a quoting, null, timestamp,
+    // or double round-trip misparse changes the hashed result.
+    "events_csv_daily" -> ((s, d) => csvDaily(s, d)),
+
+    // ---- mergeable distinct-count maintenance (the sketch analog of
+    // `events_agg_incremental` — how a 100 TB daily-uniques rollup is
+    // KEPT current): per-day HLL sketches built independently over the
+    // already-ingested snapshot slice (event_id % 10 == 0) and the new
+    // batch, merged by sketch UNION — history is never rescanned; only
+    // its per-day sketch table (KB per row) and the batch's own
+    // map-side-combinable sketch build are touched. Sketch ESTIMATES are
+    // engine-specific (DuckDB has no Datasketches HLL), so the gate
+    // hashes the CONTRACT, the events_quantiles_sketch convention: the
+    // exact per-day distinct count (oracle-replayable) plus
+    // within_bound = 1 iff the merged-sketch estimate sits within ±5%+1
+    // of it (integer cross-multiplication, no float ratio; lgK=12's
+    // documented RSE is 1.6%, so the band is >3σ — and at these
+    // cardinalities the sketch is typically still exact). Mergeability
+    // (union of split sketches ≈ whole) is pinned by HllSpec.
+    "events_uniques_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("event_id"), col("user_id"))
+      val snap = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val delta = ev.filter(col("event_id") % 10 =!= 0)
+        .groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = snap.unionAll(delta)
+        .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
+        .select(col("day"),
+          coalesce(hll_sketch_estimate(col("sk")), lit(0L)).as("est"))
+      val exact = ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, Seq("day"))
+        .select(col("day"), col("n_exact"),
+          when(abs(col("est") - col("n_exact")) * 20 <=
+            col("n_exact") + 20, 1L).otherwise(0L).as("within_bound"))
+        .orderBy(col("day"))
+    }),
+
     // ---- k-anonymity release gate (the privacy-prep operator for
     // sharing event telemetry or training extracts): generalize the
     // quasi-identifier to (event_type, hour), release an event only when
@@ -726,10 +778,26 @@ object Events {
     // price joins back by order key AFTER attribution — the as-of walk
     // carries only (key, time, id), never the measure. Revenue rides the
     // cents grid; the final rollup is #event-types + 1 rows.
+    //
+    // Fixture clock alignment: the driver's event clock (2024-01) and
+    // order clock (1995-2001) are DISJOINT, which made the original gate
+    // vacuous — every order attributed to 'none' and the oracle's as-of
+    // tie-break was never exercised (round-10 ADVICE finding). The touch
+    // timeline is therefore shifted back a fixed 9,862 days (landing
+    // 1996-12-31..1997-01-29, inside the order range): exact whole-day
+    // timestamp arithmetic, identical in both engines, replayed verbatim
+    // by the oracle. With the overlap, orders attribute across every
+    // event type, orders during the event window attribute mid-timeline,
+    // and pre-1997 orders (plus customers with no events) keep the
+    // 'none' bucket populated — all oracle paths live at every SF.
+    // Equal-instant and equal-time multi-event tie-breaks, which no
+    // fixture instant exercises, are pinned by AttributionTieSpec on a
+    // hand-built corpus.
     "events_attribution" -> ((s, d) => {
       val touch = Tables.events(s, d)
         .filter(col("ts").isNotNull && col("user_id").isNotNull &&
           col("event_type").isNotNull)
+        .withColumn("ts", col("ts") - expr("INTERVAL 9862 DAYS"))
       graft.operators.AsOf.lastValueAsOf(
         Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey",
         touch, "user_id", "ts", "event_type")
@@ -1152,6 +1220,63 @@ object Events {
       .orderBy(col("event_date"), col("event_type").asc_nulls_last)
   }
 
+  /** The CSV-source daily rollup behind `events_csv_daily`: export the
+    * events table to a CSV layout once per (JVM, source path)
+    * ([[graft.TempLayouts.cached]]), read it back with an explicit
+    * schema, and aggregate. Export conventions chosen for EXACT
+    * round-trips: `ts` travels as unix micros (a long — timestamp
+    * formatting/parsing never enters the gate's hash path), `value`
+    * relies on Java's shortest-round-trip double printing (re-parsed
+    * bit-exact), strings (`event_type`, the JSON `props`) ride default
+    * quoting — embedded commas/quotes are the classic CSV hazards and
+    * exactly what the oracle comparison would catch. Nulls round-trip as
+    * empty fields; genuinely empty strings as quoted `""` (Spark's
+    * write/read defaults agree).
+    *
+    * Plan contract, assert-ed here rather than in a spec so every gate
+    * execution re-proves it: the `ts_us IS NOT NULL` timeline filter is
+    * PUSHED into the CSV scan (CSV readers can skip rows during parse)
+    * and the scan schema is PRUNED to the five referenced columns
+    * (event_id is exported but never read back — a CSV scan parses only
+    * requested fields). At 100 TB the layout write is the one-time
+    * landing-zone cost; every query after it pays scan+parse of only
+    * what it needs. */
+  private[graft] def csvDaily(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("props"))
+    val loc = graft.TempLayouts.cached("graft-csv", d) { p =>
+      src.write.mode("overwrite").option("header", "true")
+        .csv(s"$p/events_csv")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val out = s.read.schema(schema).option("header", "true")
+      .csv(s"$loc/events_csv")
+      .filter(col("ts_us").isNotNull)
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"),
+        col("user_id"), col("value"), col("props"))
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMoney(col("value")).as("sum_value"),
+        sum(length(col("props")).cast("long")).as("props_chars"))
+      .orderBy(col("day"), col("event_type").asc_nulls_last)
+    val plan = out.queryExecution.sparkPlan.toString
+    require(plan.contains("IsNotNull(ts_us)"),
+      "events_csv_daily: the timeline filter was not pushed into the CSV " +
+        "scan:\n" + plan)
+    require(!plan.contains("event_id"),
+      "events_csv_daily: the CSV scan schema was not pruned (event_id is " +
+        "exported but unreferenced):\n" + plan)
+    out
+  }
+
   private val sumValue =
     "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
 
@@ -1173,6 +1298,34 @@ object Events {
       FROM f JOIN dim ON dim.event_date = f.event_date
       GROUP BY 1, 2
       ORDER BY 1, 2 NULLS LAST""",
+
+    // the CSV layout is cost-level only (a JVM-lifetime temp dir DuckDB
+    // cannot see): the oracle replays the rollup from the parquet table,
+    // so any CSV round-trip infidelity (quoting, nulls, double printing,
+    // the micros-long timestamp carry) breaks the hash
+    "events_csv_daily" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        count(*) AS n,
+        count(DISTINCT user_id) AS n_users,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value,
+        CAST(sum(len(props)) AS BIGINT) AS props_chars
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY 1, 2 NULLS LAST""",
+
+    // the sketch twin gates its CONTRACT (the events_quantiles_sketch
+    // convention): exact per-day distincts plus the constant-1 bound
+    // column — a bound violation (within_bound = 0) hash-fails loudly
+    "events_uniques_incremental" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        count(DISTINCT user_id) AS n_exact,
+        CAST(1 AS BIGINT) AS within_bound
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY 1
+      ORDER BY 1""",
 
     // the salted two-phase plan is cost-level only: the exact-grid sum is
     // re-grouping-invariant, so the oracle is the direct one-level sum
@@ -1591,10 +1744,13 @@ object Events {
     // probe, events build): build rows sort before probe rows at the
     // same instant (side DESC), equal-time events resolve to the max
     // type (v ASC then last_value); revenue on the cent grid via the
-    // gridSum shape
+    // gridSum shape. The 9,862-day clock shift mirrors the engine side
+    // (fixture clock alignment — see the query scaladoc): exact
+    // whole-day timestamp arithmetic in both engines.
     "events_attribution" -> """
       WITH touch AS (
-        SELECT user_id, ts, event_type FROM events
+        SELECT user_id, ts - INTERVAL 9862 DAY AS ts, event_type
+        FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND event_type IS NOT NULL),
       u AS (

@@ -718,18 +718,8 @@ object Relational {
     // never accretes lineage — O(m) per round, O(m^1.5) total worst
     // case, the distributed-peel shape of Montresor et al. (arXiv
     // 1103.5320). Output: surviving nodes with their within-core degree.
-    "q36_kcore" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.select(col("o"), col("p").as("pa"))
-        .join(items.select(col("o"), col("p").as("pb")), "o")
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-        .select(col("pa").as("a"), col("pb").as("b"))
-      kcore(edges, k = 3, maxRounds = 20)
-    }),
+    "q36_kcore" -> ((s, d) => kcore(copurchaseEdges(s, d), k = 3,
+      maxRounds = 20)),
 
     // ---- data-quality audit (the Deequ/Great-Expectations constraint
     // panel — the gate a 100 TB ingest runs BEFORE any query trusts the
@@ -876,8 +866,36 @@ object Relational {
     * half-peeled set. Per round: one union-degree count (map-side
     * combinable) + two left-semi joins, snapshot via localCheckpoint so
     * lineage stays one round deep (the components-loop convention). */
+  /** q34/q36's bounded co-purchase edge list (`a < b`, ≥ 2 shared
+    * orders) — factored so the cap-headroom pin peels the REAL fixture
+    * graph, not a re-derivation. */
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                                     d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.select(col("o"), col("p").as("pa"))
+      .join(items.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select(col("pa").as("a"), col("pb").as("b"))
+  }
+
   private[graft] def kcore(edges0: DataFrame, k: Int,
-                           maxRounds: Int): DataFrame = {
+                           maxRounds: Int): DataFrame =
+    kcoreWithRounds(edges0, k, maxRounds)._1
+
+  /** [[kcore]] plus the realized peel depth (rounds until fixpoint,
+    * counting the final no-change confirmation round) — the
+    * instrumentation behind the CAP-HEADROOM pin: the 20-round cap is
+    * loud but data-dependent, so `KcoreSpec` asserts the fixture graphs
+    * converge with documented headroom (sf0.01 cascades 11 rounds
+    * incl. confirmation; peel depth is structural — longest pendant
+    * cascade — not corpus-size-driven, which the sf0.1 assertion
+    * demonstrates on 10× the data). */
+  private[graft] def kcoreWithRounds(edges0: DataFrame, k: Int,
+                                     maxRounds: Int): (DataFrame, Int) = {
     val snap: DataFrame => DataFrame = df => df.localCheckpoint(eager = true)
     var edges = snap(edges0)
     var m = edges.count()
@@ -898,9 +916,9 @@ object Relational {
     require(converged || m == 0L,
       s"kcore() still peeling after $rounds rounds ($m edges) — raise " +
         "maxRounds (and the oracle's replay depth) for this graph")
-    edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+    (edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
-      .orderBy(col("v"))
+      .orderBy(col("v")), rounds)
   }
 
   /** The bucketed-layout join behind `q27_join_bucketed`: write orders and

@@ -150,6 +150,26 @@ object TextOps {
       .collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** Deterministic synthetic merge table for the production-table-size
+    * encode gate (`text_bpe_encode_1k`): rule i (1-based) merges the pair
+    * (chr(97 + hex(md5("bpe1k:"+i))[1,2] % 26),
+    *  chr(97 + hex(md5("bpe1k:"+i))[3,2] % 26)) — the first two md5 hex
+    * byte values mapped onto [a-z], exactly replayable in DuckDB as
+    * `chr(97 + ('0x' || substr(md5('bpe1k:' || i), 1, 2))::BIGINT % 26)`.
+    * Synthetic because the fixture vocabulary (31 words) cannot yield
+    * 1,000 learned rules; duplicates are inert re-applications in both
+    * engines, so the table needs no dedup. */
+  private[graft] def syntheticMerges(n: Int): Seq[(String, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to n).map { i =>
+      md.reset()
+      val d = md.digest(
+        s"bpe1k:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (('a' + (d(0) & 0xff) % 26).toChar.toString,
+        ('a' + (d(1) & 0xff) % 26).toChar.toString)
+    }
+  }
+
   /** Merge-table-driven BPE ENCODE of a word column, as one compiled
     * expression: the word is split to space-separated characters, then
     * each merge rule (a,b) in rank order rewrites every `"a b"` boundary
@@ -252,10 +272,15 @@ object TextOps {
     // bounded, not corpus-bounded), joined back to the per-doc tf frame
     // by word — the per-occurrence work is one hash join, and the merge
     // table is a driver/broadcast-sized constant (≤ 50 rules compiled
-    // into the expression). A production tokenizer swaps the learned
-    // table for a shipped one (GPT-2's 50k merges) — same encode plan,
-    // longer fold. Docs with no [a-z] words have no token rows on either
-    // engine and are absent, like every tf-derived query.
+    // into the expression). The FOLD shape is right at this table size
+    // only: each rule adds an expression-tree level, so a production
+    // table (GPT-2's 50k merges) would breach Janino's 64 KB method /
+    // constant-pool limits long before it was exhausted — the scale path
+    // is the native `graft_bpe_encode` kernel (same semantics, table as
+    // a constant reference object, runtime loop; gated at 1,024 rules by
+    // `text_bpe_encode_1k`, pinned ≡ this fold and exercised at 50k
+    // rules in BpeSpec). Docs with no [a-z] words have no token rows on
+    // either engine and are absent, like every tf-derived query.
     "text_bpe_tokens" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val merges = bpeMerges(s, d, 50)
@@ -271,6 +296,36 @@ object TextOps {
         .agg(sum(col("tf")).cast("long").as("n_words"),
           sum(col("tf") * col("n_pieces")).cast("long").as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- production-table-size BPE encode (the scale proof for the
+    // encoder): the fixture vocabulary is 31 words / 107 mergeable
+    // positions, so a >=1,000-rule table cannot be LEARNED from this
+    // corpus at any SF — instead a deterministic 1,024-rule synthetic
+    // table ([[syntheticMerges]]: rule i's pair chars are md5-derived,
+    // replayed exactly by the oracle's chr(97 + md5 % 26) arithmetic)
+    // drives the native `graft_bpe_encode` kernel, and the gate hashes
+    // the FULL encoded string of every vocabulary word after all 1,024
+    // rules. What this pins cross-engine: 1,024 sequential left-to-right
+    // non-overlapping replace applications (the recursive-CTE oracle
+    // applies them one level per rank) — the depth at which the fold
+    // encoder's nested-replace expression tree would breach Janino
+    // codegen limits, executed here as a constant-size codegen'd loop
+    // (table rides as a reference object; BpeSpec asserts the projection
+    // stays inside WholeStageCodegen and exercises a 50,000-rule table).
+    // Scale shape: one vocabulary-bounded projection — corpus size only
+    // affects the tf scan feeding the weights column.
+    "text_bpe_encode_1k" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(explode(graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("word", "tf")
+        .groupBy(col("word")).agg(sum(col("tf")).cast("long").as("n"))
+        .withColumn("enc", graft.functions.GraftFunctions.bpeEncode(
+          col("word"), syntheticMerges(1024)))
+        .withColumn("n_pieces", size(split(col("enc"), " ")).cast("long"))
+        .select(col("word"), col("n"), col("enc"), col("n_pieces"))
+        .orderBy(col("word"))
     }),
 
     // ---- quality scoring: length, alpha ratio, stopword ratio, mean word len
@@ -1007,6 +1062,51 @@ object TextOps {
         .orderBy(col("query_id"))
     }),
 
+    // ---- retrieval evaluation, graded: nDCG@10 beside MRR@10 — the
+    // second metric a retrieval rollout reports, distinguished by GRADED
+    // relevance (gain = n_terms_matched, 0..arity, where MRR's truth is
+    // the boolean all-terms cut). DCG@10 = Σ gain(rank)·w(rank) with
+    // w(rank) = 1/log2(rank+1); the log is IRRATIONAL, so no float log
+    // may reach the hash — instead w rides a PRECOMPUTED 10-row
+    // rank-weight dimension ([[ndcgWeights]]: round(10⁶/log2(r+1)),
+    // identical literals in the oracle's VALUES CTE — the fixed-
+    // denominator-grid trick of events_conversion_lag). Ranking leg =
+    // the gated `text_bm25_topk` cut ([[bm25RankTop]]); ideal leg ranks
+    // the SAME [[bm25Matched]] frame by (gain desc, doc_id asc) — the
+    // corpus-ideal top-10, not the retrieved list's re-sort — so both
+    // legs share one source and the metric cannot drift from the
+    // ranking it grades. ndcg_ppm = dcg·10⁶ div idcg (integer-exact); a
+    // query with no matched doc anywhere scores 0 and stays on the
+    // static query spine. Cost: the bm25 plan + one extra
+    // WindowGroupLimit over the matched frame + two tiny aggregates on
+    // the #queries dimension.
+    "text_ndcg_eval" -> ((s, d) => {
+      val matched = bm25Matched(s, d)
+      val wts = broadcast(ndcgWeights(s))
+      val dcg = bm25RankTop(matched)
+        .join(wts, col("rn") === col("r"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("n_terms_matched") * col("w")).as("dcg_grid"))
+      val iw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("n_terms_matched").desc, col("doc_id").asc)
+      val idcg = matched
+        .withColumn("irn", row_number().over(iw).cast("long"))
+        .filter(col("irn") <= 10)
+        .join(wts, col("irn") === col("r"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("n_terms_matched") * col("w")).as("idcg_grid"))
+      bm25Queries(s).select(col("query_id")).distinct()
+        .join(dcg, Seq("query_id"), "left_outer")
+        .join(idcg, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("dcg_grid"), lit(0L)).as("dcg_grid"),
+          coalesce(col("idcg_grid"), lit(0L)).as("idcg_grid"),
+          coalesce(expr("dcg_grid * 1000000 div idcg_grid"), lit(0L))
+            .as("ndcg_ppm"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- tokenizer fertility per language (the multilingual-budget
     // readout: fertility = sub-word pieces per whitespace word; a
     // tokenizer trained on English typically fragments other languages
@@ -1053,13 +1153,33 @@ object TextOps {
       4L -> "spark", 4L -> "merge").toDF("query_id", "qterm")
   }
 
+  /** The nDCG rank-weight dimension: w(r) = round(10⁶ / log2(r+1)) for
+    * r = 1..10, PINNED as literals (the log is irrational — computing it
+    * at runtime would put a float log on the hash path; these constants
+    * are the one-time rounding, identical in the oracle's VALUES CTE). */
+  private def ndcgWeights(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(1L -> 1000000L, 2L -> 630930L, 3L -> 500000L, 4L -> 430677L,
+      5L -> 386853L, 6L -> 356207L, 7L -> 333333L, 8L -> 315465L,
+      9L -> 301030L, 10L -> 289065L).toDF("r", "w")
+  }
+
   /** The BM25 top-10 ranking behind `text_bm25_topk`, factored so
     * `text_mrr_eval` grades EXACTLY the gated plan: (query_id, rn,
     * doc_id, score_grid, n_terms_matched), rn ≤ 10 per query, unsorted
     * (each caller owns its presentation order). Grid arithmetic and plan
     * shape documented at the `text_bm25_topk` entry. */
   private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
-                              d: String): DataFrame = {
+                              d: String): DataFrame =
+    bm25RankTop(bm25Matched(s, d))
+
+  /** The per-(query, doc) BM25 score/match aggregate BEFORE the top-10
+    * cut — factored out of [[bm25TopK]] so `text_ndcg_eval`'s ideal-DCG
+    * leg ranks the SAME matched frame the retrieval leg ranks (one
+    * source, the metric-cannot-drift convention; SQL twin: the `agg` CTE
+    * of [[bm25RankedSql]]). */
+  private[graft] def bm25Matched(s: org.apache.spark.sql.SparkSession,
+                                 d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val qterms = bm25Queries(s)
     val tf = graft.Caching.persistTracked(Tables.documents(s, d)
@@ -1070,9 +1190,6 @@ object TextOps {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("sum(dl) div count(1)").as("avgdl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score_grid").desc, col("doc_id").asc)
     tf.join(broadcast(qterms), col("term") === col("qterm"))
       .join(df, "term")
       .join(dl, "doc_id")
@@ -1085,6 +1202,15 @@ object TextOps {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(expr("(idf3 * tfn6) div 1000")).as("score_grid"),
         count(lit(1)).as("n_terms_matched"))
+  }
+
+  /** The top-10 cut over a [[bm25Matched]] frame (WindowGroupLimit under
+    * the (score desc, doc asc) total order). */
+  private def bm25RankTop(matched: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_grid").desc, col("doc_id").asc)
+    matched
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("rn"), col("doc_id"),
@@ -1416,6 +1542,40 @@ object TextOps {
       GROUP BY t.doc_id
       ORDER BY t.doc_id""",
 
+    // the 1,024-rule synthetic-table encode replayed rule by rule: the
+    // mg CTE derives rule i's pair from md5('bpe1k:' || i) — the exact
+    // arithmetic of syntheticMerges — and the recursive CTE applies one
+    // rule per level (replace is left-to-right non-overlapping in both
+    // engines); the gate hashes the full encoded string per vocab word
+    "text_bpe_encode_1k" -> s"""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          w -> len(w) > 0)) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+             GROUP BY doc_id, word),
+      wd AS (SELECT word, CAST(sum(tf) AS BIGINT) AS n FROM tf
+             GROUP BY word),
+      mg AS (
+        SELECT i AS rank,
+          chr(CAST(97 + CAST(('0x' || substr(md5('bpe1k:' || i), 1, 2))
+            AS BIGINT) % 26 AS INT)) AS a,
+          chr(CAST(97 + CAST(('0x' || substr(md5('bpe1k:' || i), 3, 2))
+            AS BIGINT) % 26 AS INT)) AS b
+        FROM (SELECT unnest(range(1, 1025)) AS i) ir),
+      enc(word, s, r) AS (
+        SELECT word, array_to_string(string_split(word, ''), ' '), 0
+        FROM wd
+        UNION ALL
+        SELECT e.word, replace(e.s, m.a || ' ' || m.b, m.a || m.b),
+          e.r + 1
+        FROM enc e JOIN mg m ON m.rank = e.r + 1)
+      SELECT w.word, w.n, e.s AS enc,
+        CAST(len(string_split(e.s, ' ')) AS BIGINT) AS n_pieces
+      FROM wd w JOIN enc e ON e.word = w.word AND e.r = 1024
+      ORDER BY w.word""",
+
     // both directions of the shared pair CTEs, rank-1 per doc; the float
     // cosine orders identically cross-engine, neighbor id breaks ties
     "text_nearest_dup" -> s"""
@@ -1509,7 +1669,7 @@ object TextOps {
       ORDER BY n"""
     },
 
-    // the sketch replayed: per-doc term counts, 4x256 counter grid from
+    // the sketch replayed: per-doc term counts, 4x16 counter grid from
     // the same md5 bucket hash, top-20 truth leg, est = min over rows
     "text_cms_counts" -> s"""
       WITH tok AS (
@@ -1573,6 +1733,40 @@ object TextOps {
         CAST(CASE WHEN rel.fr IS NULL THEN 0
                   ELSE 1000000 // rel.fr END AS BIGINT) AS rr_ppm
       FROM arity a LEFT JOIN rel ON rel.query_id = a.query_id
+      ORDER BY query_id""",
+
+    // the same ranked chain read as the graded metric: retrieval DCG over
+    // the top-10 cut, ideal DCG over the full matched agg ranked by
+    // (gain desc, doc asc), both through the pinned rank-weight VALUES
+    // dimension (round(1e6/log2(r+1)) — identical literals engine-side)
+    "text_ndcg_eval" -> s"""
+      WITH $bm25RankedSql,
+      wt(r, w) AS (VALUES
+        (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+        (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+      dcg AS (
+        SELECT query_id, sum(n_terms_matched * w) AS dcg_grid
+        FROM ranked JOIN wt ON wt.r = ranked.rn
+        WHERE rn <= 10 GROUP BY query_id),
+      ideal AS (
+        SELECT query_id, n_terms_matched,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY n_terms_matched DESC, doc_id ASC) AS irn
+        FROM agg),
+      idcg AS (
+        SELECT query_id, sum(n_terms_matched * w) AS idcg_grid
+        FROM ideal JOIN wt ON wt.r = ideal.irn
+        WHERE irn <= 10 GROUP BY query_id),
+      qs AS (SELECT DISTINCT query_id FROM qt)
+      SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        CAST(coalesce(d.dcg_grid, 0) AS BIGINT) AS dcg_grid,
+        CAST(coalesce(i.idcg_grid, 0) AS BIGINT) AS idcg_grid,
+        CAST(CASE WHEN coalesce(i.idcg_grid, 0) > 0
+                  THEN d.dcg_grid * 1000000 // i.idcg_grid
+                  ELSE 0 END AS BIGINT) AS ndcg_ppm
+      FROM qs q
+      LEFT JOIN dcg d ON d.query_id = q.query_id
+      LEFT JOIN idcg i ON i.query_id = q.query_id
       ORDER BY query_id""",
 
     // shared langid scoring + the text_tokens piece/word counters,

@@ -417,6 +417,54 @@ object StreamingRun {
     drainToSink(joined).orderBy(col("imp_id"), col("clk_id"))
   }
 
+  /** Oracle-gated stream-stream LEFT OUTER watermarked interval join —
+    * the null-extending mode real attribution pipelines run (every
+    * impression reported, clicked or not), and the one join mode
+    * [[attributionAvailableNow]]'s inner gate does not cover. Same two
+    * independent file-source readers, same two-sided interval condition;
+    * `leftOuter` additionally emits each unmatched view null-extended —
+    * but only when its join window can no longer match. The exact
+    * emission arithmetic was pinned by a boundary probe corpus (single
+    * ±1 µs / ±1 ms offsets around every candidate line): a null result
+    * for a view exists iff
+    * `imp_ts_us <= (floor(min(maxView, maxClick)_us / 1000) − 600000 −
+    * 1800000) · 1000` — i.e. (1) the watermark is PER-SIDE (each
+    * `withWatermark` node tracks its own filtered stream's max; the
+    * global watermark is the MIN, so an empty side holds it at epoch 0
+    * and suppresses every null emission), (2) ms-floored from the side
+    * max, (3) compared NON-STRICTLY against the view's full-µs instant
+    * (windowed-agg eviction polarity, not GroupState's strict <).
+    * Inner matches are emitted as rows are buffered (no horizon, as in
+    * the inner gate); the null-extension is emitted on STATE EVICTION,
+    * which the AvailableNow no-data flush batch drives — so trailing
+    * views whose window the final watermark never closes are ABSENT
+    * from both engines, the append-mode-eviction contract pinned for
+    * join state. StreamOuterJoinSpec re-pins all three probed facts
+    * with boundary corpora. */
+  def attributionOuterAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+    val joined = views.join(clicks,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("imp_id"), col("clk_id"),
+        col("imp_user").as("user_id"),
+        col("imp_ts").cast("timestamp_ntz").as("imp_ts"),
+        col("clk_ts").cast("timestamp_ntz").as("clk_ts"))
+    drainToSink(joined)
+      .orderBy(col("imp_id"), col("clk_id").asc_nulls_last)
+  }
+
   /** Oracle-gated stream-static broadcast enrichment — the fifth
     * streaming shape in the gate, and the stateless one: every
     * micro-batch of the event stream left-outer joins a BROADCAST static
@@ -549,6 +597,8 @@ object StreamingRun {
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
     "events_stream_throttle" -> ((s, d) => throttleAvailableNow(s, d)),
     "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d)),
+    "events_stream_join_outer" -> ((s, d) =>
+      attributionOuterAvailableNow(s, d)),
     "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d)),
     "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d)),
     "events_stream_counts" -> ((s, d) => countsAvailableNow(s, d))
@@ -695,6 +745,49 @@ object StreamingRun {
       FROM v JOIN c ON v.user_id = c.user_id
        AND c.clk_ts >= v.imp_ts
        AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes'
+      ORDER BY imp_id, clk_id""",
+
+    // the batch left interval join over the streaming-timeline event set
+    // PLUS the outer-emission horizon, pinned by a boundary probe corpus
+    // (OuterJoinBoundary notes + StreamOuterJoinSpec): matched pairs
+    // always (the inner gate's no-horizon argument); a null-extended
+    // view only when the final global watermark closes its window. Three
+    // probed facts the clause encodes: (1) the watermark is PER-SIDE —
+    // each withWatermark node tracks its OWN filtered stream's max event
+    // time, and the global watermark is the MIN over nodes (so a side
+    // with no rows pins the watermark at epoch 0 and NO null rows are
+    // ever emitted — the CASE WHEN NULL guard, since DuckDB's least()
+    // skips nulls); (2) the watermark is ms-FLOORED from the side max
+    // (a +700 µs clock remainder is dropped); (3) the eviction compare
+    // keeps the view's full µs precision against the ms-grid boundary
+    // and is NON-STRICT: a view exactly 30 min before the watermark IS
+    // emitted, +1 µs is not — window-eviction polarity (tumbling's <=),
+    // NOT the GroupState strict-< one
+    "events_stream_join_outer" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
+      v AS (
+        SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM ev
+        WHERE event_type = 'view'),
+      c AS (
+        SELECT event_id AS clk_id, user_id, ts AS clk_ts FROM ev
+        WHERE event_type = 'click'),
+      wm AS (
+        SELECT CASE WHEN mv IS NULL OR mc IS NULL THEN NULL
+          ELSE (epoch_us(least(mv, mc)) // 1000 - 600000 - 1800000) * 1000
+          END AS bnd_us
+        FROM (SELECT (SELECT max(imp_ts) FROM v) AS mv,
+                     (SELECT max(clk_ts) FROM c) AS mc) mm),
+      j AS (
+        SELECT v.imp_id, c.clk_id, v.user_id, v.imp_ts, c.clk_ts
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+         AND c.clk_ts >= v.imp_ts
+         AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes')
+      SELECT j.imp_id, j.clk_id, j.user_id, j.imp_ts, j.clk_ts
+      FROM j, wm
+      WHERE j.clk_id IS NOT NULL
+         OR epoch_us(j.imp_ts) <= wm.bnd_us
       ORDER BY imp_id, clk_id""",
 
     // the plain batch left join over the streaming-timeline event set —

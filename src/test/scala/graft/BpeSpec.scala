@@ -49,6 +49,90 @@ class BpeSpec extends SparkSpec {
     assert(rows.exists(r => r.getInt(2) < r.getString(0).length))
   }
 
+  test("native graft_bpe_encode == the declarative replace-fold on the " +
+    "learned table, word for word") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val merges = TextOps.bpeMerges(spark, d, 50)
+    val rows = Tables.documents(spark, d)
+      .select(explode(graft.functions.GraftFunctions
+        .termCounts(col("text")))).toDF("word", "tf")
+      .select(col("word")).distinct()
+      .select(col("word"),
+        TextOps.bpeEncodeCol(col("word"), merges).as("fold"),
+        graft.functions.GraftFunctions.bpeEncode(col("word"), merges)
+          .as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"${r.getString(0)}: fold/native diverged"))
+  }
+
+  test("the 1,024-rule encode runs INSIDE WholeStageCodegen with " +
+    "fallbacks disabled — the fold-breaching depth as a compiled loop") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val merges = TextOps.syntheticMerges(1024)
+    // forbid silent interpretation: whole-stage fallback AND expression
+    // codegen fallback off — a Janino failure now throws instead of
+    // quietly running interpreted. AQE off so the WholeStageCodegen
+    // containment check sees one flat physical plan instead of nested
+    // query stages.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Tables.documents(spark, d)
+      .select(explode(graft.functions.GraftFunctions
+        .termCounts(col("text")))).toDF("word", "tf")
+      .select(col("word")).distinct()
+      .select(col("word"),
+        graft.functions.GraftFunctions.bpeEncode(col("word"), merges)
+          .as("enc"))
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r =>
+        assert(r.getString(1).replace(" ", "") === r.getString(0)))
+      // the encode expression's host node is inside a WholeStageCodegen
+      // stage (structurally — the collapsed plan fuses the projection
+      // into the aggregate's result expressions, so string-grepping the
+      // compact form misses it)
+      import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def hostsBpe(p: SparkPlan): Boolean = p.expressions.exists(
+        _.find(_.isInstanceOf[graft.functions.GraftBpeEncode]).isDefined)
+      val inWscg = finalPlan.collect { case w: WholeStageCodegenExec => w }
+        .exists(w => w.collect { case p if hostsBpe(p) => p }.nonEmpty)
+      assert(inWscg,
+        s"encode expression left WholeStageCodegen:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("a 50,000-rule table executes through the native kernel and " +
+    "matches the reference walk — the production-table-size claim") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val merges = TextOps.syntheticMerges(50000)
+    val words = Seq("interchangeable", "tokenization", "aaaaaa", "zq", "a")
+    val got = words.toDF("word")
+      .select(col("word"),
+        graft.functions.GraftFunctions.bpeEncode(col("word"), merges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // reference walk: the same literal-replace fold in plain Scala
+    def ref(w: String): String =
+      merges.foldLeft(w.toCharArray.mkString(" ")) { case (acc, (a, b)) =>
+        acc.replace(a + " " + b, a + b)
+      }
+    words.foreach(w => assert(got(w) === ref(w), s"50k-rule encode($w)"))
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("per-doc BPE token counts are bounded by words below and chars above") {
     val out = SparkEntry.queries("text_bpe_tokens")(spark, d).collect()
     assert(out.nonEmpty)

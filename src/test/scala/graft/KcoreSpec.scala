@@ -58,4 +58,30 @@ class KcoreSpec extends SparkSpec {
   test("empty edge set short-circuits to an empty core") {
     assert(core(Seq.empty, k = 3).isEmpty)
   }
+
+  test("cap headroom: the fixture co-purchase graphs converge well " +
+    "under the 20-round cap, and peel depth is structural, not " +
+    "size-driven") {
+    // The q36 cap is loud but data-dependent (the r10 verdict's
+    // hardening item): pin the REALIZED peel depth of the real gated
+    // graphs so corpus growth approaching the cap fails here first.
+    // sf0.001's graph historically cascades ~11 rounds (incl. the
+    // confirmation round); 14 leaves >= 6 rounds of headroom under the
+    // cap of 20 — and the 10x corpus (sf0.01) must not peel deeper than
+    // the small one by more than the slack, because depth follows the
+    // longest pendant cascade (graph structure), not row count.
+    val (coreSmall, rSmall) = graft.queries.Relational.kcoreWithRounds(
+      graft.queries.Relational.copurchaseEdges(spark, "/root/testdata/sf0.001"),
+      k = 3, maxRounds = 20)
+    assert(coreSmall.count() >= 0L)
+    assert(rSmall <= 14, s"sf0.001 peel depth $rSmall erodes the cap")
+    val (coreMid, rMid) = graft.queries.Relational.kcoreWithRounds(
+      graft.queries.Relational.copurchaseEdges(spark, "/root/testdata/sf0.01"),
+      k = 3, maxRounds = 20)
+    assert(coreMid.count() >= 0L)
+    assert(rMid <= 14, s"sf0.01 peel depth $rMid erodes the cap")
+    info(s"peel depth: sf0.001 = $rSmall rounds, sf0.01 = $rMid rounds " +
+      "(cap 20)")
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
 }

@@ -28,6 +28,37 @@ class RetrievalEvalSpec extends SparkSpec {
     Caching.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("nDCG readout: DCG recomputes from the gated bm25 top-10 with the " +
+    "pinned weights; weights are round(1e6/log2(r+1)); idcg dominates") {
+    // the pinned rank-weight constants really are the rounded log grid
+    val wts = Seq(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L,
+      333333L, 315465L, 301030L, 289065L)
+    (1 to 10).foreach { r =>
+      val w = math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+      assert(wts(r - 1) === w, s"rank-$r weight drifted from the grid")
+    }
+    val top = graft.queries.TextOps.queries("text_bm25_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val expectDcg = top.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map { case (_, rn, gain) => gain * wts(rn.toInt - 1) }.sum
+    }
+    val got = graft.queries.TextOps.queries("text_ndcg_eval")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    got.foreach { case (q, dcg, idcg, ndcg) =>
+      assert(dcg === expectDcg.getOrElse(q, 0L),
+        s"query $q: DCG drifted from the ranking it grades")
+      // the corpus-ideal ordering dominates any retrieval ordering over
+      // the same relevance truth (rearrangement + best-docs selection)
+      assert(idcg >= dcg, s"query $q: idcg $idcg < dcg $dcg")
+      if (idcg > 0L) assert(ndcg === dcg * 1000000L / idcg)
+      else assert(ndcg === 0L)
+      assert(ndcg <= 1000000L)
+    }
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("rr_ppm is exactly 10^6 div first_rel_rank (0 when absent)") {
     val got = graft.queries.TextOps.queries("text_mrr_eval")(spark, sf)
       .collect()
