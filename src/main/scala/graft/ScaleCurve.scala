@@ -92,7 +92,16 @@ object ScaleCurve {
     // a 30-row merge — linear scan cost, constant merge cost), and the
     // now-live attribution as-of walk (union + one window pass over
     // events∪orders, linear in both)
-    "events_csv_daily", "events_uniques_incremental", "events_attribution")
+    "events_csv_daily", "events_uniques_incremental", "events_attribution",
+    // round-11 session-2 additions: the JSONL landing-zone twin (write +
+    // parse linear in rows), the z-order layout census (one projection +
+    // one map-side-combinable aggregate — the curve evidences NO
+    // super-linear term hides in the 20-bit interleave), the join-view
+    // maintenance merge (four co-partitioned joins, each linear), and
+    // the BFS layer census (cost ∝ edges·layers with layers capped —
+    // the frontier shape's answer to kcore's peel-depth question)
+    "events_jsonl_daily", "events_zorder_layout", "q39_join_incremental",
+    "q40_bfs_layers")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -339,6 +339,43 @@ object Events {
     // or double round-trip misparse changes the hashed result.
     "events_csv_daily" -> ((s, d) => csvDaily(s, d)),
 
+    // ---- JSONL source end-to-end ([[jsonlDaily]]): the second
+    // landing-zone format, with the nested-JSON-in-JSON string hazard
+    // (`props`) live on the hash path and a per-execution plan contract
+    // (pushdown + pruning) like the CSV gate.
+    "events_jsonl_daily" -> ((s, d) => jsonlDaily(s, d)),
+
+    // ---- Z-order (Morton-curve) layout clustering — the multi-dim
+    // data-skipping discipline (Delta OPTIMIZE ZORDER / Iceberg
+    // sort-order): interleaving the bits of two dimensions gives ONE
+    // sort/cluster key under which value-locality holds in BOTH dims at
+    // once, so per-file min/max stats prune 2-dim predicates that a
+    // single-column sort can only prune in its own dim. Here: x =
+    // user_id, y = value-cents, each folded onto a 10-bit grid (pmod
+    // 1024 — production would use the q38 range-boundary machinery for
+    // equi-depth bucketization first); z interleaves them (x in odd
+    // bits, y in even); the layout unit is the top-5-bit z block
+    // (z >> 15 → 32 "files"). The gated output is each block's row count
+    // and x/y BOUNDING BOX — exactly the min/max stats a z-clustered
+    // write hands the scan planner, and the narrowness of those boxes
+    // (~×32 smaller than the domain in each dim) IS the skipping
+    // guarantee. Fully distributed: the bit arithmetic is a projection,
+    // the census one map-side-combinable aggregate — no global sort or
+    // window; at 100 TB the same z key feeds repartitionByRange + sorted
+    // parquet writes and this query is the layout-audit readout.
+    "events_zorder_layout" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(1024L)).as("x"),
+          pmod(cents(col("value")).cast("long"), lit(1024L)).as("y"))
+      e.withColumn("blk", shiftright(zorderKey(col("x"), col("y")), 15))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("blk"))
+    }),
+
     // ---- mergeable distinct-count maintenance (the sketch analog of
     // `events_agg_incremental` — how a 100 TB daily-uniques rollup is
     // KEPT current): per-day HLL sketches built independently over the
@@ -1277,6 +1314,75 @@ object Events {
     out
   }
 
+  /** The JSONL-source rollup behind `events_jsonl_daily` — the OTHER
+    * landing-zone format ([[csvDaily]]'s sibling; API drops and log
+    * shippers deliver JSON-lines at least as often as CSV). Same
+    * conventions: one export per (JVM, source path) via
+    * `TempLayouts.cached`, read back with an EXPLICIT schema (never
+    * inferSchema — a full extra pass), `ts` as unix micros so timestamp
+    * formatting never enters the hash path. What JSONL uniquely
+    * round-trips that CSV does not: the `props` column is itself a JSON
+    * document carried as a STRING field — the writer must escape the
+    * inner quotes and the reader must restore the byte-identical string
+    * (the classic nested-JSON-in-JSON hazard; `props_chars` and the
+    * downstream hash catch any mangling), and absent keys vs null values
+    * are both read as SQL NULL under the explicit schema. The rollup is
+    * deliberately DIFFERENT from the CSV gate's (per-type value extremes
+    * on the cents grid + day span) so the two landing-zone gates cannot
+    * mask each other.
+    *
+    * Plan contract, require()d per execution like the CSV gate: the
+    * `ts_us` filter is pushed into the JSON scan (Jackson row-skipping —
+    * `spark.sql.json.filterPushdown.enabled`) and the parsed schema is
+    * pruned to the referenced fields (event_id is exported but never
+    * read: JSON parsers skip unrequested fields token-by-token). */
+  /** 20-bit Morton interleave of two 10-bit dims (x in odd bit
+    * positions, y in even) — the z-order clustering key behind
+    * `events_zorder_layout`. Inputs MUST be in [0, 1024) (the query
+    * pmod-folds; the bit terms silently alias otherwise). Pure codegen'd
+    * integer arithmetic — 20 shift/mask/multiply terms, no UDF. */
+  private[graft] def zorderKey(x: org.apache.spark.sql.Column,
+                               y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until 10).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  private[graft] def jsonlDaily(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("props"))
+    val loc = graft.TempLayouts.cached("graft-jsonl", d) { p =>
+      src.write.mode("overwrite").json(s"$p/events_jsonl")
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val out = s.read.schema(schema).json(s"$loc/events_jsonl")
+      .filter(col("ts_us").isNotNull)
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"),
+        col("user_id"), col("value"), col("props"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+        min(cents(col("value")).cast("long")).as("min_cents"),
+        max(cents(col("value")).cast("long")).as("max_cents"),
+        sum(length(col("props")).cast("long")).as("props_chars"))
+      .orderBy(col("event_type").asc_nulls_last)
+    val plan = out.queryExecution.sparkPlan.toString
+    require(plan.contains("IsNotNull(ts_us)"),
+      "events_jsonl_daily: the timeline filter was not pushed into the " +
+        "JSON scan:\n" + plan)
+    require(!plan.contains("event_id"),
+      "events_jsonl_daily: the JSON scan schema was not pruned (event_id " +
+        "is exported but unreferenced):\n" + plan)
+    out
+  }
+
   private val sumValue =
     "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
 
@@ -1314,6 +1420,44 @@ object Events {
       WHERE ts IS NOT NULL
       GROUP BY 1, 2
       ORDER BY 1, 2 NULLS LAST""",
+
+    // the JSONL layout is cost-level only, like the CSV gate: the oracle
+    // replays the rollup from the parquet table, so any JSON round-trip
+    // infidelity — inner-quote escaping of the props JSON string, double
+    // printing, null-vs-absent fields, the micros-long timestamp carry —
+    // breaks the hash
+    "events_jsonl_daily" -> """
+      SELECT event_type,
+        count(*) AS n,
+        count(DISTINCT date_trunc('day', ts)) AS n_days,
+        min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS min_cents,
+        max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS max_cents,
+        CAST(sum(len(props)) AS BIGINT) AS props_chars
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY 1
+      ORDER BY 1 NULLS LAST""",
+
+    // bit-exact Morton interleave replay, the 20 bit-terms unrolled
+    // per row (both engines' >> and & agree on non-negative BIGINTs;
+    // x,y are pmod-folded so always in [0, 1024))
+    "events_zorder_layout" -> s"""
+      WITH d AS (
+        SELECT ((user_id % 1024) + 1024) % 1024 AS x,
+          ((CAST(floor(value * 100.0 + 0.5) AS BIGINT) % 1024) + 1024)
+            % 1024 AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      zd AS (SELECT x, y, ${(0 until 10).map(i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"((y >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")} AS z
+        FROM d)
+      SELECT (z >> 15) AS blk, count(*) AS n,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y
+      FROM zd
+      GROUP BY 1
+      ORDER BY 1""",
 
     // the sketch twin gates its CONTRACT (the events_quantiles_sketch
     // convention): exact per-day distincts plus the constant-1 bound

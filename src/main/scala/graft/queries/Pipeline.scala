@@ -27,6 +27,29 @@ object Pipeline {
     conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
+  /** HRW assignment behind `docs_shard_rendezvous`: (doc_id, shard) for
+    * every non-null-id document, shard = argmax over 0..nShards−1 of the
+    * shared 60-bit key hash of `doc_id:shard` (ties → smallest shard —
+    * the row_number convention; practically unreachable on a 60-bit
+    * grid). Factored so `RendezvousSpec` can pin the HRW stability
+    * theorem across two shard counts. */
+  private[graft] def rendezvousAssign(
+      docs: org.apache.spark.sql.DataFrame,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val shards = s.range(0, nShards.toLong).select(col("id").as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("wt").desc, col("shard").asc)
+    docs.filter(col("doc_id").isNotNull).select(col("doc_id"))
+      .crossJoin(broadcast(shards))
+      .withColumn("wt", keyHash(concat(col("doc_id").cast("string"),
+        lit(":"), col("shard").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("shard"))
+  }
+
   /** Ingest-time measure scrub: non-finite doubles (NaN / ±Inf) and
     * magnitudes beyond `maxAbs` become NULL, handing them to the
     * engine-wide null-measure conventions (excluded from buckets, medians,
@@ -223,6 +246,28 @@ object Pipeline {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- rendezvous (highest-random-weight) shard assignment — the
+    // CONSISTENT placement discipline for distributed writes and stateful
+    // services (Thaler–Ravishankar HRW; the alternative to a hash ring):
+    // shard(doc) = argmax over shards of hash(doc_id : shard). What mod-N
+    // placement cannot give and HRW gives by construction: when a shard
+    // is REMOVED, only ITS documents move (each survivor's argmax over
+    // the remaining set is unchanged — pinned as the stability theorem
+    // in `RendezvousSpec`), so a 100 TB reshard touches 1/N of the data
+    // instead of (N−1)/N. Pure projection + an 8-row broadcast cross —
+    // the placement of any row is decidable anywhere with no directory
+    // service, which is what makes it work under incremental ingest.
+    // Gated output: the per-shard census (count + id range); the
+    // assignment itself is the argmax row_number under the (weight DESC,
+    // shard ASC) total order on the shared 60-bit md5 key grid.
+    "docs_shard_rendezvous" -> ((s, d) =>
+      rendezvousAssign(Tables.documents(s, d), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))),
+
     // ---- deterministic train/val/test split: bucket = hash(doc_id) % 100
     // → 90/5/5. A pure projection — the split of any row is decidable
     // anywhere, which is what makes it work under incremental ingest.
@@ -938,6 +983,27 @@ object Pipeline {
         WHERE dx.doc_id IS NULL)"""
 
   val oracles: Map[String, String] = Map(
+    // HRW replayed: the same 60-bit md5 key over 'doc_id:shard', argmax
+    // per document, per-shard census; null-id docs are unplaceable and
+    // excluded in both engines
+    "docs_shard_rendezvous" -> """
+      WITH sh AS (SELECT unnest(range(0, 8)) AS shard),
+      w AS (
+        SELECT d.doc_id, sh.shard,
+          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+            || CAST(sh.shard AS VARCHAR)), 1, 15)) AS BIGINT) AS wt
+        FROM documents d CROSS JOIN sh
+        WHERE d.doc_id IS NOT NULL),
+      a AS (SELECT doc_id, shard FROM (
+              SELECT doc_id, shard, row_number() OVER (
+                PARTITION BY doc_id ORDER BY wt DESC, shard ASC) AS rn
+              FROM w) t WHERE rn = 1)
+      SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM a
+      GROUP BY shard
+      ORDER BY shard""",
+
     "docs_split_train_val" -> """
       SELECT doc_id,
         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)

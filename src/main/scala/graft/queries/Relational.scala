@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -814,8 +814,117 @@ object Relational {
           (col("bv").cast("double") / 100.0).as("boundary"),
           col("n_at_or_below"))
         .orderBy(col("k"))
-    })
+    }),
+
+    // ---- incremental maintenance of a JOIN view (the join analog of
+    // `events_agg_incremental` — how a 100 TB orders⋈lineitem revenue
+    // rollup is KEPT current without re-joining history): with snapshot
+    // cut T = 1997-01-01 splitting each side (orders by o_orderdate,
+    // lineitem by l_shipdate; null dates conservatively land in the old
+    // slice so every row is in exactly one), the delta algebra
+    // Δ(A⋈B) = ΔA⋈B_old ⊎ A_old⋈ΔB ⊎ ΔA⋈ΔB partitions the new join
+    // pairs EXACTLY — the gate computes the view as stored_agg(A_old⋈
+    // B_old) ⊕ the three delta-term aggregates merged by key, and the
+    // oracle computes the DIRECT join aggregate, so any error in the
+    // delta algebra (a missed term, a double-counted pair, a wrong split
+    // polarity) breaks the hash. n_delta_pairs (the pairs the
+    // maintenance pass actually touched) is on the output so the deltas
+    // are provably live: at the fixture cut, late shipments of old
+    // orders (A_old⋈ΔB) dominate, exactly the production shape. Scale:
+    // maintenance cost is the three delta joins — each bounded by the
+    // DELTA's size on at least one side — never a rescan of A_old⋈B_old;
+    // all four joins co-partition on the same key (one exchange each
+    // side), and the merge is a #months-row aggregate.
+    "q39_join_incremental" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cut = lit(java.sql.Date.valueOf("1997-01-01"))
+      val a = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("month"),
+        (col("o_orderdate") >= cut).as("a_new"))
+      val b = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        grid(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          10000.0).cast(dec).as("rev"),
+        (col("l_shipdate") >= cut).as("b_new"))
+      joinViewIncremental(a, b)
+    }),
+
+    // ---- BFS shortest-path layers from a deterministic source (the
+    // frontier-expansion primitive under "products within k hops",
+    // blast-radius, and graph-feature pipelines — the third iterative
+    // graph shape beside the k-core peel and the components loop, and
+    // the one whose per-round working set is the FRONTIER, not the
+    // graph). Source = the smallest vertex of [[copurchaseEdges]] (a
+    // computable pin that exists at every SF and on every salted
+    // corpus); layers capped at 6 (the oracle's replay depth — a loud,
+    // documented cap like kcore's). Per round: frontier ⋈ edges (the
+    // frontier side shrinks or stays bounded by |V|), one distinct, one
+    // anti-join against visited, `localCheckpoint` so lineage stays one
+    // round deep; cost per round is O(edges incident to frontier) and
+    // the total is O(m) per layer — the Pregel BFS shape. Output is the
+    // per-layer census (count, min/max vertex), which pins every layer's
+    // SET without emitting |V| rows. Oracle: recursive CTE producing
+    // (v, d) pairs with min-d per vertex — UNION-dedup bounds the
+    // recursion at |V|·7 rows.
+    "q40_bfs_layers" -> ((s, d) => bfsLayers(copurchaseEdges(s, d),
+      maxDepth = 6))
   )
+
+  /** The snapshot⊕delta join-view merge behind `q39_join_incremental`:
+    * `a(k, month, a_new)` ⋈ `b(k, rev: decimal(38,0), b_new)` maintained
+    * as stored_agg(A_old⋈B_old) plus the three delta-term aggregates
+    * (ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB — an EXACT partition of the new pairs),
+    * merged by month. Null `*_new` flags land old-side (a row must be in
+    * exactly one slice). Factored so specs can drive hand frames where
+    * every leg is populated, including the null-flag rows. */
+  private[graft] def joinViewIncremental(a: DataFrame,
+                                         b: DataFrame): DataFrame = {
+    def leg(af: Column, bf: Column) =
+      a.filter(af).join(b.filter(bf), "k")
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("np"), sum(col("rev")).as("rv"))
+    val aOld = !coalesce(col("a_new"), lit(false))
+    val bOld = !coalesce(col("b_new"), lit(false))
+    val stored = leg(aOld, bOld).withColumn("is_delta", lit(0L))
+    val deltas = leg(!aOld, bOld).withColumn("is_delta", lit(1L))
+      .unionAll(leg(aOld, !bOld).withColumn("is_delta", lit(1L)))
+      .unionAll(leg(!aOld, !bOld).withColumn("is_delta", lit(1L)))
+    stored.unionAll(deltas)
+      .groupBy(col("month"))
+      .agg(sum(col("np")).cast("long").as("n_pairs"),
+        sum(when(col("is_delta") === 1L, col("np"))
+          .otherwise(0L)).cast("long").as("n_delta_pairs"),
+        (sum(col("rv")).cast("double") / lit(10000.0)).as("revenue"))
+      .orderBy(col("month").asc_nulls_last)
+  }
+
+  /** BFS layer census behind `q40_bfs_layers`: min-hop distance from the
+    * graph's smallest vertex over an undirected `(a, b)` edge list,
+    * layers 0..maxDepth, one row per layer. */
+  private[graft] def bfsLayers(edges0: DataFrame, maxDepth: Int): DataFrame = {
+    val snap: DataFrame => DataFrame = df => df.localCheckpoint(eager = true)
+    val edges = graft.Caching.persistTracked(edges0)
+    val und = edges.unionAll(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    val seed = edges.agg(min(least(col("a"), col("b"))).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(0L).as("dist"))
+    var visited = snap(seed)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(und, frontier("v") === und("a"))
+        .select(und("b").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .select(col("v"), lit(depth.toLong).as("dist"))
+      frontier = snap(next)
+      visited = snap(visited.unionAll(frontier))
+    }
+    visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy(col("dist"))
+  }
 
   /** Degree-oriented triangle statistics over an undirected edge list
     * (`a < b` per row, no duplicates) — the enumeration behind
@@ -1118,6 +1227,52 @@ object Relational {
         CAST(c2.cum AS BIGINT) AS n_at_or_below
       FROM b JOIN cum c2 ON c2.v = b.bv
       ORDER BY k""",
+
+    // the snapshot/delta decomposition is cost-level machinery: the
+    // oracle computes the DIRECT join aggregate, so a missed delta term,
+    // a double-counted pair, or a wrong split polarity in the engine's
+    // maintenance algebra breaks the hash. Old-side predicate is the
+    // null-conservative complement (date < T OR date IS NULL), matching
+    // the engine's !coalesce(new, false).
+    "q39_join_incremental" -> """
+      SELECT substr(CAST(o.o_orderdate AS VARCHAR), 1, 7) AS month,
+        count(*) AS n_pairs,
+        count(*) FILTER (WHERE NOT (
+          (o.o_orderdate < DATE '1997-01-01' OR o.o_orderdate IS NULL)
+          AND (l.l_shipdate < DATE '1997-01-01' OR l.l_shipdate IS NULL)))
+          AS n_delta_pairs,
+        CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+          * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+      ORDER BY 1 NULLS LAST""",
+
+    // min-hop distances as a recursive CTE: UNION (not UNION ALL) dedups
+    // (v, d) pairs so the recursion is bounded at |V|·(depth+1) rows even
+    // on cyclic graphs; min(d) per vertex recovers the BFS layer. Edge
+    // derivation shares the q36_kcore oracle's text; seed = min(a) (every
+    // edge stores its smaller endpoint as a, so min(a) IS the smallest
+    // vertex).
+    "q40_bfs_layers" -> """
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT a.p AS a, b.p AS b FROM items a
+        JOIN items b ON b.o = a.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2),
+      und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      seed AS (SELECT min(a) AS v FROM e),
+      bfs(v, d) AS (
+        SELECT v, 0 FROM seed WHERE v IS NOT NULL
+        UNION
+        SELECT u.b, bfs.d + 1 FROM bfs JOIN und u ON u.a = bfs.v
+        WHERE bfs.d < 6),
+      md AS (SELECT v, min(d) AS dist FROM bfs GROUP BY v)
+      SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_vertices,
+        min(v) AS min_v, max(v) AS max_v
+      FROM md
+      GROUP BY dist
+      ORDER BY dist""",
 
     // 3 PageRank iterations unrolled as one CTE per step; every factor is
     // BIGINT (// = integer div), contributions divided BEFORE the sum in

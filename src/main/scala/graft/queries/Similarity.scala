@@ -523,6 +523,82 @@ object Similarity {
     // from the two gated halves (see [[ivfPqTopK]])
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d, k = 10, nprobe = 3)),
 
+    // ---- two-stage retrieve: ADC shortlist → EXACT re-rank — the
+    // production serving pattern the single-stage gates stop short of
+    // (FAISS's refine step / every vector-DB's "rerank=true"). Stage 1
+    // is the gated IVF+PQ pipeline verbatim ([[ivfPqTopK]], k=50): cells
+    // bound WHAT is scanned, codes bound BYTES per scanned vector, and
+    // 50 ≫ 10 absorbs PQ's quantization error. Stage 2 re-ranks ONLY
+    // those ≤50 rows per query by the exact gridded cosine key
+    // ([[ivfTopK]]'s fkey) — full-precision vectors are touched for
+    // 50/N of the corpus, which is the entire point: at 100 TB the
+    // exact-distance pass costs #queries·50 dot products regardless of
+    // corpus size, while accuracy recovers to exact-over-shortlist.
+    // Plan shape: the narrow shortlist broadcast-joins the query
+    // vectors (≤5 rows) and hash-joins the corpus grid on vec_id; the
+    // rank window is per-query bounded. Oracle: the ivfpq CTE chain
+    // re-ranked by the shared fkey arithmetic — stage 1 cannot drift
+    // from `sim_ivfpq_topk` (same text) nor stage 2 from `sim_ivf_topk`.
+    "sim_ivf_rerank" -> ((s, d) => ivfRerankTopK(s, d, k = 10)
+      .orderBy(col("qid"), col("rank"))),
+
+    // ---- recall@10 of the two-stage pipeline vs brute truth — the
+    // number that JUSTIFIES the rerank stage: `sim_recall_pq` measures
+    // what ADC alone costs in neighbor fidelity, this measures what the
+    // exact re-rank buys back (candidates the probes never saw remain
+    // the only loss). Both legs are the gated plans verbatim; pure set
+    // intersection, the recall-family convention.
+    "sim_recall_rerank" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val brute = bruteTopK(emb, q, 10).select(col("qid"), col("vec_id"))
+      val rr = ivfRerankTopK(s, d, k = 10)
+        .select(col("qid").as("rqid"), col("vec_id").as("r_vec_id"))
+      brute
+        .join(rr, col("qid") === col("rqid") &&
+          col("vec_id") === col("r_vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_brute"),
+          count(col("r_vec_id")).as("n_hits"))
+        .select(col("qid"), col("n_brute"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_brute")).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // ---- recall@10 of PREFIX-dimension cosine vs the full-dimension
+    // brute — the Matryoshka/MRL readout (how much neighbor fidelity a
+    // 4× dimension truncation keeps): the index leg ranks by cosine
+    // over only the FIRST 16 of 64 coordinates (at 100 TB, a prefix
+    // index is 1/4 the bytes and 1/4 the dot-product FLOPs of the full
+    // one — the cheapest ANN "compression" there is, zero training).
+    // Legs share the brute machinery ([[bruteTopK]] over the sliced
+    // frame — the norm guard excludes zero-PREFIX vectors from the
+    // index leg exactly as zero-norm vectors are excluded from the
+    // brute leg); metric is pure set intersection.
+    "sim_recall_prefix" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val brute = bruteTopK(emb, q, 10).select(col("qid"), col("vec_id"))
+      val embP = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val qP = q.select(col("qid"), slice(col("qe"), 1, 16).as("qe"))
+      val pfx = bruteTopK(embP, qP, 10)
+        .select(col("qid").as("pqid"), col("vec_id").as("p_vec_id"))
+      brute
+        .join(pfx, col("qid") === col("pqid") &&
+          col("vec_id") === col("p_vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_brute"),
+          count(col("p_vec_id")).as("n_hits"))
+        .select(col("qid"), col("n_brute"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_brute")).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // ---- Lloyd's k-means over the embedding corpus — the unsupervised
     // companion to the label-keyed `emb_centroids` (data-curation clustering:
     // SemDeDup cells, domain discovery, diversity sampling). Two unrolled
@@ -1238,6 +1314,31 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Two-stage retrieve behind `sim_ivf_rerank`: [[ivfPqTopK]]'s ADC
+    * shortlist at k=50, exact-cosine ([[ivfTopK]]'s fkey) re-rank of only
+    * those rows, top-`k` per query. Plan shape documented at the query
+    * entry. */
+  private[graft] def ivfRerankTopK(s: SparkSession, d: String,
+                                   k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val gf = graft.functions.GraftFunctions
+    val shortlist = ivfPqTopK(s, d, k = 50, nprobe = 3)
+      .select(col("qid"), col("vec_id"))
+    val g = ivfGrid(s, d)
+    val q = g.filter(col("vec_id") <= 4 && col("n2") > 0)
+      .select(col("vec_id").as("qid"), col("xg").as("qg"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("fkey").desc, col("vec_id").asc)
+    shortlist
+      .join(broadcast(q), "qid")
+      .join(g.filter(col("n2") > 0).hint("shuffle_hash"), "vec_id")
+      .withColumn("fkey",
+        gf.cosKey(gf.dotl(col("qg"), col("xg")), col("n2")))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"))
+  }
+
   /** Two Lloyd assignment rounds over the gridded corpus, exact-integer
     * end to end. Returns (assignments, gridded corpus): assignments carry
     * (vec_id, cluster, dist2) from the SECOND assignment — i.e. against the
@@ -1500,6 +1601,41 @@ object Similarity {
       ivfranks AS (
         SELECT qid, vec_id, CAST(row_number() OVER (
           PARTITION BY qid ORDER BY key DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM fkey)"""
+
+  /** Two-stage-retrieve oracle CTE block replaying [[ivfRerankTopK]] on
+    * top of `e` + [[ivfCoarseCtes]] + [[pqCtes]]: the sim_ivfpq_topk ADC
+    * chain cut at 50, then the sim_ivf_topk fkey arithmetic over only
+    * the shortlist pairs; yields `rerankranks(qid, vec_id, rank)`.
+    * Shared by `sim_ivf_rerank` and `sim_recall_rerank`. */
+  private val ivfRerankCtes = """
+      cand AS (SELECT p.qid, a.vec_id
+               FROM probes p JOIN assign a ON a.label = p.label),
+      adc AS (SELECT cand.qid, cand.vec_id, sum(l.d2) AS adc2
+              FROM cand
+              JOIN codes k ON k.vec_id = cand.vec_id
+              JOIN lut l ON l.qid = cand.qid AND l.s = k.s
+                        AND l.code_id = k.code_id
+              GROUP BY cand.qid, cand.vec_id),
+      short AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc2 ASC, vec_id ASC) AS rn
+                  FROM adc) t WHERE rn <= 50),
+      fd AS (SELECT sh.qid, sh.vec_id,
+               sum(CAST(eq.xg AS HUGEINT) * ec.xg) AS d
+             FROM short sh
+             JOIN e eq ON eq.vec_id = sh.qid
+             JOIN e ec ON ec.vec_id = sh.vec_id AND ec.j = eq.j
+             GROUP BY sh.qid, sh.vec_id),
+      fkey AS (SELECT fd.qid, fd.vec_id,
+                 (fd.d * abs(fd.d) * 1000000
+                    - ((fd.d * abs(fd.d) * 1000000) % n2.n2 + n2.n2)
+                      % n2.n2) // n2.n2 AS key
+               FROM fd JOIN n2 ON n2.vec_id = fd.vec_id
+               WHERE n2.n2 > 0),
+      rerankranks AS (
+        SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY key DESC, vec_id ASC) AS rank
         FROM fkey)"""
 
   /** The dedup_embed_cosine pair set as oracle CTEs (yields
@@ -1866,6 +2002,85 @@ object Similarity {
         CAST(adc2 AS BIGINT) AS adc2
       FROM r WHERE rank <= 10
       ORDER BY qid, rank""",
+
+    // stage 1 = the sim_ivfpq_topk chain at k=50 (identical CTE text —
+    // the shortlist cannot drift from the gated index); stage 2 = the
+    // sim_ivf_topk fkey arithmetic over ONLY the shortlist pairs
+    // (shared block: [[ivfRerankCtes]], also the recall readout's leg)
+    "sim_ivf_rerank" -> s"""
+      WITH e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings),
+      $ivfCoarseCtes,
+      $pqCtes,
+      $ivfRerankCtes
+      SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM rerankranks
+      WHERE rank <= 10
+      ORDER BY qid, rank""",
+
+    // brute truth ∩ the shared rerank block — the recall-family shape
+    "sim_recall_rerank" -> s"""
+      WITH $bruteNnCtes,
+      e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings),
+      $ivfCoarseCtes,
+      $pqCtes,
+      $ivfRerankCtes,
+      brute AS (SELECT qid, vec_id FROM bruteranks WHERE rank <= 10),
+      rr AS (SELECT qid, vec_id FROM rerankranks WHERE rank <= 10)
+      SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        CAST(count(r.vec_id) AS BIGINT) AS n_hits,
+        CAST(count(r.vec_id) AS DOUBLE) / count(*) AS recall
+      FROM brute b
+      LEFT JOIN rr r ON r.qid = b.qid AND r.vec_id = b.vec_id
+      GROUP BY b.qid
+      ORDER BY b.qid""",
+
+    // brute truth ∩ the prefix-cosine leg — the prefix leg repeats the
+    // brute CTE shape over embedding[1:16] with its own norm guard
+    "sim_recall_prefix" -> """
+      WITH nn0 AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+      nn AS MATERIALIZED (
+        SELECT vec_id, embedding FROM nn0
+        WHERE list_inner_product(embedding, embedding) > 0),
+      bruteranks AS (
+        SELECT q.vec_id AS qid, e.vec_id,
+          CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                     e.vec_id ASC) AS BIGINT) AS rank
+        FROM nn q CROSS JOIN nn e
+        WHERE q.vec_id <= 4),
+      pf0 AS MATERIALIZED (
+        SELECT vec_id, embedding[1:16] AS pe FROM embeddings
+        WHERE embedding IS NOT NULL),
+      pf AS MATERIALIZED (
+        SELECT vec_id, pe FROM pf0
+        WHERE list_inner_product(pe, pe) > 0),
+      pranks AS (
+        SELECT q.vec_id AS qid, e.vec_id,
+          CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.pe, e.pe) DESC,
+                     e.vec_id ASC) AS BIGINT) AS rank
+        FROM pf q CROSS JOIN pf e
+        WHERE q.vec_id <= 4),
+      brute AS (SELECT qid, vec_id FROM bruteranks WHERE rank <= 10),
+      pfx AS (SELECT qid, vec_id FROM pranks WHERE rank <= 10)
+      SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+        CAST(count(p.vec_id) AS DOUBLE) / count(*) AS recall
+      FROM brute b
+      LEFT JOIN pfx p ON p.qid = b.qid AND p.vec_id = b.vec_id
+      GROUP BY b.qid
+      ORDER BY b.qid""",
 
     "sim_ivf_topk" -> s"""
       WITH e AS (

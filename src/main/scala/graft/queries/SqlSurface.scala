@@ -308,7 +308,29 @@ object SqlSurface {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           AS filled_sum
       FROM j
-      ORDER BY event_type, hour""")
+      ORDER BY event_type, hour"""),
+
+    // ---- the z-order layout census as one SQL string — exercises the
+    // BIT-ARITHMETIC surface through the parser frontend (shiftright,
+    // bitwise &, pmod — the first sql_* twin to rank bits): the same
+    // 20-term Morton interleave and top-5-bit block census as the
+    // DataFrame twin, sharing its oracle.
+    "sql_zorder_layout" -> sql(s"""
+      WITH d AS (
+        SELECT pmod(user_id, 1024) AS x,
+          pmod(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 1024) AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      zd AS (SELECT x, y, ${(0 until 10).map(i =>
+        s"(shiftright(x, $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"(shiftright(y, $i) & 1) * ${1L << (2 * i)}").mkString(" + ")}
+        AS z FROM d)
+      SELECT shiftright(z, 15) AS blk, count(*) AS n,
+        min(x) AS min_x, max(x) AS max_x,
+        min(y) AS min_y, max(y) AS max_y
+      FROM zd
+      GROUP BY 1
+      ORDER BY 1""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +366,8 @@ object SqlSurface {
     // the DataFrame twin's oracle verbatim — same grid, same threshold
     "sql_cosine_pairs" -> TextOps.oracles("text_cosine_pairs"),
     // the DataFrame twin's oracle verbatim — same spine, same fill
-    "sql_gapfill" -> Events.oracles("events_gapfill")
+    "sql_gapfill" -> Events.oracles("events_gapfill"),
+    // the DataFrame twin's oracle verbatim — same interleave, same census
+    "sql_zorder_layout" -> Events.oracles("events_zorder_layout")
   )
 }

@@ -465,6 +465,49 @@ object StreamingRun {
       .orderBy(col("imp_id"), col("clk_id").asc_nulls_last)
   }
 
+  /** Oracle-gated stream-stream FULL OUTER watermarked interval join —
+    * the last join mode ([[attributionAvailableNow]] inner,
+    * [[attributionOuterAvailableNow]] left): every impression AND every
+    * click reported, matched or not — the reconciliation shape (did any
+    * click arrive clickstream-only? any impression adstream-only?).
+    * Same readers, same interval condition; null-extensions are emitted
+    * on STATE EVICTION per side:
+    *  - an unmatched VIEW null-extends under the left-outer horizon
+    *    (non-strict µs vs ms-floored `min(maxView, maxClick) − 10min −
+    *    30min` — re-pinned by `StreamOuterJoinSpec`);
+    *  - an unmatched CLICK null-extends under ITS OWN state horizon,
+    *    which has NO 30-minute term: a stored click only matches views
+    *    with `imp_ts ≤ clk_ts`, and future accepted views sit above the
+    *    global watermark, so the click state is releasable as soon as
+    *    the watermark passes `clk_ts` itself — probed boundary:
+    *    `clk_ts_us < (ms-floored min(maxView, maxClick) − 10min) ·
+    *    1000`, STRICT (the GroupState polarity, not the windowed-agg
+    *    one the view side uses — the two sides genuinely differ, which
+    *    is exactly why both get probe pins in `StreamFullJoinSpec`). */
+  def attributionFullAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+    val joined = views.join(clicks,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "fullOuter")
+      .select(col("imp_id"), col("clk_id"),
+        coalesce(col("imp_user"), col("clk_user")).as("user_id"),
+        col("imp_ts").cast("timestamp_ntz").as("imp_ts"),
+        col("clk_ts").cast("timestamp_ntz").as("clk_ts"))
+    drainToSink(joined)
+      .orderBy(col("imp_id").asc_nulls_last, col("clk_id").asc_nulls_last)
+  }
+
   /** Oracle-gated stream-static broadcast enrichment — the fifth
     * streaming shape in the gate, and the stateless one: every
     * micro-batch of the event stream left-outer joins a BROADCAST static
@@ -599,6 +642,8 @@ object StreamingRun {
     "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d)),
     "events_stream_join_outer" -> ((s, d) =>
       attributionOuterAvailableNow(s, d)),
+    "events_stream_join_full" -> ((s, d) =>
+      attributionFullAvailableNow(s, d)),
     "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d)),
     "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d)),
     "events_stream_counts" -> ((s, d) => countsAvailableNow(s, d))
@@ -789,6 +834,48 @@ object StreamingRun {
       WHERE j.clk_id IS NOT NULL
          OR epoch_us(j.imp_ts) <= wm.bnd_us
       ORDER BY imp_id, clk_id""",
+
+    // the batch FULL interval join over the streaming-timeline event set
+    // with PER-SIDE eviction horizons, both probed (ProbeFullJoin →
+    // StreamFullJoinSpec): an unmatched view null-extends under the
+    // left-outer horizon (wm − 30min, non-strict µs vs the ms-floored
+    // watermark — the interval's width is the view state's lifetime); an
+    // unmatched click under its OWN horizon wm − 1ms (non-strict µs) —
+    // NO 30-minute term, because a stored click only matches views with
+    // imp_ts <= clk_ts and future accepted views sit above the
+    // watermark, so click state is releasable one watermark tick past
+    // clk_ts itself. The 1 ms is the watermark's granularity, not a
+    // magic constant. Both horizons ride the same per-side-min ms-floored
+    // watermark; either side empty → bnd NULL → no null rows anywhere
+    "events_stream_join_full" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
+      v AS (
+        SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM ev
+        WHERE event_type = 'view'),
+      c AS (
+        SELECT event_id AS clk_id, user_id, ts AS clk_ts FROM ev
+        WHERE event_type = 'click'),
+      wm AS (
+        SELECT CASE WHEN mv IS NULL OR mc IS NULL THEN NULL
+          ELSE epoch_us(least(mv, mc)) // 1000 - 600000 END AS wm_ms
+        FROM (SELECT (SELECT max(imp_ts) FROM v) AS mv,
+                     (SELECT max(clk_ts) FROM c) AS mc) mm),
+      j AS (
+        SELECT v.imp_id, c.clk_id,
+          coalesce(v.user_id, c.user_id) AS user_id, v.imp_ts, c.clk_ts
+        FROM v FULL JOIN c ON v.user_id = c.user_id
+         AND c.clk_ts >= v.imp_ts
+         AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes')
+      SELECT j.imp_id, j.clk_id, j.user_id, j.imp_ts, j.clk_ts
+      FROM j, wm
+      WHERE (j.imp_id IS NOT NULL AND j.clk_id IS NOT NULL)
+         OR (j.clk_id IS NULL
+             AND epoch_us(j.imp_ts) <= (wm.wm_ms - 1800000) * 1000)
+         OR (j.imp_id IS NULL
+             AND epoch_us(j.clk_ts) <= (wm.wm_ms - 1) * 1000)
+      ORDER BY imp_id NULLS LAST, clk_id NULLS LAST""",
 
     // the plain batch left join over the streaming-timeline event set —
     // stream-static enrichment is stateless and per-batch pure, so the

@@ -144,6 +144,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerank = exact-cosine order restricted to the ADC shortlist") {
+    val d = "/root/testdata/sf0.001"
+    val sim = graft.queries.Similarity
+    // the stage-1 shortlist the gate uses (ADC top-50 per query)
+    val shortlist = sim.ivfPqTopK(spark, d, k = 50, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact-key order over ALL probed candidates (k large = no cut)
+    val exactOrder = sim.ivfTopK(spark, d, k = 1000000, nprobe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val expected = exactOrder.map { case (qid, order) =>
+      qid -> order.filter(shortlist(qid)).take(10)
+    }
+    val got = sim.queries("sim_ivf_rerank")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.nonEmpty && got == expected.filter(_._2.nonEmpty))
+  }
+
   test("PQ raises loudly on non-dense vec_ids (no silent empty codebook)") {
     import spark.implicits._
     val v = (0 until 64).map(i => math.sin(i + 1.0).toFloat).toArray

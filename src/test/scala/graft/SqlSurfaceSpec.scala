@@ -33,6 +33,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows("sql_gapfill") == rows("events_gapfill"))
   }
 
+  test("sql_zorder_layout == events_zorder_layout (DataFrame)") {
+    assert(rows("sql_zorder_layout") == rows("events_zorder_layout"))
+  }
+
   test("sql_cosine_pairs == text_cosine_pairs (DataFrame)") {
     val eq = rows("sql_cosine_pairs") == rows("text_cosine_pairs")
     Caching.releaseAll(); spark.catalog.clearCache()
