@@ -45,4 +45,42 @@ object AsOf {
       .filter(col("side") === 0)
       .select(col("id"), col("k"), col("t"), col("asof_value"))
   }
+
+  /** FORWARD as-of join: for every probe row, the EARLIEST build-side
+    * value at or after the probe time, per key — the next-touch /
+    * time-to-next-maintenance direction [[lastValueAsOf]] cannot express.
+    *
+    * The same union+window shape mirrored: one shuffle on the key, one
+    * window pass with the frame opened FORWARD (`[current row, ∞)`) and
+    * `first` ignoreNulls instead of `last`. Ordering mirrors too, with
+    * one deliberate asymmetry: null probe times sort LAST here (not
+    * first) — in a forward frame a null-t row must have nothing after it,
+    * or it would claim every build row; either way the contract is the
+    * same, a probe with no timestamp is off the timeline and matches
+    * nothing. Ties: probe rows sort BEFORE build rows at the same instant
+    * (side asc — inclusive as-of), equal-time build rows resolve to the
+    * SMALLEST value (v asc, the first non-null in frame order), making
+    * the result total. Null-time build rows also sort last; exclude them
+    * upstream (a valueless instant provides nothing — the attribution
+    * gates' filter) or they become reachable from null-t probes only. */
+  def firstValueAsOf(probe: DataFrame, probeKey: String, probeTime: String,
+                     probeId: String, build: DataFrame, buildKey: String,
+                     buildTime: String, buildVal: String): DataFrame = {
+    val valType = build.schema(buildVal).dataType
+    val idType = probe.schema(probeId).dataType
+    val p = probe.select(col(probeKey).as("k"), col(probeTime).as("t"),
+      col(probeId).as("id"), lit(null).cast(valType).as("v"),
+      lit(0).as("side"))
+    val b = build.select(col(buildKey).as("k"), col(buildTime).as("t"),
+      lit(null).cast(idType).as("id"), col(buildVal).as("v"),
+      lit(1).as("side"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc_nulls_last, col("side").asc,
+        col("v").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Long.MaxValue)
+    p.union(b)
+      .withColumn("asof_value", first(col("v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("id"), col("k"), col("t"), col("asof_value"))
+  }
 }

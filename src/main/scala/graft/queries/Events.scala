@@ -846,6 +846,33 @@ object Events {
         .orderBy(col("touch_type"))
     }),
 
+    // ---- FORWARD as-of: next-touch attribution — for every order, the
+    // user's FIRST event at or after the order date (the
+    // time-to-next-engagement direction `events_attribution`'s backward
+    // walk cannot express: post-purchase behavior, next-maintenance,
+    // reactivation). Same shifted touch timeline as the attribution gate
+    // (clock overlap documented there), same union+window scale shape
+    // via [[graft.operators.AsOf.firstValueAsOf]] — the frame opened
+    // forward, null probe times off the timeline at the OTHER end
+    // (nulls sort last in a forward frame; contract identical). Orders
+    // after the last touch land in 'none' — the bucket that says the
+    // relationship went quiet.
+    "events_next_touch" -> ((s, d) => {
+      val touch = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("ts", col("ts") - expr("INTERVAL 9862 DAYS"))
+      graft.operators.AsOf.firstValueAsOf(
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey",
+        touch, "user_id", "ts", "event_type")
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey").as("id"), col("o_totalprice")), "id")
+        .groupBy(coalesce(col("asof_value"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("touch_type"))
+    }),
+
     // ---- attribute-history compaction (the SCD2 / gaps-and-islands
     // build): consecutive same-type runs per user collapse to validity
     // intervals [valid_from, valid_to] with their event count — how a
@@ -1910,6 +1937,39 @@ object Events {
             PARTITION BY k
             ORDER BY t ASC NULLS FIRST, side DESC, v ASC NULLS FIRST
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+        FROM u),
+      a AS (SELECT id, touch FROM w WHERE side = 0)
+      SELECT coalesce(a.touch, 'none') AS touch_type,
+        count(*) AS n_orders,
+        CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS revenue
+      FROM a JOIN orders o ON o.o_orderkey = a.id
+      GROUP BY 1
+      ORDER BY touch_type""",
+
+    // the forward walk mirrored: frame [current, ∞), first_value IGNORE
+    // NULLS, probes before builds at the same instant (side ASC), null
+    // times off the timeline at the tail (NULLS LAST — a null-t probe in
+    // a forward frame must have nothing after it)
+    "events_next_touch" -> """
+      WITH touch AS (
+        SELECT user_id, ts - INTERVAL 9862 DAY AS ts, event_type
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      u AS (
+        SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS id,
+          CAST(NULL AS VARCHAR) AS v, 0 AS side
+        FROM orders
+        UNION ALL
+        SELECT user_id, ts, CAST(NULL AS BIGINT), event_type, 1
+        FROM touch),
+      w AS (
+        SELECT k, t, id, side,
+          first_value(v IGNORE NULLS) OVER (
+            PARTITION BY k
+            ORDER BY t ASC NULLS LAST, side ASC, v ASC NULLS LAST
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS touch
         FROM u),
       a AS (SELECT id, touch FROM w WHERE side = 0)
       SELECT coalesce(a.touch, 'none') AS touch_type,

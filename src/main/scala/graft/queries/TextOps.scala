@@ -740,6 +740,49 @@ object TextOps {
         .limit(30)
     }),
 
+    // ---- PMI-ranked collocations (the phrase-mining readout raw bigram
+    // counts cannot give: "kennedy airport" scores above "of the"
+    // because PMI normalizes by the parts' own frequencies). The log is
+    // irrational, but log is MONOTONE — so the gate ranks by the exact
+    // integer ratio inside it: pmi_grid = (c_xy·N₁²·10⁶) div (N₂·c_x·c_y)
+    // (c_xy ≥ 3 min-support cut — PMI's known pathology is rare pairs),
+    // decimal(38)/HUGEINT products so nothing overflows at corpus scale
+    // (c_xy·N₁²·10⁶ ≈ 10²⁶ at sf1), `div` floors identically in both
+    // engines, (pmi_grid, bigram) a total order so the top-20 cut is
+    // deterministic. Shape: the tokenize pass feeds two map-side-
+    // combinable counts (unigrams, bigrams via the native kernels), two
+    // scalar totals broadcast back, one hash join of the bigram table
+    // against the unigram table on each side — no corpus-wide window.
+    "text_pmi_bigrams" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = Tables.documents(s, d)
+      val uni = docs.select(explode(
+          graft.functions.GraftFunctions.termCounts(col("text"))))
+        .toDF("word", "n")
+        .groupBy(col("word")).agg(sum(col("n")).cast(dec).as("cw"))
+      val bi = docs.select(explode(
+          graft.functions.GraftFunctions.bigramCounts(col("text"))))
+        .toDF("bigram", "n")
+        .groupBy(col("bigram")).agg(sum(col("n")).cast(dec).as("cxy"))
+      val n1 = uni.agg(sum(col("cw")).cast(dec).as("n1"))
+      val n2 = bi.agg(sum(col("cxy")).cast(dec).as("n2"))
+      bi.filter(col("cxy") >= 3)
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("word").as("x"), col("cw").as("cx")), "x")
+        .join(uni.select(col("word").as("y"), col("cw").as("cy")), "y")
+        .crossJoin(broadcast(n1))
+        .crossJoin(broadcast(n2))
+        .withColumn("pmi_grid",
+          expr("(cxy * n1 * n1 * 1000000) div (n2 * cx * cy)")
+            .cast("long"))
+        .select(col("bigram"), col("cxy").cast("long").as("cnt"),
+          col("pmi_grid"))
+        .orderBy(col("pmi_grid").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // ---- exact heavy hitters (tokens at >= 0.1% of the stream) via the
     // bounded-memory two-pass plan: Misra-Gries candidate sketch (k=2000
     // counters per partition, merged as k-bounded buffers) + exact recount
@@ -2086,6 +2129,38 @@ object TextOps {
       GROUP BY bigram
       ORDER BY cnt DESC, bigram ASC
       LIMIT 30""",
+
+    // the exact ratio inside the (monotone) log, HUGEINT products, //
+    // floors like Spark's div — rank order IS the PMI order
+    "text_pmi_bigrams" -> s"""
+      WITH t AS (
+        SELECT unnest(list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          x -> len(x) > 0)) AS word
+        FROM documents),
+      uni AS (SELECT word, CAST(count(*) AS HUGEINT) AS cw FROM t
+              GROUP BY word),
+      n1 AS (SELECT CAST(sum(cw) AS HUGEINT) AS n1 FROM uni),
+      bg AS (
+        SELECT w[i] || ' ' || w[i+1] AS bigram, w[i] AS x, w[i+1] AS y
+        FROM (SELECT list_filter(
+                string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+                x -> len(x) > 0) AS w FROM documents) d,
+             unnest(range(1, len(w))) u(i)),
+      bc AS (SELECT bigram, any_value(x) AS x, any_value(y) AS y,
+               CAST(count(*) AS HUGEINT) AS cxy
+             FROM bg GROUP BY bigram),
+      n2 AS (SELECT CAST(sum(cxy) AS HUGEINT) AS n2 FROM bc)
+      SELECT bc.bigram, CAST(bc.cxy AS BIGINT) AS cnt,
+        CAST((bc.cxy * n1.n1 * n1.n1 * 1000000)
+          // (n2.n2 * ux.cw * uy.cw) AS BIGINT) AS pmi_grid
+      FROM bc
+      JOIN uni ux ON ux.word = bc.x
+      JOIN uni uy ON uy.word = bc.y
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE bc.cxy >= 3
+      ORDER BY pmi_grid DESC, bigram ASC
+      LIMIT 20""",
 
     // exact heavy hitters: the oracle computes the full count and filters
     // at the same support threshold — the sketch+recount plan must land on

@@ -153,4 +153,31 @@ class ScalePatternsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
     }
   }
+
+  test("sim_ivf_rerank: query vectors broadcast onto the shortlist, " +
+    "corpus grid joined by shuffled-hash (never sorted)") {
+    val d = "/root/testdata/sf0.001"
+    val plan = graft.queries.Similarity
+      .ivfRerankTopK(spark, d, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the ≤5-row query side broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle-hash corpus join (no sort of the " +
+        s"array-carrying side):\n$plan")
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
+  test("q39_join_incremental: the four leg joins reuse one exchange " +
+    "per input (the co-partitioning is planned, not re-shuffled)") {
+    val df = graft.queries.Relational
+      .queries("q39_join_incremental")(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE finalizes reuse decisions at execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+        || plan.contains("TableCacheQueryStage"),
+      s"expected the four delta-leg joins to reuse exchanges over the " +
+        s"shared orders/lineitem scans:\n$plan")
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
 }
