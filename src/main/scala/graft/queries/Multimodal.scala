@@ -46,6 +46,29 @@ object Multimodal {
           count(lit(1)).as("n_frames_sampled"),
           sum(col("frame_bytes")).as("sum_frame_bytes"))
         .orderBy(col("kind"))
+    }),
+
+    // ---- payload resize through the typed media path ([[Media.resize]]
+    // — the byte-budget normalization every multimodal ingest runs
+    // before decode): stride-subsample each payload to ≤ 64 bytes,
+    // already-small payloads pass through IDENTICALLY, null payloads
+    // (failed fetch) travel untouched. The stub's stride arithmetic is
+    // pure integer math, so the oracle replays every byte: the gate
+    // emits the resized payload itself as hex (≤ 128 chars — byte-exact,
+    // no fingerprint needed; DuckDB's md5 is VARCHAR-only so a hash
+    // would shear on non-UTF-8 subsample boundaries). Scale shape: a
+    // schema-preserving typed map with bounded per-row output — no
+    // shuffle, no driver collection; a real resizer swaps the Decoder
+    // instance, the plan stays.
+    "media_resize" -> ((s, d) => {
+      graft.multimodal.Media.resize(
+          graft.multimodal.Media.fromDocuments(s, d), targetBytes = 64)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          octet_length(col("payload")).cast("long").as("n_resized"),
+          hex(col("payload")).as("payload_hex"))
+        .orderBy(col("media_id").asc_nulls_last,
+          col("payload_hex").asc_nulls_last)
     })
   )
 
@@ -84,6 +107,39 @@ object Multimodal {
           AS BIGINT) AS sum_frame_bytes
       FROM f
       GROUP BY kind
-      ORDER BY kind"""
+      ORDER BY kind""",
+
+    // byte-exact stride replay on hex pairs (char slicing would shear on
+    // multi-byte UTF-8 — the docs_binary_features rule): stride =
+    // ceil(n/64.0), indices 0, stride, 2·stride…; payloads ≤ 64 bytes
+    // (incl. empty) and null payloads pass through the small branch
+    "media_resize" -> """
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          hex(encode(text)) AS h,
+          octet_length(encode(text)) AS n
+        FROM documents),
+      small AS (
+        SELECT media_id, kind, n, h FROM m WHERE n <= 64 OR n IS NULL),
+      big AS (
+        SELECT m.media_id, m.kind,
+          string_agg(substr(m.h, CAST(u.i*2 + 1 AS INT), 2),
+            '' ORDER BY u.i) AS h
+        FROM m, unnest(range(0, CAST(m.n AS BIGINT),
+          CAST(ceil(m.n / 64.0) AS BIGINT))) u(i)
+        WHERE m.n > 64
+        GROUP BY m.media_id, m.kind),
+      r AS (
+        SELECT media_id, kind, CAST(n AS BIGINT) AS n_resized, h
+        FROM small
+        UNION ALL
+        SELECT media_id, kind,
+          CAST(octet_length(unhex(h)) AS BIGINT) AS n_resized, h
+        FROM big)
+      SELECT media_id, kind, n_resized, h AS payload_hex
+      FROM r
+      ORDER BY media_id NULLS LAST, payload_hex NULLS LAST"""
   )
 }
