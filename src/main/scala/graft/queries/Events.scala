@@ -873,6 +873,58 @@ object Events {
         .orderBy(col("touch_type"))
     }),
 
+    // ---- LINEAR multi-touch attribution — the credit-SPLITTING mode
+    // beside last-touch (`events_attribution`) and next-touch
+    // (`events_next_touch`): every touch in the 30 days up to the order
+    // shares the order's revenue EQUALLY. Cents conserve exactly by
+    // largest-remainder: each of the k touches gets cents div k, and the
+    // cents mod k remainder goes to the k most recent touches under the
+    // (ts, event_id, event_type) DESC total order — integer arithmetic
+    // end to end, so the per-type rollup is bit-stable and Σ credited
+    // equals Σ order revenue by construction (no-touch orders keep their
+    // full amount in 'none'). Same shifted timeline as the other
+    // attribution gates. Shape: one interval join (expansion bounded by
+    // touches-per-user-per-30d — the events_range_join bound), one
+    // per-order window over that SMALL group, one rollup onto the
+    // #event-types dimension.
+    "events_attribution_linear" -> ((s, d) => {
+      val touch = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"),
+          (col("ts") - expr("INTERVAL 9862 DAYS")).as("ts"),
+          col("event_type"), col("event_id"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("ot"),
+          cents(col("o_totalprice")).cast("long").as("oc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey"))
+      val wr = w.orderBy(col("ts").desc_nulls_last,
+        col("event_id").desc_nulls_last, col("event_type").desc_nulls_last)
+      o.join(touch,
+          col("o_custkey") === col("user_id") &&
+            col("ts") <= col("ot") &&
+            col("ts") >= col("ot") - expr("INTERVAL 30 DAYS"),
+          "left_outer")
+        .withColumn("k", count(col("event_type")).over(w))
+        .withColumn("rn", row_number().over(wr))
+        // base = (oc − pmod)/k is exactly divisible, so truncation
+        // direction is moot (negative cents conserve too); remainder
+        // pmod(oc, k) ∈ [0, k) goes to the rn ≤ r most recent touches
+        .withColumn("credit",
+          when(col("k") === 0L, col("oc"))
+            .otherwise(expr("(oc - pmod(oc, k)) div k") +
+              when(col("rn") <= pmod(col("oc"), col("k")), 1L)
+                .otherwise(0L)))
+        .groupBy(coalesce(col("event_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_credits"),
+          (sum(col("credit")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(100.0)).as("revenue"))
+        .orderBy(col("touch_type"))
+    }),
+
     // ---- attribute-history compaction (the SCD2 / gaps-and-islands
     // build): consecutive same-type runs per user collapse to validity
     // intervals [valid_from, valid_to] with their event count — how a
@@ -1944,6 +1996,44 @@ object Events {
         CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
           AS DOUBLE) / 100.0 AS revenue
       FROM a JOIN orders o ON o.o_orderkey = a.id
+      GROUP BY 1
+      ORDER BY touch_type""",
+
+    // the split replayed: k = matched-touch count per order, base =
+    // (oc − pmod)/k exactly divisible (negative cents conserve), the
+    // pmod remainder to the rn ≤ r most recent touches under the same
+    // DESC NULLS LAST total order
+    "events_attribution_linear" -> """
+      WITH touch AS (
+        SELECT user_id, ts - INTERVAL 9862 DAY AS ts, event_type, event_id
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot,
+          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS oc
+        FROM orders),
+      j AS (
+        SELECT o.o_orderkey, o.oc, t.event_type, t.ts, t.event_id
+        FROM o LEFT JOIN touch t ON t.user_id = o.o_custkey
+         AND t.ts <= o.ot AND t.ts >= o.ot - INTERVAL 30 DAY),
+      wnd AS (
+        SELECT o_orderkey, oc, event_type,
+          count(event_type) OVER (PARTITION BY o_orderkey) AS k,
+          row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                     event_type DESC NULLS LAST) AS rn
+        FROM j),
+      c AS (
+        SELECT coalesce(event_type, 'none') AS touch_type,
+          CASE WHEN k = 0 THEN oc
+               ELSE (oc - ((oc % k) + k) % k) // k
+                    + CASE WHEN rn <= ((oc % k) + k) % k THEN 1 ELSE 0 END
+          END AS credit
+        FROM wnd)
+      SELECT touch_type, count(*) AS n_credits,
+        CAST(sum(credit) AS DOUBLE) / 100.0 AS revenue
+      FROM c
       GROUP BY 1
       ORDER BY touch_type""",
 

@@ -154,6 +154,39 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("InjectRuntimeFilter: a selective dim filter becomes a runtime " +
+    "bloom filter on the fact side of a shuffled join") {
+    // the 100 TB read-reduction feature beside DPP: when a shuffled join's
+    // small side carries a selective filter, Catalyst injects
+    // bloom_filter_agg(small side) → BloomFilterMightContain(fact side) so
+    // fact rows that cannot match die before the exchange. Thresholds are
+    // sized for clusters; scale them down to make the mechanism observable
+    // on fixture-sized parquet (the AqeSkewJoinSpec convention).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = "/root/testdata/sf0.01"
+      val fact = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter on the fact side:\n$plan")
+      assert(joined.count() > 0L)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("sim_ivf_rerank: query vectors broadcast onto the shortlist, " +
     "corpus grid joined by shuffled-hash (never sorted)") {
     val d = "/root/testdata/sf0.001"
