@@ -29,25 +29,27 @@ object Pipeline {
 
   /** HRW assignment behind `docs_shard_rendezvous`: (doc_id, shard) for
     * every non-null-id document, shard = argmax over 0..nShards−1 of the
-    * shared 60-bit key hash of `doc_id:shard` (ties → smallest shard —
-    * the row_number convention; practically unreachable on a 60-bit
-    * grid). Factored so `RendezvousSpec` can pin the HRW stability
-    * theorem across two shard counts. */
+    * shared 60-bit key hash of `doc_id:shard` (ties → smallest shard,
+    * encoded as max over struct(wt, −shard); practically unreachable on a
+    * 60-bit grid). The shard count is small and known at plan time, so
+    * the argmax is a PURE PROJECTION — `array_max` over a literal
+    * nShards-element array of (weight, −shard) structs, one row in / one
+    * row out, no cross join, no window, no exchange. At 100 TB that means
+    * shard placement costs exactly one codegen'd map pass; the earlier
+    * row_number-over-Window form shuffled an 8×-expanded corpus to sort
+    * it per doc. Factored so `RendezvousSpec` can pin the HRW stability
+    * theorem across two shard counts and audit the exchange-free plan. */
   private[graft] def rendezvousAssign(
       docs: org.apache.spark.sql.DataFrame,
       nShards: Int): org.apache.spark.sql.DataFrame = {
-    val s = docs.sparkSession
-    val shards = s.range(0, nShards.toLong).select(col("id").as("shard"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("wt").desc, col("shard").asc)
-    docs.filter(col("doc_id").isNotNull).select(col("doc_id"))
-      .crossJoin(broadcast(shards))
-      .withColumn("wt", keyHash(concat(col("doc_id").cast("string"),
-        lit(":"), col("shard").cast("string"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("shard"))
+    val entries = (0 until nShards).map { sh =>
+      struct(
+        keyHash(concat(col("doc_id").cast("string"), lit(s":$sh"))).as("wt"),
+        lit(-sh.toLong).as("neg_shard"))
+    }
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        (-array_max(array(entries: _*)).getField("neg_shard")).as("shard"))
   }
 
   /** Ingest-time measure scrub: non-finite doubles (NaN / ±Inf) and
@@ -254,12 +256,13 @@ object Pipeline {
     // is REMOVED, only ITS documents move (each survivor's argmax over
     // the remaining set is unchanged — pinned as the stability theorem
     // in `RendezvousSpec`), so a 100 TB reshard touches 1/N of the data
-    // instead of (N−1)/N. Pure projection + an 8-row broadcast cross —
-    // the placement of any row is decidable anywhere with no directory
-    // service, which is what makes it work under incremental ingest.
-    // Gated output: the per-shard census (count + id range); the
-    // assignment itself is the argmax row_number under the (weight DESC,
-    // shard ASC) total order on the shared 60-bit md5 key grid.
+    // instead of (N−1)/N. The assignment is a pure projection (array_max
+    // over 8 literal (weight, −shard) structs — no join, no window, no
+    // exchange): the placement of any row is decidable anywhere with no
+    // directory service, which is what makes it work under incremental
+    // ingest. Gated output: the per-shard census (count + id range) under
+    // the (weight DESC, shard ASC) total order on the shared 60-bit md5
+    // key grid — the oracle replays the same argmax via row_number.
     "docs_shard_rendezvous" -> ((s, d) =>
       rendezvousAssign(Tables.documents(s, d), nShards = 8)
         .groupBy(col("shard"))

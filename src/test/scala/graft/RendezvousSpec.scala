@@ -53,4 +53,13 @@ class RendezvousSpec extends SparkSpec {
   test("assignment is deterministic across runs") {
     assert(assign(100, 8) == assign(100, 8))
   }
+
+  test("assignment plan is a pure projection: no window, no join, no " +
+    "exchange") {
+    val plan = graft.queries.Pipeline.rendezvousAssign(docsFrame(10), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window node in HRW plan:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"join in HRW plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"exchange in HRW plan:\n$plan")
+  }
 }
