@@ -519,20 +519,35 @@ object Relational {
 
     // ---- Pareto/ABC revenue-concentration panel: customers sorted by
     // spend (cents grid) descending, cut into spend deciles (ntile(10)
-    // with the total (spend desc, custkey) tie-break), each decile's
-    // exact share of total revenue on the 10⁶ grid:
+    // semantics with the total (spend desc, custkey) tie-break), each
+    // decile's exact share of total revenue on the 10⁶ grid:
     // share_grid = (decile_cents·10⁶) div total_cents. The "do 20% of
-    // customers carry 80% of revenue" read-off, bit-stable. Same
-    // dimension-sized global window contract as q32 (the fact table is
-    // aggregated to customers first).
+    // customers carry 80% of revenue" read-off, bit-stable. The decile
+    // is NOT a global ntile window (that serializes the whole customer
+    // dimension into one task): [[rankBoundaries]] finds the 9 exact
+    // cut elements by histogram refinement and [[ntileScored]] buckets
+    // every customer against the broadcast cuts — identical ntile
+    // arithmetic (the oracle still says ntile(10)), no partitionless
+    // window anywhere. (spend desc, custkey asc) ≡ (−cents asc, custkey
+    // asc); per-customer cents fits a long (< 2⁶³ even at 100 TB), the
+    // decimal(38) column survives for the exact sums; a null spend
+    // (all-null totalprice) maps to a +∞-side sentinel = nulls-last,
+    // both engines' DESC default.
     "q33_pareto_deciles" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val spend = Tables.orders(s, d)
+      val negSpend = coalesce(-col("cents").cast("long"),
+        lit(Long.MaxValue / 2))
+      val spend = graft.Caching.persistTracked(Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(cents(col("o_totalprice")).cast(dec)).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
-      spend
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("v", negSpend))
+      val bounds = rankBoundaries(
+        spend.select(lit("d").as("s"), col("o_custkey").as("id"), col("v"),
+          expr("v div 100000").as("vbin"),
+          expr("o_custkey div 1024").as("ibin")),
+        nBuckets = 10)
+      ntileScored(spend, "o_custkey", bounds,
+          Seq(("v", "decile", "d")))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).as("decile_cents"))
@@ -549,33 +564,54 @@ object Relational {
     // quintile scores — the classic CRM/value segmentation): one
     // aggregation of orders to the customer dimension (recency in whole
     // days vs the corpus max order date — integer date_diff, never
-    // intervals), then three global ntile(5) windows WITH total
-    // tie-break orders, so every score is deterministic (ntile's
+    // intervals), then three ntile(5) scores with total tie-break
+    // orders, so every score is deterministic (ntile's
     // earlier-buckets-one-larger split is the same in every SQL engine,
-    // q23's contract). The global windows run on the CUSTOMER DIMENSION
-    // (|customers| ≪ |orders| — the aggregation collapsed the fact
-    // table first); at a dimension too big for one partition, the
-    // quintile boundaries would come from rank targets à la
-    // events_quantiles and broadcast back — same contract, two-pass.
+    // q23's contract). No score is a global ntile WINDOW (a
+    // partitionless Window.orderBy serializes the whole customer
+    // dimension into one task — at 100× customers, the one single-task
+    // stage in the plan): each score's 4 quintile cut ELEMENTS come from
+    // [[rankBoundaries]] (histogram refinement, every window bin-level
+    // or bounded) and rows bucket against the broadcast cuts via
+    // [[ntileScored]] — bit-identical ntile arithmetic, the oracle still
+    // says ntile(5). Descending orders negate the value ((x desc, id
+    // asc) ≡ (−x asc, id asc)); monetary ranks on exact integer cents
+    // (monotone with the emitted double); null sentinels reproduce the
+    // window defaults the gate already pinned (recency: Spark asc =
+    // nulls first → −1 below the 0.. domain; monetary: desc = nulls
+    // last → +∞-side sentinel).
     "q32_rfm_segments" -> ((s, d) => {
-      val rfm = Tables.orders(s, d)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val mx = Tables.orders(s, d).agg(max(col("o_orderdate")).as("max_dt"))
+      val rfm = graft.Caching.persistTracked(Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_dt"),
           count(lit(1)).as("frequency"),
-          sumMoney(col("o_totalprice")).as("monetary"))
-      val mx = Tables.orders(s, d).agg(max(col("o_orderdate")).as("max_dt"))
-      val wr = Window.orderBy(col("recency_days").asc, col("o_custkey").asc)
-      val wf = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
-      val wm = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
-      rfm.crossJoin(broadcast(mx))
+          sum(cents(col("o_totalprice")).cast(dec)).as("mon_dec"))
+        .crossJoin(broadcast(mx))
         .withColumn("recency_days",
           datediff(to_date(col("max_dt")), to_date(col("last_dt")))
             .cast("long"))
-        .withColumn("r_score", ntile(5).over(wr).cast("long"))
-        .withColumn("f_score", ntile(5).over(wf).cast("long"))
-        .withColumn("m_score", ntile(5).over(wm).cast("long"))
+        .withColumn("vr", coalesce(col("recency_days"), lit(-1L)))
+        .withColumn("vf", -col("frequency"))
+        .withColumn("vm", coalesce(-col("mon_dec").cast("long"),
+          lit(Long.MaxValue / 2))))
+      def basis(sKey: String, vc: String, vStep: Long) =
+        rfm.select(lit(sKey).as("s"), col("o_custkey").as("id"),
+          col(vc).as("v"), expr(s"$vc div $vStep").as("vbin"),
+          expr("o_custkey div 1024").as("ibin"))
+      val bounds = rankBoundaries(
+        basis("r", "vr", 64L)
+          .unionAll(basis("f", "vf", 4L))
+          .unionAll(basis("m", "vm", 100000L)),
+        nBuckets = 5)
+      val scored = ntileScored(rfm, "o_custkey", bounds,
+        Seq(("vr", "r_score", "r"), ("vf", "f_score", "f"),
+          ("vm", "m_score", "m")))
+      scored
         .select(col("o_custkey").as("custkey"), col("recency_days"),
-          col("frequency"), col("monetary"),
+          col("frequency"),
+          (col("mon_dec").cast("double") / 100.0).as("monetary"),
           col("r_score"), col("f_score"), col("m_score"))
         .orderBy(col("custkey"))
     }),
@@ -783,36 +819,54 @@ object Relational {
     // samples to pick split points — this is the EXACT version, the
     // balanced 32-way cut of orders by price). Type-1 inverse CDF at
     // ranks k·n div 32, k = 1..31, via the quantile family's
-    // no-total-sort shape: one map-side-combinable per-value count, a
-    // running sum over the DISTINCT-value dimension (O(distinct), never
-    // a per-row window), the 31-row target grid broadcast against it,
-    // boundary = min value whose cumulative count reaches the target
-    // rank. Everything on the exact cent grid; n_at_or_below exposes the
-    // realized balance (skewed value mass shows up as unequal gaps —
-    // exactly what the planner needs to see). The output is 31 rows at
-    // any corpus size.
+    // no-total-sort shape (the events_median_2pass histogram discipline,
+    // generalized to 31 targets): pass 1 is a map-side-combinable
+    // $100-bin histogram whose running sum — a window over BINS, a
+    // domain constant (max price / $100), never the per-row or even
+    // per-distinct-value dimension — locates each target's bin; pass 2
+    // re-scans ONLY the target bins (broadcast-join pruned) and runs the
+    // per-value cumulative INSIDE each ≤10k-value bin, boundary = min
+    // value whose global cumulative count (bin offset + in-bin running
+    // sum) reaches the target rank. Everything on the exact cent grid;
+    // n_at_or_below exposes the realized balance (skewed value mass
+    // shows up as unequal gaps — exactly what the planner needs to
+    // see). The output is 31 rows at any corpus size.
     "q38_range_boundaries" -> ((s, d) => {
-      val v = Tables.orders(s, d)
+      val base = graft.Caching.persistTracked(Tables.orders(s, d)
         .filter(col("o_totalprice").isNotNull)
-        .select(cents(col("o_totalprice")).as("v"))
-      val cum = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-            .rowsBetween(Long.MinValue,
-              org.apache.spark.sql.expressions.Window.currentRow)))
-      val n = v.agg(count(lit(1)).as("n"))
+        .select(cents(col("o_totalprice")).cast("long").as("v"))
+        .withColumn("vbin", expr("v div 10000")))
+      val n = base.agg(count(lit(1)).as("n"))
       val targets = s.range(1, 32).select(col("id").as("k"))
         .crossJoin(broadcast(n))
         .withColumn("target_rank", expr("(k * n) div 32"))
-      val bounds = cum.join(broadcast(targets),
-          col("cum") >= col("target_rank"))
+        // rank 0 (possible only when n < 32) selects the global min
+        // value, same as rank 1 — keep the emitted target_rank exact
+        .withColumn("tr", greatest(col("target_rank"), lit(1L)))
+      val wBins = org.apache.spark.sql.expressions.Window
+        .orderBy(col("vbin"))
+        .rowsBetween(Long.MinValue, -1)
+      val vcum = base.groupBy(col("vbin")).agg(count(lit(1)).as("bc"))
+        .withColumn("below", coalesce(sum(col("bc")).over(wBins), lit(0L)))
+      val tbin = vcum.join(broadcast(targets),
+          col("below") < col("tr") && col("tr") <= col("below") + col("bc"))
+        .select(col("k"), col("target_rank"), col("tr"),
+          col("vbin").as("tbin"), col("below").as("bin_below"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("v"))
+        .rowsBetween(Long.MinValue,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      base.join(broadcast(tbin), col("vbin") === col("tbin"))
+        .groupBy(col("k"), col("target_rank"), col("tr"),
+          col("bin_below"), col("v"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("cum_at", col("bin_below") + sum(col("vc")).over(wv))
+        .filter(col("cum_at") >= col("tr"))
         .groupBy(col("k"), col("target_rank"))
-        .agg(min(col("v")).as("bv"))
-      bounds.join(cum.select(col("v").as("bv"), col("cum")
-          .as("n_at_or_below")), "bv")
+        .agg(min(struct(col("v"), col("cum_at"))).as("m"))
         .select(col("k"), col("target_rank"),
-          (col("bv").cast("double") / 100.0).as("boundary"),
-          col("n_at_or_below"))
+          (col("m.v").cast("double") / 100.0).as("boundary"),
+          col("m.cum_at").as("n_at_or_below"))
         .orderBy(col("k"))
     }),
 
@@ -866,8 +920,169 @@ object Relational {
     // (v, d) pairs with min-d per vertex — UNION-dedup bounds the
     // recursion at |V|·7 rows.
     "q40_bfs_layers" -> ((s, d) => bfsLayers(copurchaseEdges(s, d),
-      maxDepth = 6))
+      maxDepth = 6)),
+
+    // ---- runtime bloom-filter join (InjectRuntimeFilter) — the
+    // read-reduction sibling of events_dpp_daily: when a shuffled join's
+    // small side carries a selective non-key predicate, Catalyst plans
+    // bloom_filter_agg(dim keys) → might_contain(fact key) so fact rows
+    // that cannot match die BEFORE the fact-side exchange. At 100 TB
+    // that is the difference between shuffling the whole fact table and
+    // shuffling the ~20% that survives the dim filter. Cluster-sized
+    // thresholds are scaled down inside the gate so the mechanism is
+    // observable (and require()d) on fixture-sized parquet; the oracle
+    // is the plain join — a bloom false positive only re-joins a row the
+    // join itself drops, so the result is exactly the unfiltered join's.
+    "q41_join_runtime_filter" -> ((s, d) => runtimeFilteredJoin(s, d))
   )
+
+  /** Exact ntile(k) cut elements WITHOUT a global sort — the scale path
+    * for quantile segmentation (q32/q33), generalizing the
+    * `events_median_2pass` histogram + targeted-scan discipline to
+    * arbitrary rank targets with tie-break ids, for SEVERAL rankings in
+    * one pass (the `s` score-label column — q32 runs its three quintile
+    * orders through one histogram pipeline instead of three).
+    *
+    * Input `base(s: string, id: long UNIQUE per s, v: long, vbin, ibin)`
+    * — the caller supplies the bin columns (`vbin` = v div vStep, `ibin`
+    * = id div idStep) because steps differ per ranking. The ntile total
+    * order per s is (v asc, id asc). ntile(k) over N rows puts rank r in
+    * bucket 1 + #{b in 1..k−1 : r > c_b} where the cut ranks are
+    * c_b = b·(N div k) + least(b, N mod k) — so the bucket of EVERY row
+    * is decided by k−1 boundary ELEMENTS (the (v, id) pairs AT ranks
+    * c_b), compared lexicographically. Those pairs are found in two
+    * histogram refinements, each a map-side-combinable aggregate whose
+    * only windows are bin-level (domain/vStep rows per s — a constant of
+    * the value domain, like the median_2pass bins) or bounded-partition:
+    * the v-bin histogram locates each cut's bin; a (v, id-bin) histogram
+    * INSIDE only the target bins — ordered by (v, ibin), the id-bin
+    * granularity of the ntile order — locates the cut's exact value and
+    * id-bin at once; the final row_number ranks only the ≤ idStep rows
+    * of one (v, id-bin) group (ids are unique). Nothing ever sorts more
+    * than one bin, and no stage sees a partitionless row-level window —
+    * the shape that survives a customer dimension 1000× too big for one
+    * task. Returns (s, bv, bid), k−1 rows per s (duplicates legitimate
+    * when N < k). */
+  private[graft] def rankBoundaries(base: DataFrame,
+                                    nBuckets: Int): DataFrame = {
+    val k = nBuckets
+    val bs = base.sparkSession.range(1, k.toLong).select(col("id").as("b"))
+    val wBins = Window.partitionBy(col("s")).orderBy(col("vbin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-s totals ride the SAME bin histogram (a full-range window over
+    // the s partition) instead of a separate count aggregation — one
+    // fewer sequential job/broadcast round before the bin locate
+    val vcum = base.groupBy(col("s"), col("vbin")).agg(count(lit(1)).as("bc"))
+      .withColumn("below", coalesce(sum(col("bc")).over(wBins), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("s"))))
+    val tbin = vcum.crossJoin(bs)
+      .withColumn("cr", expr(s"b * (n div $k) + least(b, n % $k)"))
+      .filter(col("below") < col("cr") &&
+        col("cr") <= col("below") + col("bc"))
+      .select(col("s").as("cs"), col("b"), col("cr"), col("vbin").as("tbin"),
+        col("below").as("bin_below"))
+    val w2 = Window.partitionBy(col("s"), col("b"))
+      .orderBy(col("v"), col("ibin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val l2 = base.join(broadcast(tbin),
+        col("s") === col("cs") && col("vbin") === col("tbin"))
+      .groupBy(col("s"), col("b"), col("cr"), col("bin_below"), col("v"),
+        col("ibin"))
+      .agg(count(lit(1)).as("gc"))
+      .withColumn("gbelow",
+        col("bin_below") + coalesce(sum(col("gc")).over(w2), lit(0L)))
+    val tgrp = l2.filter(col("gbelow") < col("cr") &&
+        col("cr") <= col("gbelow") + col("gc"))
+      .select(col("s").as("ts"), col("b").as("tb"), col("cr").as("tcr"),
+        col("v").as("tv"), col("ibin").as("tibin"), col("gbelow"))
+    val wr = Window.partitionBy(col("ts"), col("tb")).orderBy(col("id"))
+    base.join(broadcast(tgrp),
+        col("s") === col("ts") && col("v") === col("tv") &&
+          col("ibin") === col("tibin"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("gbelow") + col("rn") === col("tcr"))
+      .select(col("s"), col("tv").as("bv"), col("id").as("bid"))
+  }
+
+  /** Score rows against [[rankBoundaries]] output: per (vCol, scoreName,
+    * sKey) spec, bucket = 1 + count of that s-label's boundary pairs
+    * lexicographically below (v, id). ALL boundary rows collapse to one
+    * broadcast 1-row aggregate carrying one ≤ k−1-element array per
+    * score — scoring every ranking is a single pure projection over the
+    * row side. */
+  private[graft] def ntileScored(rows: DataFrame, idCol: String,
+                                 bounds: DataFrame,
+                                 specs: Seq[(String, String, String)])
+      : DataFrame = {
+    val aggs = specs.map { case (_, scoreName, sKey) =>
+      collect_list(when(col("s") === sKey,
+        struct(col("bv"), col("bid")))).as(s"__b_$scoreName")
+    }
+    val arr = bounds.agg(aggs.head, aggs.tail: _*)
+    val scored = specs.foldLeft(rows.crossJoin(broadcast(arr))) {
+      case (df, (vCol, scoreName, _)) =>
+        df.withColumn(scoreName,
+          (lit(1) + size(filter(col(s"__b_$scoreName"), x =>
+            col(vCol) > x.getField("bv") ||
+              (col(vCol) === x.getField("bv") &&
+                col(idCol) > x.getField("bid"))))).cast("long"))
+    }
+    specs.foldLeft(scored) { case (df, (_, n, _)) => df.drop(s"__b_$n") }
+  }
+
+  /** The runtime-bloom-filtered join behind `q41_join_runtime_filter`:
+    * urgent-priority order years × line counts/quantity, planned so
+    * Catalyst's `InjectRuntimeFilter` rule builds a bloom filter over the
+    * filtered dim's join keys and applies `might_contain` on the fact
+    * side below its exchange. The production thresholds
+    * (creationSideThreshold 10MB / applicationSideScanSizeThreshold 10GB)
+    * assume cluster-sized inputs, so the gate scales them down around
+    * plan construction (set → analyze/optimize/plan → restore, the
+    * `ScalePatternsSpec` convention) — the physical plan captures the
+    * injected filter, and the restored session confs leave every other
+    * gated query's planning untouched. Broadcast is disabled during
+    * planning: a broadcast join prunes with the build-side relation
+    * directly and the rule deliberately skips it. The plan contract is
+    * require()d per execution like the csv/jsonl gates: both the bloom
+    * build (`bloom_filter_agg`) and the fact-side probe (`might_contain`)
+    * must be present. */
+  private[graft] def runtimeFilteredJoin(s: SparkSession,
+                                         d: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val out = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          gridSum(col("l_quantity"), 100.0).as("sum_qty"))
+        .orderBy(col("o_year").asc_nulls_last)
+      // force logical optimization + physical planning while the scaled
+      // thresholds are in effect; the lazy QueryExecution memoizes both,
+      // so the returned frame executes THIS plan after the conf restore
+      val opt = out.queryExecution.optimizedPlan.toString
+      require(opt.contains("might_contain"),
+        "q41_join_runtime_filter: no runtime bloom probe was injected on " +
+          "the fact side:\n" + opt)
+      require(opt.contains("bloom_filter_agg"),
+        "q41_join_runtime_filter: no bloom build over the dim join keys:\n"
+          + opt)
+      out.queryExecution.executedPlan
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 
   /** The snapshot⊕delta join-view merge behind `q39_join_incremental`:
     * `a(k, month, a_new)` ⋈ `b(k, rev: decimal(38,0), b_new)` maintained
@@ -1273,6 +1488,19 @@ object Relational {
       FROM md
       GROUP BY dist
       ORDER BY dist""",
+
+    // the plain join — the runtime bloom filter is a pure read-reduction
+    // (false positives are re-dropped by the join), so the oracle never
+    // mentions it
+    "q41_join_runtime_filter" -> """
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        count(*) AS n_items,
+        CAST(sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1
+      ORDER BY o_year NULLS LAST""",
 
     // 3 PageRank iterations unrolled as one CTE per step; every factor is
     // BIGINT (// = integer div), contributions divided BEFORE the sum in
