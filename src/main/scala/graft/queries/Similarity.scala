@@ -523,6 +523,11 @@ object Similarity {
     // from the two gated halves (see [[ivfPqTopK]])
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d, k = 10, nprobe = 3)),
 
+    // ---- incremental ANN ingest: a new batch admitted against the
+    // STORED centroids + codebooks, the old corpus never rescanned (see
+    // [[ivfPqIngest]]) — the embedding analog of dedup_incremental_lsh
+    "sim_ivfpq_ingest" -> ((s, d) => ivfPqIngest(s, d)),
+
     // ---- two-stage retrieve: ADC shortlist → EXACT re-rank — the
     // production serving pattern the single-stage gates stop short of
     // (FAISS's refine step / every vector-DB's "rerank=true"). Stage 1
@@ -1027,10 +1032,16 @@ object Similarity {
         CAST((p2 - ((p2 % r2.r + r2.r) % r2.r)) // r2.r AS BIGINT) AS w2
       FROM proj, r1, r2 ORDER BY vec_id"""
 
-  private[graft] def ivfGrid(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
+  private[graft] def ivfGrid(s: SparkSession, d: String): DataFrame =
+    ivfGridOf(Tables.embeddings(s, d))
+
+  /** [[ivfGrid]] over any (vec_id, label, embedding) frame — factored so
+    * the ingest query can grid the stored corpus and the new batch
+    * separately. */
+  private[graft] def ivfGridOf(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val gf = graft.functions.GraftFunctions
-    Tables.embeddings(s, d)
+    emb
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => grid(x.cast("double"), 1000000.0).cast("long")).as("xg"))
@@ -1203,7 +1214,7 @@ object Similarity {
     * and the LUT all re-read it. Null embeddings (failed encode) are off
     * the index and off the query set, as everywhere in the vector family
     * (oracle: unnest emits none). */
-  private def pqSubspaces(emb: DataFrame): DataFrame = {
+  private[graft] def pqSubspaces(emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val gf = graft.functions.GraftFunctions
     graft.Caching.persistTracked(emb
@@ -1226,7 +1237,7 @@ object Similarity {
   /** Nearest code per (vector, subspace): packed-decimal min —
     * hash-aggregated with map-side partials, ties toward the smallest
     * code_id (dist2 ≥ 0, so the pack needs no sign handling). */
-  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val dec = DecimalType(38, 0)
     val packBase = 1 << 20
@@ -1245,7 +1256,7 @@ object Similarity {
     * [[kmeansAssignOf]] convention; limit-1 probes over the persisted
     * frame), then the rounded-average integer update (the kmeans pmod
     * recipe, exact for any sign); empty cells vanish in both engines. */
-  private def pqTrain(sub: DataFrame): DataFrame = {
+  private[graft] def pqTrain(sub: DataFrame): DataFrame = {
     val c0 = pqWithNorm(sub.filter(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").as("code_id"), col("sv").as("cv")))
     if (c0.isEmpty && !sub.isEmpty)
@@ -1312,6 +1323,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("adc2"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Incremental ANN ingest behind `sim_ivfpq_ingest` — the embedding
+    * analog of `dedup_incremental_lsh`: a NEW batch (vec_id % 10 = 0,
+    * the corpus-split convention of the dedup ingest gates) is admitted
+    * to the index by assigning it to the STORED coarse centroids and
+    * encoding it against the STORED codebooks — both trained on the old
+    * corpus only (vec_id % 10 ≠ 0), which is NEVER rescanned: ingest
+    * cost is O(batch · index), the property that makes a 100 TB vector
+    * index maintainable (retraining would be O(corpus) per drop and,
+    * worse, would re-code every stored vector). No retrain drift is
+    * possible by construction — the centroid/codebook plans are the
+    * gated [[ivfCents]]/[[pqTrain]] applied to the old slice, the
+    * assignment/encoding the gated [[ivfAssign]]/pqAssign applied to the
+    * batch, and `SimilaritySpec` pins cross-split equivalence (ingesting
+    * the batch equals running the combined corpus through the SAME
+    * stored index and restricting to batch ids — assignment is a pure
+    * per-row function of (vector, index), so admission order can never
+    * change codes). Output per batch vector: its cell and its packed
+    * 8-nibble code word (Σ code_id·16^s — the actual index payload). */
+  def ivfPqIngest(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+    val old = all.filter(col("vec_id") % 10 =!= 0)
+    val batch = all.filter(col("vec_id") % 10 === 0)
+    val cents = ivfCents(ivfGridOf(old))
+    val books = pqTrain(pqSubspaces(old))
+    val assigned = ivfAssign(
+      ivfGridOf(batch).filter(col("n2").isNotNull), cents)
+    val codeWords = pqAssign(pqSubspaces(batch), books)
+      .groupBy(col("vec_id"))
+      .agg(sum(expr(
+        "code_id * shiftleft(cast(1 as bigint), cast(4 * s as int))"))
+        .as("code_key"))
+    assigned.join(codeWords, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("code_key"))
+      .orderBy(col("vec_id"))
   }
 
   /** Two-stage retrieve behind `sim_ivf_rerank`: [[ivfPqTopK]]'s ADC
@@ -2002,6 +2049,59 @@ object Similarity {
         CAST(adc2 AS BIGINT) AS adc2
       FROM r WHERE rank <= 10
       ORDER BY qid, rank""",
+
+    // the stored index (centroids + codebooks) is trained on `e` = the
+    // OLD slice via the SHARED CTE blocks (no drift possible from the
+    // gated index arithmetic); the batch CTEs replay assignment/encoding
+    // of only the % 10 = 0 rows against it — akey/argmax and
+    // dist2/argmin text copied verbatim from ivfCoarseCtes/pqCtes with
+    // `e`→`eb`
+    "sim_ivfpq_ingest" -> s"""
+      WITH e AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings WHERE vec_id % 10 <> 0),
+      $ivfStatsCtes,
+      $pqCtes,
+      eb AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $EmbGridScale
+            + 0.5) AS BIGINT) AS xg
+        FROM embeddings WHERE vec_id % 10 = 0),
+      bd AS (SELECT b.vec_id, c.label,
+               sum(CAST(b.xg AS HUGEINT) * c.cj) AS d
+             FROM eb b JOIN c ON b.j = c.j
+             GROUP BY b.vec_id, c.label),
+      bkey AS (SELECT bd.vec_id, bd.label,
+                 (bd.d * abs(bd.d) * 1000000
+                    - ((bd.d * abs(bd.d) * 1000000) % nc2.nc2 + nc2.nc2)
+                      % nc2.nc2) // nc2.nc2 AS key
+               FROM bd JOIN nc2 ON bd.label = nc2.label),
+      bassign AS (SELECT vec_id, label FROM (
+                    SELECT vec_id, label, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY key DESC, label ASC) AS rn
+                    FROM bkey) t WHERE rn = 1),
+      bsub AS (SELECT vec_id, (j-1) // $PqDsub AS s, (j-1) % $PqDsub AS jj,
+                 xg
+               FROM eb),
+      bd1 AS (SELECT v.vec_id, v.s, c.code_id,
+                sum(CAST(v.xg - c.cj AS HUGEINT) * (v.xg - c.cj)) AS dist2
+              FROM bsub v JOIN c1 c ON c.s = v.s AND c.jj = v.jj
+              GROUP BY v.vec_id, v.s, c.code_id),
+      bcodes AS (SELECT vec_id, s, code_id FROM (
+                   SELECT vec_id, s, code_id, row_number() OVER (
+                     PARTITION BY vec_id, s
+                     ORDER BY dist2 ASC, code_id ASC) AS rn
+                   FROM bd1) t WHERE rn = 1),
+      bwords AS (SELECT vec_id,
+                   CAST(sum(code_id * (CAST(1 AS BIGINT) << (4 * s)))
+                     AS BIGINT) AS code_key
+                 FROM bcodes GROUP BY vec_id)
+      SELECT a.vec_id, CAST(a.label AS BIGINT) AS cent_id, w.code_key
+      FROM bassign a JOIN bwords w ON w.vec_id = a.vec_id
+      ORDER BY a.vec_id""",
 
     // stage 1 = the sim_ivfpq_topk chain at k=50 (identical CTE text —
     // the shortlist cannot drift from the gated index); stage 2 = the

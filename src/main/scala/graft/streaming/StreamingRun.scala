@@ -508,6 +508,43 @@ object StreamingRun {
       .orderBy(col("imp_id").asc_nulls_last, col("clk_id").asc_nulls_last)
   }
 
+  /** Oracle-gated stream-stream LEFT SEMI watermarked interval join —
+    * the "only matched impressions" mode closing the stream-stream join
+    * matrix ([[attributionAvailableNow]] inner,
+    * [[attributionOuterAvailableNow]] left, [[attributionFullAvailableNow]]
+    * full): each view is emitted AT MOST ONCE, iff some click by the
+    * same user lands in its 30-minute window — the dedup-free existence
+    * test (an inner join duplicates a view per click; semi never does).
+    * Same two independent file-source readers, same two-sided interval
+    * condition. Emission: a semi join emits the LEFT row as soon as its
+    * first match is buffered (probed and pinned in `StreamSemiJoinSpec`
+    * — emission is eager like the inner mode, NOT eviction-driven like
+    * the outer null-extensions; state merely remembers "already
+    * emitted" to suppress later matches), so a full single-batch drain
+    * reproduces the batch semi join with no horizon clause, which is
+    * the oracle. Null-user views match nothing (equi-join null
+    * semantics), mirrored by the oracle's null-rejecting EXISTS. */
+  def attributionSemiAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+    val joined = views.join(clicks,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftSemi")
+      .select(col("imp_id"), col("imp_user").as("user_id"),
+        col("imp_ts").cast("timestamp_ntz").as("imp_ts"))
+    drainToSink(joined).orderBy(col("imp_id"))
+  }
+
   /** Oracle-gated stream-static broadcast enrichment — the fifth
     * streaming shape in the gate, and the stateless one: every
     * micro-batch of the event stream left-outer joins a BROADCAST static
@@ -644,6 +681,8 @@ object StreamingRun {
       attributionOuterAvailableNow(s, d)),
     "events_stream_join_full" -> ((s, d) =>
       attributionFullAvailableNow(s, d)),
+    "events_stream_join_semi" -> ((s, d) =>
+      attributionSemiAvailableNow(s, d)),
     "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d)),
     "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d)),
     "events_stream_counts" -> ((s, d) => countsAvailableNow(s, d))
@@ -791,6 +830,30 @@ object StreamingRun {
        AND c.clk_ts >= v.imp_ts
        AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes'
       ORDER BY imp_id, clk_id""",
+
+    // the batch SEMI interval join over the streaming-timeline event set
+    // — no horizon clause: semi emission is EAGER (a view emits when its
+    // first match is buffered, pinned in StreamSemiJoinSpec), so a full
+    // single-batch drain is exactly the batch EXISTS. The equi-join
+    // null-semantics (null-user views match nothing) fall out of the
+    // correlated EXISTS the same way
+    "events_stream_join_semi" -> """
+      WITH v AS (
+        SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND event_type = 'view'),
+      c AS (
+        SELECT user_id, ts AS clk_ts FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND event_type = 'click')
+      SELECT v.imp_id, v.user_id, v.imp_ts
+      FROM v
+      WHERE EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = v.user_id
+          AND c.clk_ts >= v.imp_ts
+          AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes')
+      ORDER BY imp_id""",
 
     // the batch left interval join over the streaming-timeline event set
     // PLUS the outer-emission horizon, pinned by a boundary probe corpus

@@ -176,6 +176,42 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("dense 0-based"))
   }
 
+  test("ivfPqIngest cross-split equivalence: admitting the batch against " +
+    "the stored index equals running the combined corpus through the " +
+    "same index, restricted to batch ids") {
+    val S = graft.queries.Similarity
+    val all = Tables.embeddings(spark, dir)
+    val old = all.filter(col("vec_id") % 10 =!= 0)
+    // the STORED index: trained on the old slice only
+    val cents = S.ivfCents(S.ivfGridOf(old))
+    val books = S.pqTrain(S.pqSubspaces(old))
+    // combined corpus pushed through the SAME stored index
+    val combinedAssign = S.ivfAssign(
+        S.ivfGridOf(all).filter(col("n2").isNotNull), cents)
+      .filter(col("vec_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val combinedCodes = S.pqAssign(S.pqSubspaces(all), books)
+      .filter(col("vec_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the gated ingest path
+    val ingest = S.ivfPqIngest(spark, dir).collect()
+    assert(ingest.nonEmpty, "no batch rows ingested — vacuous")
+    ingest.foreach { r =>
+      val (vid, cid, word) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(combinedAssign(vid) == cid,
+        s"vec $vid: ingest cell $cid != combined-corpus cell " +
+          s"${combinedAssign(vid)}")
+      val expWord = (0 until 8).map(s =>
+        combinedCodes((vid, s.toLong)) << (4 * s)).sum
+      assert(word == expWord,
+        s"vec $vid: ingest code word $word != combined-corpus $expWord")
+    }
+    // and every batch id the combined run admitted is present
+    assert(ingest.map(_.getLong(0)).toSet == combinedAssign.keySet)
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("nn_per_label is symmetric-free and within-label") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
