@@ -345,6 +345,11 @@ object Events {
     // (pushdown + pruning) like the CSV gate.
     "events_jsonl_daily" -> ((s, d) => jsonlDaily(s, d)),
 
+    // ---- ORC source end-to-end ([[orcDaily]]): the columnar
+    // landing-zone format completing the csv/jsonl matrix; the gate
+    // require()s the pushed timeline filter and the pruned read schema
+    "events_orc_daily" -> ((s, d) => orcDaily(s, d)),
+
     // ---- Z-order (Morton-curve) layout clustering — the multi-dim
     // data-skipping discipline (Delta OPTIMIZE ZORDER / Iceberg
     // sort-order): interleaving the bits of two dimensions gives ONE
@@ -925,6 +930,64 @@ object Events {
         .orderBy(col("touch_type"))
     }),
 
+    // ---- TIME-DECAY multi-touch attribution, completing the family
+    // (last-touch `events_attribution`, next-touch `events_next_touch`,
+    // linear `events_attribution_linear`): recent touches earn more —
+    // weight halves per whole week of age (the events_ewma α=1/2 trick:
+    // halving keeps the decay closed over integers), so w = 4 for age
+    // 0–6 days, 2 for 7–13, 1 for 14–30 (the window bound). Credit is
+    // the weighted split of the order's exact cents, conserving EXACTLY:
+    // base_i = floor(oc·w_i / W) via the pmod trick (any-sign exact),
+    // and the integer remainder R = oc − Σ base_i (0 ≤ R < k, since
+    // each base loses < 1 cent) goes 1 cent each to the R most recent
+    // touches under the linear gate's total tie order. Σ credit = oc
+    // per order BY CONSTRUCTION — pinned with ledger corpora in
+    // `AttributionTieSpec`. Same shifted timeline, same per-order
+    // bounded windows (two passes sharing the o_orderkey exchange); the
+    // only new arithmetic is the weight CASE and the two exact integer
+    // divisions, both replayed verbatim in the oracle.
+    "events_attribution_decay" -> ((s, d) => {
+      val touch = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"),
+          (col("ts") - expr("INTERVAL 9862 DAYS")).as("ts"),
+          col("event_type"), col("event_id"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("ot"),
+          cents(col("o_totalprice")).cast("long").as("oc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey"))
+      val wr = w.orderBy(col("ts").desc_nulls_last,
+        col("event_id").desc_nulls_last, col("event_type").desc_nulls_last)
+      o.join(touch,
+          col("o_custkey") === col("user_id") &&
+            col("ts") <= col("ot") &&
+            col("ts") >= col("ot") - expr("INTERVAL 30 DAYS"),
+          "left_outer")
+        .withColumn("age_days", when(col("ts").isNotNull,
+          expr("(unix_micros(ot) - unix_micros(ts)) div 86400000000")))
+        .withColumn("wt", when(col("age_days").isNull, lit(0L))
+          .when(col("age_days") < 7, 4L)
+          .when(col("age_days") < 14, 2L)
+          .otherwise(1L))
+        .withColumn("k", count(col("event_type")).over(w))
+        .withColumn("tw", sum(col("wt")).over(w))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("base", when(col("k") === 0L, col("oc"))
+          .otherwise(expr("(oc * wt - pmod(oc * wt, tw)) div tw")))
+        .withColumn("rem", col("oc") - sum(col("base")).over(w))
+        .withColumn("credit", col("base") +
+          when(col("k") > 0L && col("rn") <= col("rem"), 1L).otherwise(0L))
+        .groupBy(coalesce(col("event_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_credits"),
+          (sum(col("credit")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(100.0)).as("revenue"))
+        .orderBy(col("touch_type"))
+    }),
+
     // ---- attribute-history compaction (the SCD2 / gaps-and-islands
     // build): consecutive same-type runs per user collapse to validity
     // intervals [valid_from, valid_to] with their event count — how a
@@ -1462,6 +1525,52 @@ object Events {
     out
   }
 
+  /** The ORC-source rollup behind `events_orc_daily`, completing the
+    * landing-zone source matrix (csv [[csvDaily]] / jsonl [[jsonlDaily]] /
+    * orc — the three formats 100 TB pipelines actually receive, text ×2
+    * plus the columnar interchange format warehouse exports arrive in).
+    * Same conventions as the siblings: one export per (JVM, source path)
+    * via `TempLayouts.cached`, read back with an EXPLICIT schema, `ts`
+    * carried as unix micros (a long). ORC is typed+columnar, so unlike
+    * the text gates the round-trip is exact by format (no
+    * quoting/printing hazards) — what THIS gate proves in the plan is
+    * the columnar-source contract: the timeline filter reaches the ORC
+    * reader as a PushedFilter (ORC row-group stats can skip stripes) and
+    * the scan schema is PRUNED to the four referenced columns (props is
+    * in the read schema but never referenced; event_id is not even in
+    * the schema). */
+  private[graft] def orcDaily(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("props"))
+    val loc = graft.TempLayouts.cached("graft-orc", d) { p =>
+      src.write.mode("overwrite").orc(s"$p/events_orc")
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val out = s.read.schema(schema).orc(s"$loc/events_orc")
+      .filter(col("ts_us").isNotNull)
+      .groupBy(date_trunc("day", timestamp_micros(col("ts_us")))
+        .cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("day"))
+    val plan = out.queryExecution.sparkPlan.toString
+    require(plan.contains("IsNotNull(ts_us)"),
+      "events_orc_daily: the timeline filter was not pushed into the ORC " +
+        "scan:\n" + plan)
+    require(!plan.contains("props"),
+      "events_orc_daily: the ORC scan schema was not pruned (props is in " +
+        "the read schema but unreferenced):\n" + plan)
+    out
+  }
+
   private val sumValue =
     "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
 
@@ -1516,6 +1625,22 @@ object Events {
       WHERE ts IS NOT NULL
       GROUP BY 1
       ORDER BY 1 NULLS LAST""",
+
+    // the ORC layout is cost-level only, like the csv/jsonl gates: the
+    // oracle replays the rollup from the parquet table, so any ORC
+    // round-trip infidelity (type mapping, the micros-long timestamp
+    // carry) breaks the hash
+    "events_orc_daily" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        count(*) AS n,
+        count(DISTINCT event_type) AS n_types,
+        count(DISTINCT user_id) AS n_users,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY 1
+      ORDER BY 1""",
 
     // bit-exact Morton interleave replay, the 20 bit-terms unrolled
     // per row (both engines' >> and & agree on non-negative BIGINTs;
@@ -2031,6 +2156,56 @@ object Events {
                     + CASE WHEN rn <= ((oc % k) + k) % k THEN 1 ELSE 0 END
           END AS credit
         FROM wnd)
+      SELECT touch_type, count(*) AS n_credits,
+        CAST(sum(credit) AS DOUBLE) / 100.0 AS revenue
+      FROM c
+      GROUP BY 1
+      ORDER BY touch_type""",
+
+    // the week-halving weights + the two exact integer divisions
+    // replayed verbatim; DuckDB // is floor division but both numerators
+    // are exactly divisible by construction (the pmod trick), so floor
+    // == Spark's truncating div; age // 86400000000 is non-negative
+    "events_attribution_decay" -> """
+      WITH touch AS (
+        SELECT user_id, ts - INTERVAL 9862 DAY AS ts, event_type, event_id
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot,
+          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS oc
+        FROM orders),
+      j AS (
+        SELECT o.o_orderkey, o.oc, o.ot, t.event_type, t.ts, t.event_id
+        FROM o LEFT JOIN touch t ON t.user_id = o.o_custkey
+         AND t.ts <= o.ot AND t.ts >= o.ot - INTERVAL 30 DAY),
+      wnd AS (
+        SELECT o_orderkey, oc, event_type,
+          CASE WHEN ts IS NULL THEN 0
+               WHEN (epoch_us(ot) - epoch_us(ts)) // 86400000000 < 7 THEN 4
+               WHEN (epoch_us(ot) - epoch_us(ts)) // 86400000000 < 14 THEN 2
+               ELSE 1 END AS wt,
+          count(event_type) OVER (PARTITION BY o_orderkey) AS k,
+          row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                     event_type DESC NULLS LAST) AS rn
+        FROM j),
+      w2 AS (
+        SELECT wnd.*, sum(wt) OVER (PARTITION BY o_orderkey) AS tw
+        FROM wnd),
+      b AS (
+        SELECT w2.*,
+          CASE WHEN k = 0 THEN oc
+               ELSE (oc * wt - ((oc * wt) % tw + tw) % tw) // tw END AS base
+        FROM w2),
+      r AS (
+        SELECT b.*, oc - sum(base) OVER (PARTITION BY o_orderkey) AS rem
+        FROM b),
+      c AS (
+        SELECT coalesce(event_type, 'none') AS touch_type,
+          base + CASE WHEN k > 0 AND rn <= rem THEN 1 ELSE 0 END AS credit
+        FROM r)
       SELECT touch_type, count(*) AS n_credits,
         CAST(sum(credit) AS DOUBLE) / 100.0 AS revenue
       FROM c

@@ -72,4 +72,57 @@ class AttributionTieSpec extends SparkSpec {
       ("z", 1L, 800.0))) // user 4: equal-time pair resolves to max type
     Caching.releaseAll(); spark.catalog.clearCache()
   }
+
+  test("decay attribution: week-halving weights, exact conservation, " +
+    "remainder to the most recent touch") {
+    import spark.implicits._
+    val dir = TempLayouts.tracked("graft-attrib-decay").toString
+    val d0 = java.time.LocalDateTime.of(1997, 3, 10, 0, 0)
+    def micros(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000L
+    def rawEvent(effective: java.time.LocalDateTime): Long =
+      micros(effective.plusDays(9862))
+
+    Seq(
+      (10L, 1L, d0, 1.00), // 3 touches at ages 0/7/14 d: w = 4/2/1
+      (30L, 3L, d0, 1.01), // 2 week-3 touches: w = 1/1, 1-cent remainder
+      (90L, 9L, d0, 4.00)) // no touches -> none
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    Seq(
+      // user 1: W = 7; bases floor(400/7)=57, floor(200/7)=28,
+      // floor(100/7)=14 -> sum 99, remainder 1 cent to the age-0 touch
+      (1L, rawEvent(d0), 1L, "t_a"),
+      (2L, rawEvent(d0.minusDays(7)), 1L, "t_b"),
+      (3L, rawEvent(d0.minusDays(14)), 1L, "t_c"),
+      // user 3: equal weights, oc=101 -> bases 50/50, remainder 1 cent
+      // to the more RECENT touch (age 20 beats age 21)
+      (4L, rawEvent(d0.minusDays(20)), 3L, "t_r"),
+      (5L, rawEvent(d0.minusDays(21)), 3L, "t_s"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("""{"k":1}""").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.queries.Events
+      .queries("events_attribution_decay")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      ("none", 1L, 4.00),
+      ("t_a", 1L, 0.58), // 57 base + the 1-cent remainder
+      ("t_b", 1L, 0.28),
+      ("t_c", 1L, 0.14),
+      ("t_r", 1L, 0.51), // equal weights: remainder to the recent touch
+      ("t_s", 1L, 0.50)))
+    // the ledger closes: every order's cents fully distributed
+    assert(got.map(_._3).sum === 1.00 + 1.01 + 4.00)
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
 }
