@@ -75,6 +75,9 @@ case class GraftBpeEncode(first: Expression, second: Expression,
           TypeCheckResult.TypeCheckFailure(
             s"graft_bpe_encode rule arrays must have equal length, got " +
               s"${pats.length} patterns vs ${reps.length} replacements")
+        else if (pats.contains(null) || reps.contains(null))
+          TypeCheckResult.TypeCheckFailure(
+            "graft_bpe_encode rule arrays must not contain NULL elements")
         else TypeCheckResult.TypeCheckSuccess
       case (f, s, t) => TypeCheckResult.TypeCheckFailure(
         "graft_bpe_encode expects (string, foldable array<string>, " +
@@ -97,7 +100,12 @@ case class GraftBpeEncode(first: Expression, second: Expression,
         val out = new Array[String](a.numElements())
         var i = 0
         while (i < out.length) {
-          out(i) = a.getUTF8String(i).toString
+          // a null ELEMENT is kept as null here so checkInputDataTypes
+          // can reject it as a TypeCheckFailure instead of this lazy val
+          // throwing a raw NPE during analysis (SQL callers can write
+          // array('a b', CAST(NULL AS STRING)))
+          val u = a.getUTF8String(i)
+          out(i) = if (u == null) null else u.toString
           i += 1
         }
         out

@@ -480,10 +480,17 @@ object StreamingRun {
     *    with `imp_ts ≤ clk_ts`, and future accepted views sit above the
     *    global watermark, so the click state is releasable as soon as
     *    the watermark passes `clk_ts` itself — probed boundary:
-    *    `clk_ts_us < (ms-floored min(maxView, maxClick) − 10min) ·
-    *    1000`, STRICT (the GroupState polarity, not the windowed-agg
-    *    one the view side uses — the two sides genuinely differ, which
-    *    is exactly why both get probe pins in `StreamFullJoinSpec`). */
+    *    `clk_ts_us <= (wm_ms − 1) · 1000` where wm_ms = ms-floored
+    *    min(maxView, maxClick) − 10min: the click's full-µs instant is
+    *    compared NON-STRICTLY against the boundary one watermark tick
+    *    (1 ms) below wm_ms, exactly as the oracle and
+    *    `StreamFullJoinSpec` pin it (a click at wm_ms·1000 − 1 µs is
+    *    WITHHELD — the tick-below form and a strict `< wm_ms · 1000`
+    *    differ for sub-millisecond timestamps inside the final
+    *    watermark millisecond). Different shape from the view side's
+    *    windowed-agg-style horizon — the two sides genuinely differ,
+    *    which is exactly why both get probe pins in
+    *    `StreamFullJoinSpec`. */
   def attributionFullAvailableNow(s: SparkSession, dir: String): DataFrame = {
     val views = eventStream(s, dir)
       .filter(col("event_type") === "view")

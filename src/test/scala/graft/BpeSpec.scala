@@ -148,4 +148,14 @@ class BpeSpec extends SparkSpec {
       .agg(sum(length(col("w")))).collect().head.getLong(0)
     assert(totBpe < totChars)
   }
+
+  test("a NULL rule-array element is a type-check failure, not an NPE") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_bpe_encode('ab', " +
+        "array('a b', CAST(NULL AS STRING)), array('ab', 'x'))").collect())
+    assert(e.getMessage.toLowerCase.contains("null element") ||
+      e.getMessage.contains("must not contain NULL"),
+      s"unexpected analysis message: ${e.getMessage}")
+  }
 }
