@@ -101,7 +101,22 @@ object ScaleCurve {
     // the BFS layer census (cost ∝ edges·layers with layers capped —
     // the frontier shape's answer to kcore's peel-depth question)
     "events_jsonl_daily", "events_zorder_layout", "q39_join_incremental",
-    "q40_bfs_layers")
+    "q40_bfs_layers",
+    // round-12 additions. The two ntile REWRITES are the round's key
+    // curve evidence: their fixture cost went UP (3–4 histogram
+    // refinement barriers, documented in BASELINE.md) precisely because
+    // the cost is fixed job overhead, not data — the curve must show
+    // near-flat 10x growth where the old partitionless-window plans
+    // would have grown their single-task sort linearly. q38 same shape.
+    "q32_rfm_segments", "q33_pareto_deciles", "q38_range_boundaries",
+    // the runtime bloom join (both sides grow 10x; the bloom build is
+    // dim-linear, the probe map-side), the ORC landing zone (write +
+    // scan linear), the decay attribution (per-order bounded windows,
+    // linear in orders+events), and the ANN ingest (batch x broadcast
+    // index: linear in the batch, the stored corpus only re-trains the
+    // broadcast-sized index statistics)
+    "q41_join_runtime_filter", "events_orc_daily",
+    "events_attribution_decay", "sim_ivfpq_ingest")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -242,6 +242,28 @@ object Events {
         .orderBy(col("event_type"))
     }),
 
+    // ---- VARIANT surface (Spark 4's semi-structured type): props parsed
+    // ONCE into the binary variant encoding, then typed extraction via
+    // try_variant_get — the open-schema ingestion path that at 100 TB
+    // replaces per-query string re-parsing (get_json_object re-tokenizes
+    // the JSON text on every extraction; a variant column parses at
+    // ingest and every downstream extraction is a binary field walk).
+    // Same aggregate panel and SAME ORACLE as `events_json` (the
+    // string-path twin), so the gate proves the two extraction paths
+    // agree bit-for-bit on the props contract; `try_` forms make the
+    // null/malformed classes line up with get_json_object's null-return
+    // behavior (plain parse_json throws under ANSI).
+    "events_props_variant" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
+            .as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- MapType surface: JSON props parsed to map<string,long>, the map
     // exploded to (key, value) rows, aggregated per (event_type, key)
     "events_props_map" -> ((s, d) => {
@@ -1574,6 +1596,18 @@ object Events {
   private val sumValue =
     "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value"
 
+  /** Shared by `events_json` (string extraction) and
+    * `events_props_variant` (variant extraction) — one oracle, two
+    * engine-side paths. */
+  private val propsPanelOracle = """
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""
+
   val oracles: Map[String, String] = Map(
     // the partitioned layout + pruning are cost-level only: the result is
     // the plain date-dimension join, replayed here without the layout.
@@ -1884,14 +1918,12 @@ object Events {
       FROM grid g LEFT JOIN h ON g.hour_ts = h.hour_ts
       ORDER BY g.hour_ts""",
 
-    "events_json" -> """
-      SELECT event_type, count(*) AS n,
-        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-      FROM events
-      GROUP BY event_type
-      ORDER BY event_type""",
+    "events_json" -> propsPanelOracle,
+
+    // the VARIANT extraction path shares the string-path twin's oracle
+    // text verbatim: the gate proves both engines AND both Spark
+    // extraction paths agree on the props contract
+    "events_props_variant" -> propsPanelOracle,
 
     "events_pivot_buckets" -> """
       SELECT event_type,

@@ -330,7 +330,29 @@ object SqlSurface {
         min(y) AS min_y, max(y) AS max_y
       FROM zd
       GROUP BY 1
-      ORDER BY 1""")
+      ORDER BY 1"""),
+
+    // ---- LATERAL correlated subquery — the SQL-surface feature the
+    // window twin (`sql_top_orders_per_segment`) doesn't exercise: a
+    // per-row dependent subquery with its own ORDER BY + LIMIT. Catalyst
+    // DECORRELATES the lateral into a ranked join (DecorrelateInnerQuery
+    // → window rank, one hash exchange — never an N-times re-executed
+    // subquery), which is exactly why the surface is safe at 100 TB:
+    // the plan is the top-k-per-group plan, the LATERAL is syntax.
+    // Customers with no orders vanish (inner lateral), null custkeys
+    // match nothing — identical in DuckDB's LATERAL.
+    "sql_lateral_topn" -> sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.cents
+      FROM customer c,
+      LATERAL (
+        SELECT o.o_orderkey,
+          CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY cents DESC, o.o_orderkey ASC
+        LIMIT 2
+      ) t
+      ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,6 +390,20 @@ object SqlSurface {
     // the DataFrame twin's oracle verbatim — same spine, same fill
     "sql_gapfill" -> Events.oracles("events_gapfill"),
     // the DataFrame twin's oracle verbatim — same interleave, same census
-    "sql_zorder_layout" -> Events.oracles("events_zorder_layout")
+    "sql_zorder_layout" -> Events.oracles("events_zorder_layout"),
+    // DuckDB executes the same LATERAL; both engines agree the inner
+    // lateral drops order-less customers and null keys match nothing
+    "sql_lateral_topn" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.cents
+      FROM customer c,
+      LATERAL (
+        SELECT o.o_orderkey,
+          CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY cents DESC, o.o_orderkey ASC
+        LIMIT 2
+      ) t
+      ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey"""
   )
 }

@@ -34,6 +34,58 @@ final case class ThrIn(user_id: Long, event_type: String,
 final case class ThrOut(event_id: Long, user_id: Long, event_type: String,
                         ts_us: Long)
 
+/** Typed input to the transformWithState running-totals processor:
+  * value pre-gridded to cents with the null flag split out (a case-class
+  * Long cannot carry SQL null; the sum convention is "null contributes
+  * nothing", so cents = 0 ∧ has_val = 0 encodes it exactly). */
+final case class TwsIn(user_id: Long, ts_us: Long, cents: Long,
+                       has_val: Long)
+
+/** Per-user running aggregate held in the transformWithState ValueState
+  * (RocksDB-backed): event count, non-null-value count, exact cents sum,
+  * latest event-time micros. */
+final case class TwsAgg(n: Long, nv: Long, sumCents: Long, maxTs: Long)
+
+/** The per-batch emission: the user's cumulative totals AFTER this
+  * batch. */
+final case class TwsOut(user_id: Long, n: Long, n_values: Long,
+                        sum_cents: Long, last_ts_us: Long)
+
+/** Spark 4's arbitrary-stateful-processing operator surface
+  * (`transformWithState` / `StatefulProcessor` — the successor to
+  * `flatMapGroupsWithState`, with named typed state slots behind a
+  * handle and a mandatory RocksDB state store): a running per-user
+  * totals processor. One `ValueState[TwsAgg]` slot; every input batch
+  * folds into it and emits the post-batch cumulative row. Batch-split
+  * invariance of the STATE (not the emission stream) is pinned in
+  * `TwsSpec` via MemoryStream two-batch runs; the gate drains the
+  * single-data-batch AvailableNow topology, where the one emitted row
+  * per user IS the batch aggregate. */
+final class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TwsIn, TwsOut] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+  @transient private var st: ValueState[TwsAgg] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit =
+    st = getHandle.getValueState[TwsAgg]("agg",
+      org.apache.spark.sql.Encoders.product[TwsAgg], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[TwsIn],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[TwsOut] = {
+    var agg = if (st.exists()) st.get() else TwsAgg(0L, 0L, 0L, Long.MinValue)
+    rows.foreach { r =>
+      agg = TwsAgg(agg.n + 1L, agg.nv + r.has_val, agg.sumCents + r.cents,
+        math.max(agg.maxTs, r.ts_us))
+    }
+    st.update(agg)
+    Iterator.single(TwsOut(user, agg.n, agg.nv, agg.sumCents, agg.maxTs))
+  }
+}
+
 /** Oracle-gated STREAMING execution (SURVEY.md §2 streaming row).
   *
   * [[StreamingDemo]] holds the streaming operator surface and
@@ -552,6 +604,50 @@ object StreamingRun {
     drainToSink(joined).orderBy(col("imp_id"))
   }
 
+  /** Oracle-gated `transformWithState` running totals — the NEWEST
+    * stateful operator class in Spark (4.x `StatefulProcessor`: named
+    * typed state slots behind a handle, timer surface, RocksDB-mandatory
+    * state store — the successor to the `GroupState` API the session/
+    * throttle gates exercise): per-user cumulative (count, non-null
+    * count, exact cents sum, latest micros), the continuous
+    * profile-maintenance shape. The RocksDB provider is set around the
+    * drain and restored (the other streaming gates run the default
+    * HDFS-backed provider — this gate proves the RocksDB path end to
+    * end, including state encoder round-trips through the native store).
+    * Emission is per-(batch, user) with cumulative values; in the gate's
+    * single-data-batch drain (the convention every stream gate shares)
+    * the emitted set IS the batch aggregate over the streaming timeline,
+    * which is the oracle — while `TwsSpec` pins the cross-batch
+    * semantics the gate can't see (state carries across batches;
+    * re-keyed cumulative equals the union aggregate). */
+  def twsRunningAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          coalesce(graft.queries.cents(col("value")).cast("long"), lit(0L))
+            .as("cents"),
+          when(col("value").isNotNull, 1L).otherwise(0L).as("has_val"))
+        .as[TwsIn]
+      val out = typed.groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      drainToSink(out.toDF())
+        .select(col("user_id"), col("n"), col("n_values"),
+          col("sum_cents"), col("last_ts_us"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Oracle-gated stream-static broadcast enrichment — the fifth
     * streaming shape in the gate, and the stateless one: every
     * micro-batch of the event stream left-outer joins a BROADCAST static
@@ -690,6 +786,8 @@ object StreamingRun {
       attributionFullAvailableNow(s, d)),
     "events_stream_join_semi" -> ((s, d) =>
       attributionSemiAvailableNow(s, d)),
+    "events_stream_tws_totals" -> ((s, d) =>
+      twsRunningAvailableNow(s, d)),
     "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d)),
     "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d)),
     "events_stream_counts" -> ((s, d) => countsAvailableNow(s, d))
@@ -837,6 +935,22 @@ object StreamingRun {
        AND c.clk_ts >= v.imp_ts
        AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes'
       ORDER BY imp_id, clk_id""",
+
+    // the single-data-batch drain makes the one emitted cumulative row
+    // per user the plain aggregate over the streaming timeline; null
+    // values contribute 0 to the sum and 0 to n_values in both engines
+    "events_stream_tws_totals" -> """
+      SELECT user_id, count(*) AS n,
+        count(value) AS n_values,
+        CAST(sum(CASE WHEN value IS NULL THEN 0
+                      ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                 END) AS BIGINT) AS sum_cents,
+        epoch_us(max(ts)) AS last_ts_us
+      FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+        AND user_id IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     // the batch SEMI interval join over the streaming-timeline event set
     // — no horizon clause: semi emission is EAGER (a view emits when its

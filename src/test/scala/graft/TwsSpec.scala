@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import graft.streaming.{RunningTotalsProcessor, TwsIn}
+
+/** Pins for the `transformWithState` running-totals processor behind
+  * `events_stream_tws_totals` — the cross-batch semantics the
+  * single-drain gate can't see:
+  *
+  *  1. state CARRIES across micro-batches: after batch 2, a user's
+  *     emitted row equals the aggregate of BOTH batches' rows (not batch
+  *     2 alone), and equals what one combined batch would emit;
+  *  2. per-batch emission: each batch emits exactly one row per key
+  *     present in it (keys absent from a batch emit nothing — state is
+  *     not re-scanned);
+  *  3. null-value encoding: cents=0 ∧ has_val=0 rows raise n but not
+  *     n_values or the sum.
+  *
+  * Runs under the RocksDB provider, as the gate does (transformWithState
+  * refuses the default HDFS-backed store).
+  */
+class TwsSpec extends SparkSpec {
+
+  private def run(batches: Seq[Seq[TwsIn]]): Seq[Seq[(Long, Long, Long, Long, Long)]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TwsIn]
+      val name = s"tws_out_${System.nanoTime()}"
+      val q = in.toDS().groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val out = Seq.newBuilder[Seq[(Long, Long, Long, Long, Long)]]
+        var seen = 0
+        for (b <- batches) {
+          in.addData(b: _*)
+          q.processAllAvailable()
+          val all = spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toSeq
+          out += all.drop(seen)
+          seen = all.size
+        }
+        out.result()
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("state carries across batches; emission is per-batch cumulative") {
+    val b1 = Seq(TwsIn(1L, 100L, 500L, 1L), TwsIn(1L, 200L, 300L, 1L),
+      TwsIn(2L, 150L, 700L, 1L))
+    val b2 = Seq(TwsIn(1L, 50L, 100L, 1L), // late row: maxTs stays 200
+      TwsIn(3L, 900L, 0L, 0L)) //            null-value row for a new user
+    val Seq(e1, e2) = run(Seq(b1, b2))
+    assert(e1.toSet == Set((1L, 2L, 2L, 800L, 200L), (2L, 1L, 1L, 700L, 150L)))
+    // batch 2: user 1 CUMULATIVE (3 events, 900 cents, maxTs still 200);
+    // user 2 absent (no emission without input); user 3 null-value row
+    assert(e2.toSet == Set((1L, 3L, 3L, 900L, 200L), (3L, 1L, 0L, 0L, 900L)))
+  }
+
+  test("two batches end in the same state as one combined batch") {
+    val rows = (1L to 20L).map(i => TwsIn(i % 3, i * 10L, i * 7L, i % 2))
+    val split = run(Seq(rows.take(11), rows.drop(11)))
+    val combined = run(Seq(rows))
+    // the LAST emission per user in the split run == the combined run's
+    val lastSplit = (split.head ++ split.last).groupBy(_._1)
+      .map { case (u, rs) => rs.last }.toSet
+    // (batch order within run: later batch's rows come from drop(seen),
+    // so rs.last is the most recent emission for that user)
+    assert(lastSplit == combined.head.toSet)
+  }
+}
