@@ -274,6 +274,41 @@ object Pipeline {
     // ---- deterministic train/val/test split: bucket = hash(doc_id) % 100
     // → 90/5/5. A pure projection — the split of any row is decidable
     // anywhere, which is what makes it work under incremental ingest.
+    // ---- SEQUENCE PACKING (the pack-by-concatenation training layout:
+    // every GPT-style pipeline concatenates the token stream and cuts it
+    // at fixed L-token boundaries, letting documents straddle cuts with
+    // attention masking): per shard, documents in doc_id order get an
+    // exclusive running token offset; a document belongs to the pack
+    // where its span STARTS (pack = start_tok div 512). Gated output is
+    // the layout census — per (shard, pack): doc count, token mass, id
+    // range — i.e. the manifest a packing job writes. Token counts ride
+    // the text_tokens BPE-ish regex convention (Java \s == the oracle's
+    // explicit [ \t\n\x0B\f\r] class). Scale shape: the only sequential
+    // structure is the per-shard running sum — sharding IS the
+    // parallelism knob (production sizes shards to ~10⁶ docs; the
+    // fixture uses 8 via the cross-engine 60-bit hash), and packing is
+    // embarrassingly parallel across shards because the layout is
+    // defined PER SHARD, exactly like production packing jobs.
+    "docs_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          coalesce(regexp_count(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long"), lit(0L))
+            .as("n_tok"),
+          pmod(keyHash(col("doc_id")), lit(8)).as("shard"))
+        .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("pack", expr("start_tok div 512"))
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("pack"))
+    }),
+
     "docs_split_train_val" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), (keyHash(col("doc_id")) % 100).as("bucket"))
@@ -1006,6 +1041,31 @@ object Pipeline {
       FROM a
       GROUP BY shard
       ORDER BY shard""",
+
+    // the running-offset layout replayed: same hash shard, same BPE-ish
+    // token regex (whitespace class spelled out — RE2's \s excludes VT),
+    // same exclusive window frame; // on non-negative offsets == div
+    "docs_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id,
+          coalesce(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')), 0) AS n_tok,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 8 AS shard
+        FROM documents WHERE doc_id IS NOT NULL),
+      w AS (
+        SELECT shard, doc_id, n_tok,
+          coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS start_tok
+        FROM t)
+      SELECT shard, CAST(start_tok // 512 AS BIGINT) AS pack,
+        count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM w
+      GROUP BY 1, 2
+      ORDER BY shard, pack""",
 
     "docs_split_train_val" -> """
       SELECT doc_id,

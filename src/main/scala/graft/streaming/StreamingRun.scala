@@ -51,6 +51,99 @@ final case class TwsAgg(n: Long, nv: Long, sumCents: Long, maxTs: Long)
 final case class TwsOut(user_id: Long, n: Long, n_values: Long,
                         sum_cents: Long, last_ts_us: Long)
 
+/** The sessionization walk of [[StreamingRun.sessionizeByUser]] ported to
+  * Spark 4's `StatefulProcessor` with EVENT-TIME TIMERS — the timer half
+  * of the transformWithState surface ([[RunningTotalsProcessor]] covers
+  * the state half with TimeMode.None): the open session lives in a
+  * `ValueState[SessState]`, and a registered timer at
+  * `floor(last_us/1000) + gap_ms` replaces GroupState's
+  * `setTimeoutTimestamp`. `handleExpiredTimer` is the `hasTimedOut`
+  * branch: emit the open session, clear state. Timer maintenance is
+  * explicit in this API (GroupState's set-timeout REPLACES, timers
+  * ACCUMULATE), so the processor deletes the previous session-close
+  * timer before registering the moved one — the one genuinely new
+  * obligation vs the GroupState port, pinned by `TwsSpec` (a stale
+  * undeleted timer would double-emit). Expiry polarity PROBED ON THE
+  * HORIZON CORPUS and it is the OPPOSITE of GroupState's: a TWS timer
+  * fires when the watermark reaches it NON-strictly (wm_ms >= expiry;
+  * GroupState's event-time timeout needs wm_ms > timeout — the horizon
+  * corpus, whose sessions close exactly ON the ms-floored boundary,
+  * emitted two extra sessions under a naive port). The processor
+  * therefore registers `close + 1 ms`: wm >= t+1 ⟺ wm > t on the
+  * integer ms grid, reproducing the strict GroupState arithmetic
+  * exactly — so `events_stream_tws_session` shares
+  * `events_stream_session`'s oracle verbatim (one emission arithmetic,
+  * two stateful APIs), with the polarity difference pinned in
+  * `TwsSpec`. */
+final class SessionProcessorTws(gapMinutes: Int = 30)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessIn, SessOut] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+  private val gapUs = gapMinutes * 60L * 1000000L
+  private val gapMs = gapMinutes * 60L * 1000L
+  @transient private var st: ValueState[SessState] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit =
+    st = getHandle.getValueState[SessState]("open",
+      org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+  private def emit(uid: Long, o: SessState): SessOut =
+    SessOut(uid, o.startUs, o.n,
+      if (o.anyValue) Some(o.sumCents) else None)
+
+  override def handleInputRows(uid: Long, rows: Iterator[SessIn],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessOut] = {
+    val batch = rows.toArray.sortBy(_.ts_us)
+    var open: Option[SessState] = if (st.exists()) Some(st.get()) else None
+    val prevTimer = open.map(o => o.lastUs / 1000L + gapMs + 1L)
+    val closed = Seq.newBuilder[SessOut]
+    for (e <- batch) {
+      val c = e.cents.getOrElse(0L)
+      val v = e.cents.isDefined
+      open match {
+        // the sessionizeByUser walk verbatim: inclusive two-sided reach,
+        // strictly-past-gap split, late-singleton immediate emission
+        case Some(o) if e.ts_us >= o.startUs - gapUs &&
+            e.ts_us <= o.lastUs + gapUs =>
+          open = Some(SessState(math.min(o.startUs, e.ts_us),
+            math.max(o.lastUs, e.ts_us), o.n + 1, o.sumCents + c,
+            o.anyValue || v))
+        case Some(o) if e.ts_us > o.lastUs + gapUs =>
+          closed += emit(uid, o)
+          open = Some(SessState(e.ts_us, e.ts_us, 1L, c, v))
+        case Some(_) =>
+          closed += SessOut(uid, e.ts_us, 1L, if (v) Some(c) else None)
+        case None =>
+          open = Some(SessState(e.ts_us, e.ts_us, 1L, c, v))
+      }
+    }
+    open.foreach { o =>
+      st.update(o)
+      // +1 ms: TWS timers fire NON-strictly at the watermark, GroupState
+      // timeouts strictly past it — see the class doc's probe pin
+      val t = o.lastUs / 1000L + gapMs + 1L
+      if (!prevTimer.contains(t)) {
+        prevTimer.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(t)
+      }
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(uid: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessOut] =
+    if (st.exists()) {
+      val o = st.get()
+      st.clear()
+      Iterator.single(emit(uid, o))
+    } else Iterator.empty
+}
+
 /** Spark 4's arbitrary-stateful-processing operator surface
   * (`transformWithState` / `StatefulProcessor` — the successor to
   * `flatMapGroupsWithState`, with named typed state slots behind a
@@ -648,6 +741,44 @@ object StreamingRun {
     }
   }
 
+  /** Oracle-gated transformWithState SESSIONIZATION with event-time
+    * timers — [[SessionProcessorTws]] run over [[sessionAvailableNow]]'s
+    * exact input shape (same typed projection, same watermark), sharing
+    * `events_stream_session`'s oracle verbatim: one emission arithmetic
+    * (sessions close when the ms-floored watermark STRICTLY passes
+    * last+gap), two stateful APIs (GroupState timeouts vs TWS timers).
+    * RocksDB provider set around the drain like the running-totals
+    * gate. */
+  def twsSessionAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+          graft.queries.cents(col("value")).cast("long").as("cents"))
+        .as[SessIn]
+        .withWatermark("ts", "10 minutes")
+      val out = typed.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessorTws(30),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      drainToSink(out.toDF())
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).cast("timestamp_ntz")
+            .as("session_start"),
+          col("n_events"),
+          (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Oracle-gated stream-static broadcast enrichment — the fifth
     * streaming shape in the gate, and the stateless one: every
     * micro-batch of the event stream left-outer joins a BROADCAST static
@@ -788,6 +919,8 @@ object StreamingRun {
       attributionSemiAvailableNow(s, d)),
     "events_stream_tws_totals" -> ((s, d) =>
       twsRunningAvailableNow(s, d)),
+    "events_stream_tws_session" -> ((s, d) =>
+      twsSessionAvailableNow(s, d)),
     "events_stream_enrich" -> ((s, d) => enrichAvailableNow(s, d)),
     "events_stream_dedup" -> ((s, d) => dedupAvailableNow(s, d)),
     "events_stream_counts" -> ((s, d) => countsAvailableNow(s, d))
@@ -803,6 +936,45 @@ object StreamingRun {
   // The oracle's `<=` encodes that; with hour-aligned window ends the
   // µs-vs-ms floor gap is unreachable (a window end can never carry the
   // sub-ms remainder the floor would drop)
+  /** Shared by `events_stream_session` (GroupState timeouts) and
+    * `events_stream_tws_session` (transformWithState timers) — one
+    * emission arithmetic, two stateful APIs. */
+  private val sessionOracle = """
+      WITH ev AS MATERIALIZED (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND user_id IS NOT NULL),
+      ordered AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL OR
+                    ts - lag(ts) OVER w > INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_session,
+          event_id
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered),
+      agg AS (
+        SELECT user_id, sid,
+          min(ts) AS session_start, max(ts) AS session_last,
+          count(*) AS n_events,
+          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_value
+        FROM sessions GROUP BY user_id, sid),
+      marked AS (
+        SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+        FROM agg),
+      wm AS (
+        SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM ev)
+      SELECT user_id, session_start, n_events, sum_value
+      FROM marked, wm
+      WHERE sid < last_sid
+         OR epoch_us(session_last) // 1000 + 1800000 < wm_ms
+      ORDER BY user_id, session_start"""
+
   val oracles: Map[String, String] = Map(
     // complete mode: the final snapshot IS the batch aggregate over the
     // streaming timeline — no horizon clause by construction
@@ -854,41 +1026,11 @@ object StreamingRun {
     // window orders by (ts, event_id) — a strict total order — so
     // same-instant events can never land in different sessions by
     // tie-break luck.
-    "events_stream_session" -> """
-      WITH ev AS MATERIALIZED (
-        SELECT event_id, user_id, ts, value FROM events
-        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
-          AND user_id IS NOT NULL),
-      ordered AS (
-        SELECT user_id, ts, value,
-          CASE WHEN lag(ts) OVER w IS NULL OR
-                    ts - lag(ts) OVER w > INTERVAL '30 minutes'
-               THEN 1 ELSE 0 END AS new_session,
-          event_id
-        FROM ev
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      sessions AS (
-        SELECT user_id, ts, value,
-          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM ordered),
-      agg AS (
-        SELECT user_id, sid,
-          min(ts) AS session_start, max(ts) AS session_last,
-          count(*) AS n_events,
-          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
-            / 100.0 AS sum_value
-        FROM sessions GROUP BY user_id, sid),
-      marked AS (
-        SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
-        FROM agg),
-      wm AS (
-        SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM ev)
-      SELECT user_id, session_start, n_events, sum_value
-      FROM marked, wm
-      WHERE sid < last_sid
-         OR epoch_us(session_last) // 1000 + 1800000 < wm_ms
-      ORDER BY user_id, session_start""",
+    "events_stream_session" -> sessionOracle,
+
+    // the TWS-timer port shares the oracle text verbatim — the gate
+    // proves GroupState timeouts and transformWithState timers agree
+    "events_stream_tws_session" -> sessionOracle,
 
     // the batch events_debounce_kept walk (same recursive CTE) over the
     // streaming-timeline event set; deliberately NO horizon clause —

@@ -70,6 +70,45 @@ class TwsSpec extends SparkSpec {
     assert(e2.toSet == Set((1L, 3L, 3L, 900L, 200L), (3L, 1L, 0L, 0L, 900L)))
   }
 
+  test("TWS timer polarity: the +1ms-compensated session processor " +
+    "agrees with the GroupState walk exactly AT the eviction boundary") {
+    import org.apache.spark.sql.functions._
+    // a session whose close time + gap lands EXACTLY on the ms-floored
+    // watermark: GroupState's strict timeout WITHHOLDS it; raw TWS timers
+    // fire non-strictly and would emit it — the probe that forced the
+    // +1ms registration (see SessionProcessorTws doc). Corpus: clock at
+    // maxTs; user 1's last event at wm − 30min exactly (withheld); user
+    // 2's at wm − 30min − 1ms (emitted).
+    val T0 = 1704067200000000L
+    val MINu = 60L * 1000000L
+    val maxTs = T0 + 200 * MINu + 700L // +700 µs: exercise the ms floor
+    val wmMs = maxTs / 1000L - 600000L
+    val onBoundary = (wmMs - 1800000L) * 1000L
+    val dir = TempLayouts.tracked("graft-twsb").toString
+    locally {
+      import spark.implicits._
+      Seq((0L, maxTs, 999L, "clk"), (1L, onBoundary, 1L, "a"),
+        (2L, onBoundary - 1000L, 2L, "a"))
+        .toDF("event_id", "ts_us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("""{"k":1}""").as("props"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val groupState = rows(
+      graft.streaming.StreamingRun.sessionAvailableNow(spark, dir))
+    val tws = rows(
+      graft.streaming.StreamingRun.twsSessionAvailableNow(spark, dir))
+    assert(groupState == Set(2L -> 1L),
+      s"GroupState emitted the wrong set: $groupState")
+    assert(tws == groupState,
+      s"TWS session diverged from GroupState at the boundary: $tws")
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("two batches end in the same state as one combined batch") {
     val rows = (1L to 20L).map(i => TwsIn(i % 3, i * 10L, i * 7L, i % 2))
     val split = run(Seq(rows.take(11), rows.drop(11)))
