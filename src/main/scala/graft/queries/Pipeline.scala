@@ -805,6 +805,34 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // ---- the CAPSTONE composition: the curated training set, packed.
+    // [[curationStages]]' final keep set (raw → exact-dedup → quality →
+    // decontamination → near-dup pruning) flows straight into the
+    // [[docs_pack_sequences]] layout — the manifest an actual training
+    // run consumes, produced by chaining five gated stages end to end
+    // (each stage is ALSO individually gated, so a failure localizes).
+    // Token budget = the curation stage's own n_words counter; same
+    // 8-shard hash, same exclusive-offset packing arithmetic. The oracle
+    // composes the SAME shared CTE texts (curationStageCtes + the
+    // packing window), so no stage can drift from its standalone gate.
+    "docs_training_manifest" -> ((s, d) => {
+      val (_, _, _, _, finalKeep) = curationStages(s, d)
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      finalKeep
+        .select(col("doc_id"), col("n_words"),
+          pmod(keyHash(col("doc_id")), lit(8)).as("shard"))
+        .withColumn("start_tok",
+          coalesce(sum(col("n_words")).over(w), lit(0L)))
+        .withColumn("pack", expr("start_tok div 512"))
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("pack"))
+    }),
+
     // ---- distribution-drift monitor: each source's language mix scored
     // against the corpus mix by TOTAL-VARIATION distance — the exact-
     // integer member of the drift-divergence family (KL/JS need logs and
@@ -1408,6 +1436,26 @@ object Pipeline {
       LEFT JOIN surv3 s3 ON s3.doc_id = r.doc_id
       LEFT JOIN final f ON f.doc_id = r.doc_id
       ORDER BY r.doc_id""",
+
+    // the curation chain + packing window, both shared texts composed
+    "docs_training_manifest" -> s"""
+      WITH $curationStageCtes,
+      pk_t AS (SELECT doc_id, n_words AS n_tok,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 8 AS shard
+            FROM final),
+      pk_w AS (SELECT shard, doc_id, n_tok,
+              coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS start_tok
+            FROM pk_t)
+      SELECT shard, CAST(start_tok // 512 AS BIGINT) AS pack,
+        count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM pk_w
+      GROUP BY 1, 2
+      ORDER BY shard, pack""",
 
     "docs_curation_pipeline" -> s"""
       WITH $curationStageCtes,
