@@ -184,4 +184,26 @@ class PipelineSpec extends SparkSpec {
     assert(smallShare === 1000000L * 4 / 404)
     assert(smallTemp === 1000000L * 2 / 22)
   }
+
+  test("training manifest conserves the curation pipeline's final docs " +
+    "and tokens; packs are contiguous per shard") {
+    val d = "/root/testdata/sf0.001"
+    val manifest = graft.queries.Pipeline
+      .queries("docs_training_manifest")(spark, d).collect()
+    val pipe = graft.queries.Pipeline
+      .queries("docs_curation_pipeline")(spark, d).collect()
+    // Σ over manifest == the attrition panel's final row counts/tokens
+    assert(manifest.map(_.getLong(2)).sum ==
+      pipe.map(_.getLong(5)).sum, "doc counts diverge")
+    assert(manifest.map(_.getLong(3)).sum ==
+      pipe.map(_.getLong(6)).sum, "token counts diverge")
+    // every non-empty shard's layout starts at pack 0 (the first doc's
+    // offset is 0 by construction; packs may legitimately skip an index
+    // when one document spans more than a whole 512-token pack)
+    manifest.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val packs = rows.map(_.getLong(1)).sorted
+      assert(packs.head == 0L, s"shard $shard starts at pack ${packs.head}")
+    }
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
 }
