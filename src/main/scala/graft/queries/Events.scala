@@ -231,6 +231,45 @@ object Events {
         .orderBy(col("hour_ts"))
     }),
 
+    // ---- OHLC downsampling (hourly bars: first/last/min/max of the
+    // value series) — the arg-extremum aggregate family the other
+    // resamplers don't touch: open/close are the value AT the earliest/
+    // latest instant, not an extremum OF the values. Both ride ONE
+    // map-side-combinable min/max over a lexicographic struct
+    // (ts_us, event_id, v) — the min-struct argmin convention — so the
+    // bar census never sorts a partition and never windows over a
+    // corpus-growing group (at 100 TB an hour of events can be billions
+    // of rows; a per-hour row_number would hot-spot exactly there — the
+    // struct extremum combines partially on every map task instead).
+    // (event_id, v) complete the tie-break: duplicate-id corpora
+    // (DupIdsSpec) can carry equal (ts, id) rows whose v differ.
+    // Contract: bars only over timestamped priced events (null ts has
+    // no position in a series, null value no price) — mirrored in the
+    // oracle's WHERE; the oracle recovers the same rows via per-hour
+    // rank-1 windows, which is correctness-only SQL, not the scale
+    // plan.
+    "events_ohlc_hourly" -> ((s, d) => {
+      val b = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(date_trunc("hour", col("ts")).as("hour_ts"),
+          cents(col("value")).cast("long").as("v"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      b.groupBy(col("hour_ts"))
+        .agg(min(struct(col("ts_us"), col("event_id"), col("v")))
+          .getField("v").as("o"),
+          max(struct(col("ts_us"), col("event_id"), col("v")))
+            .getField("v").as("c"),
+          max(col("v")).as("h"), min(col("v")).as("l"),
+          count(lit(1)).as("n"))
+        .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+          (col("o").cast("double") / 100.0).as("open"),
+          (col("h").cast("double") / 100.0).as("high"),
+          (col("l").cast("double") / 100.0).as("low"),
+          (col("c").cast("double") / 100.0).as("close"),
+          col("n"))
+        .orderBy(col("hour_ts"))
+    }),
+
     // ---- JSON extraction from the props column + aggregation
     "events_json" -> ((s, d) => {
       Tables.events(s, d)
@@ -898,6 +937,56 @@ object Events {
         .agg(count(lit(1)).as("n_orders"),
           sumMoney(col("o_totalprice")).as("revenue"))
         .orderBy(col("touch_type"))
+    }),
+
+    // ---- NEAREST as-of (pandas merge_asof direction='nearest' with a
+    // tolerance): each click matched to the same user's view CLOSEST in
+    // time within ±30 minutes — the third as-of mode beside backward
+    // (`events_attribution`) and forward (`events_next_touch`), and the
+    // one neither frame walk expresses (it looks both ways). Total
+    // order: smallest |Δt|, ties to the EARLIER view (the backward
+    // preference), then view_id. Shape: one tolerance-bounded interval
+    // join (expansion capped by views-per-user-per-hour) and ONE
+    // map-side-combinable min over a lexicographic (|Δ|, view_us,
+    // view_id) struct — no per-click window. Unmatched clicks survive
+    // the left join under a MaxValue sentinel first field (struct
+    // fields are kept non-null so the struct ordering never compares
+    // nulls) and emit null view/delta; the oracle recovers the same
+    // rows via a rank-1 window over the identical total order.
+    "events_asof_nearest" -> ((s, d) => {
+      val tol = 30L * 60L * 1000000L
+      val none = Long.MaxValue
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("clk_id"), col("user_id"),
+          col("ts_us").as("clk_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_us").as("view_us"))
+      clicks
+        .join(views,
+          clicks("user_id") === views("user_id") &&
+            col("view_us") >= col("clk_us") - tol &&
+            col("view_us") <= col("clk_us") + tol,
+          "left_outer")
+        .select(col("clk_id"), clicks("user_id"), col("clk_us"),
+          coalesce(abs(col("view_us") - col("clk_us")), lit(none))
+            .as("ad"),
+          coalesce(col("view_us"), lit(0L)).as("vu"),
+          coalesce(col("view_id"), lit(0L)).as("vi"))
+        .groupBy(col("clk_id"), col("user_id"), col("clk_us"))
+        .agg(min(struct(col("ad"), col("vu"), col("vi"))).as("m"))
+        .select(col("clk_id"), col("user_id"),
+          timestamp_micros(col("clk_us")).cast("timestamp_ntz")
+            .as("clk_ts"),
+          when(col("m.ad") === none, lit(null).cast("long"))
+            .otherwise(col("m.vi")).as("view_id"),
+          when(col("m.ad") === none, lit(null).cast("long"))
+            .otherwise(col("m.vu") - col("clk_us")).as("delta_us"))
+        .orderBy(col("clk_id"), col("user_id"), col("clk_ts"))
     }),
 
     // ---- LINEAR multi-touch attribution — the credit-SPLITTING mode
@@ -1918,6 +2007,37 @@ object Events {
       FROM grid g LEFT JOIN h ON g.hour_ts = h.hour_ts
       ORDER BY g.hour_ts""",
 
+    // open/close recovered via per-hour rank-1 windows over the SAME
+    // (ts_us, event_id, v) total order the Spark struct extremum
+    // encodes; high/low/n are the plain per-hour aggregate
+    "events_ohlc_hourly" -> """
+      WITH b AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+          epoch_us(ts) AS ts_us, event_id
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
+      r AS (
+        SELECT hour_ts, v,
+          row_number() OVER (PARTITION BY hour_ts
+            ORDER BY ts_us ASC, event_id ASC, v ASC) AS rn_a,
+          row_number() OVER (PARTITION BY hour_ts
+            ORDER BY ts_us DESC, event_id DESC, v DESC) AS rn_d
+        FROM b),
+      agg AS (
+        SELECT hour_ts, max(v) AS h, min(v) AS l, count(*) AS n
+        FROM b GROUP BY hour_ts)
+      SELECT agg.hour_ts,
+        CAST(o.v AS DOUBLE) / 100.0 AS open,
+        CAST(agg.h AS DOUBLE) / 100.0 AS high,
+        CAST(agg.l AS DOUBLE) / 100.0 AS low,
+        CAST(c.v AS DOUBLE) / 100.0 AS close,
+        agg.n
+      FROM agg
+      JOIN (SELECT hour_ts, v FROM r WHERE rn_a = 1) o USING (hour_ts)
+      JOIN (SELECT hour_ts, v FROM r WHERE rn_d = 1) c USING (hour_ts)
+      ORDER BY agg.hour_ts""",
+
     "events_json" -> propsPanelOracle,
 
     // the VARIANT extraction path shares the string-path twin's oracle
@@ -2248,6 +2368,42 @@ object Events {
     // NULLS, probes before builds at the same instant (side ASC), null
     // times off the timeline at the tail (NULLS LAST — a null-t probe in
     // a forward frame must have nothing after it)
+    // the same (|Δ|, view_us, view_id) total order recovered via a
+    // rank-1 window per (clk_id, user_id, clk_us) partition; duplicate
+    // click rows collapse into one partition exactly as the Spark
+    // groupBy collapses them; the MaxValue sentinel marks no-match
+    "events_asof_nearest" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      c AS (SELECT event_id AS clk_id, user_id, ts_us AS clk_us
+            FROM e WHERE event_type = 'click'),
+      v AS (SELECT user_id, event_id AS view_id, ts_us AS view_us
+            FROM e WHERE event_type = 'view'),
+      j AS (
+        SELECT c.clk_id, c.user_id, c.clk_us,
+          coalesce(abs(v.view_us - c.clk_us), 9223372036854775807) AS ad,
+          coalesce(v.view_us, 0) AS vu,
+          coalesce(v.view_id, 0) AS vi
+        FROM c LEFT JOIN v ON v.user_id = c.user_id
+         AND v.view_us >= c.clk_us - 1800000000
+         AND v.view_us <= c.clk_us + 1800000000),
+      g AS (
+        SELECT clk_id, user_id, clk_us, ad, vu, vi FROM (
+          SELECT j.*, row_number() OVER (
+            PARTITION BY clk_id, user_id, clk_us
+            ORDER BY ad ASC, vu ASC, vi ASC) AS rn
+          FROM j) t
+        WHERE rn = 1)
+      SELECT clk_id, user_id, make_timestamp(clk_us) AS clk_ts,
+        CASE WHEN ad = 9223372036854775807 THEN NULL ELSE vi END
+          AS view_id,
+        CASE WHEN ad = 9223372036854775807 THEN NULL
+             ELSE vu - clk_us END AS delta_us
+      FROM g
+      ORDER BY clk_id, user_id, clk_ts""",
+
     "events_next_touch" -> """
       WITH touch AS (
         SELECT user_id, ts - INTERVAL 9862 DAY AS ts, event_type

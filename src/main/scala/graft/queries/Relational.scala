@@ -933,7 +933,28 @@ object Relational {
     // observable (and require()d) on fixture-sized parquet; the oracle
     // is the plain join — a bloom false positive only re-joins a row the
     // join itself drops, so the result is exactly the unfiltered join's.
-    "q41_join_runtime_filter" -> ((s, d) => runtimeFilteredJoin(s, d))
+    "q41_join_runtime_filter" -> ((s, d) => runtimeFilteredJoin(s, d)),
+
+    // ---- label-propagation community detection (Raghavan et al.,
+    // arXiv 0709.2938) over the co-purchase graph — the fourth
+    // iterative graph shape, and the one whose update rule is an ARGMAX
+    // over the neighborhood (mode of neighbor labels) where BFS takes a
+    // min and the peel takes a threshold. Deterministic synchronous
+    // variant so the walk replays in DuckDB: every vertex starts as its
+    // own label; each round, a vertex adopts the most frequent label
+    // among its neighbors' PREVIOUS-round labels, ties to the SMALLEST
+    // label; 4 fixed rounds (the oracle's replay depth — synchronous
+    // LPA need not converge, so a fixed horizon is the contract, not a
+    // cap). Per round: one join of the 2m-row orientation table against
+    // the |V|-row label table, one (node, label) count that
+    // hash-aggregates map-side, and the packed-decimal argmax of the
+    // sim_knn_label convention — max(c·2²⁰ − label) — so no per-node
+    // sort window exists anywhere; `localCheckpoint` snaps each round's
+    // lineage. Labels are partkeys, guarded into the 2²⁰ pack domain by
+    // requirePackable (loud, never silent — re-key first at larger
+    // id domains). Output: every vertex with its round-4 community.
+    "q42_label_communities" -> ((s, d) =>
+      labelCommunities(copurchaseEdges(s, d), rounds = 4))
   )
 
   /** Exact ntile(k) cut elements WITHOUT a global sort — the scale path
@@ -1245,6 +1266,43 @@ object Relational {
       .orderBy(col("v")), rounds)
   }
 
+  /** Deterministic synchronous label propagation over an undirected
+    * edge set — see the `q42_label_communities` gate comment for the
+    * update rule and determinism contract. Each round reads only the
+    * PREVIOUS round's label table (synchronous), so the loop is
+    * `rounds` joins deep; `localCheckpoint` keeps the physical lineage
+    * one round deep, the kcore/BFS convention. The argmax is the
+    * packed-decimal max of the sim_knn_label convention (map-side
+    * combinable — no per-node window): pk = c·2²⁰ − label recovers
+    * (max count, smallest label) via pmod(−pk, 2²⁰) for labels in
+    * [0, 2²⁰), enforced loudly by requirePackable. */
+  private[graft] def labelCommunities(edges0: DataFrame,
+                                      rounds: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val packBase = 1L << 20
+    val snap: DataFrame => DataFrame = df => df.localCheckpoint(eager = true)
+    val edges = snap(edges0)
+    val nbrs = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .union(edges.select(col("b").as("node"), col("a").as("nbr")))
+    var lbl = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      lbl = snap(nbrs
+        .join(lbl.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"),
+          Similarity.requirePackable(col("label"), packBase,
+            "q42_label_communities").as("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(col("c").cast(dec) * lit(packBase) - col("label"))
+          .as("pk"))
+        .select(col("node"),
+          pmod(-col("pk"), lit(packBase)).cast("long").as("label")))
+    }
+    lbl.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
   /** The bucketed-layout join behind `q27_join_bucketed`: write orders and
     * customer bucketed (and per-bucket sorted) by the join key into a
     * fresh external location, then sort-merge join the two bucketed tables
@@ -1501,6 +1559,39 @@ object Relational {
       WHERE o.o_orderpriority = '1-URGENT'
       GROUP BY 1
       ORDER BY o_year NULLS LAST""",
+
+    // 4 synchronous LPA rounds unrolled as one MATERIALIZED CTE per
+    // step (plain CTEs inline a self-referencing chain exponentially in
+    // DuckDB — the emb_pca_project lesson); per round the mode-label
+    // argmax is the rn = 1 window (ORDER BY c DESC, label ASC), the
+    // same (max count, smallest label) the Spark side's packed-decimal
+    // max recovers
+    "q42_label_communities" -> {
+      val rounds = (1 to 4).map { j => s"""
+      l$j AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT g.node, g.label, row_number() OVER (PARTITION BY g.node
+            ORDER BY g.c DESC, g.label ASC) AS rn
+          FROM (SELECT nb.node, l.label, count(*) AS c
+                FROM nb JOIN l${j - 1} l ON l.node = nb.nbr
+                GROUP BY nb.node, l.label) g) t
+        WHERE rn = 1)"""
+      }.mkString(",")
+      s"""
+      WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT a.p AS a, b.p AS b FROM items a
+        JOIN items b ON b.o = a.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2),
+      nb AS MATERIALIZED (
+        SELECT a AS node, b AS nbr FROM e
+        UNION ALL SELECT b AS node, a AS nbr FROM e),
+      l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb),
+      $rounds
+      SELECT node, label AS community FROM l4
+      ORDER BY node"""
+    },
 
     // 3 PageRank iterations unrolled as one CTE per step; every factor is
     // BIGINT (// = integer div), contributions divided BEFORE the sum in

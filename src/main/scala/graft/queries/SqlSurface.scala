@@ -23,6 +23,44 @@ object SqlSurface {
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
+  /** The recursive hierarchy descent shared VERBATIM by the Spark gate
+    * and the DuckDB oracle (`sql_recursive_chain`) — the BOM-explosion
+    * shape on the co-purchase forest. Each part's parent is its
+    * SMALLEST co-purchase neighbor with a smaller key (strictly
+    * decreasing → acyclic; min → at most ONE parent per node), so the
+    * UNION ALL recursion — the only mode Spark 4's recursive CTEs
+    * support (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed) — emits
+    * every vertex EXACTLY ONCE: total rows = |V| at any scale, unlike
+    * a UNION ALL BFS whose path expansion is exponential. Spark plans
+    * the recursion as UnionLoopExec. The d < 30 cap bounds both
+    * engines identically (sf0.01 reaches depth 6), so even a deeper
+    * corpus cannot diverge the gate — it truncates both sides alike.
+    * DuckDB gotcha (probed): a plain `UNION` CTE in the WITH RECURSIVE
+    * list loses its dedup semantics — spell it SELECT DISTINCT over
+    * UNION ALL. */
+  private val recursiveChainSql = """
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT a.p AS a, b.p AS b FROM items a
+        JOIN items b ON b.o = a.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2),
+      par AS (SELECT b AS child, min(a) AS parent FROM e GROUP BY b),
+      verts AS (SELECT DISTINCT v FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) u),
+      roots AS (
+        SELECT v FROM verts
+        WHERE NOT EXISTS (SELECT 1 FROM par WHERE par.child = verts.v)),
+      chain(v, d) AS (
+        SELECT v, 0 FROM roots
+        UNION ALL
+        SELECT p.child, chain.d + 1 FROM chain JOIN par p
+          ON p.parent = chain.v
+        WHERE chain.d < 30)
+      SELECT CAST(d AS BIGINT) AS depth, count(*) AS n_parts,
+        min(v) AS min_part, max(v) AS max_part
+      FROM chain GROUP BY d ORDER BY depth"""
+
   /** Idempotently (re)bind all driver tables for `dir` as temp views +
     * register native functions. Memoized per (session, dir): binding reads
     * ten parquet footers for schema inference, which would otherwise be
@@ -352,7 +390,58 @@ object SqlSurface {
         ORDER BY cents DESC, o.o_orderkey ASC
         LIMIT 2
       ) t
-      ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""")
+      ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey"""),
+
+    // ---- PIVOT through the SQL frontend — the wide-rotation clause
+    // (nation × market-segment customer census). Catalyst rewrites
+    // PIVOT to ONE hash aggregate with a conditional-count expression
+    // per named value — no per-column scan, no join: at 100 TB this is
+    // the same single-pass map-side-combinable plan the CASE-WHEN
+    // formulation gets, which is exactly what the DuckDB oracle runs.
+    // Spark pivot null-extends combinations with no rows where a
+    // FILTERed count yields 0 — the outer coalesce reconciles the two
+    // contracts (and IS exercised: sf0.001 has empty cells).
+    "sql_pivot_segments" -> sql("""
+      SELECT n_name,
+        coalesce(BUILDING, 0L) AS n_building,
+        coalesce(AUTOMOBILE, 0L) AS n_automobile,
+        coalesce(MACHINERY, 0L) AS n_machinery,
+        coalesce(HOUSEHOLD, 0L) AS n_household,
+        coalesce(FURNITURE, 0L) AS n_furniture
+      FROM (SELECT n.n_name, c.c_mktsegment
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      PIVOT (count(*) FOR c_mktsegment IN
+        ('BUILDING' AS BUILDING, 'AUTOMOBILE' AS AUTOMOBILE,
+         'MACHINERY' AS MACHINERY, 'HOUSEHOLD' AS HOUSEHOLD,
+         'FURNITURE' AS FURNITURE))
+      ORDER BY n_name NULLS LAST"""),
+
+    // ---- UNPIVOT through the SQL frontend — the long-rotation clause
+    // (wide pricing aggregate melted to (group, metric, value) rows).
+    // Catalyst expands UNPIVOT to an Expand node (one projection per
+    // metric over the SAME aggregated input — rows × 3, but the input
+    // is the 3-row aggregate, not the fact table), so the scan and the
+    // aggregation are identical to the wide query's. Measures are
+    // coalesced exact cents so no cell is ever null — UNPIVOT drops
+    // null cells by default, which the oracle's VALUES expansion would
+    // not; coalescing pins the two to the same contract.
+    "sql_unpivot_pricing" -> sql("""
+      SELECT l_returnflag, metric, val
+      FROM (
+        SELECT l_returnflag,
+          count(*) AS n_rows,
+          coalesce(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)),
+            0L) AS qty_cents,
+          coalesce(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+            AS BIGINT)), 0L) AS price_cents
+        FROM lineitem GROUP BY l_returnflag)
+      UNPIVOT (val FOR metric IN (n_rows, qty_cents, price_cents))
+      ORDER BY l_returnflag NULLS LAST, metric"""),
+
+    // ---- WITH RECURSIVE through the SQL frontend (UnionLoopExec) —
+    // see [[recursiveChainSql]] for the shape, the |V| row bound, and
+    // the probed engine constraints on both sides
+    "sql_recursive_chain" -> sql(recursiveChainSql)
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,6 +493,41 @@ object SqlSurface {
         ORDER BY cents DESC, o.o_orderkey ASC
         LIMIT 2
       ) t
-      ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey"""
+      ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""",
+    // the conditional-count formulation Catalyst compiles PIVOT to;
+    // FILTERed counts yield 0 where Spark pivot null-extends, matched
+    // by the Spark side's coalesce
+    "sql_pivot_segments" -> """
+      SELECT n.n_name,
+        count(*) FILTER (c.c_mktsegment = 'BUILDING') AS n_building,
+        count(*) FILTER (c.c_mktsegment = 'AUTOMOBILE') AS n_automobile,
+        count(*) FILTER (c.c_mktsegment = 'MACHINERY') AS n_machinery,
+        count(*) FILTER (c.c_mktsegment = 'HOUSEHOLD') AS n_household,
+        count(*) FILTER (c.c_mktsegment = 'FURNITURE') AS n_furniture
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name NULLS LAST""",
+    // the VALUES-expansion formulation of UNPIVOT; every measure is
+    // coalesced non-null on both sides so the null-dropping contract
+    // difference never fires
+    "sql_unpivot_pricing" -> """
+      WITH a AS (
+        SELECT l_returnflag,
+          count(*) AS n_rows,
+          coalesce(CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5)
+            AS BIGINT)) AS BIGINT), 0) AS qty_cents,
+          coalesce(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+            AS BIGINT)) AS BIGINT), 0) AS price_cents
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, m.metric,
+        CASE m.metric WHEN 'n_rows' THEN n_rows
+                      WHEN 'qty_cents' THEN qty_cents
+                      ELSE price_cents END AS val
+      FROM a CROSS JOIN (VALUES ('n_rows'), ('qty_cents'),
+        ('price_cents')) m(metric)
+      ORDER BY l_returnflag NULLS LAST, metric""",
+    // DuckDB executes the IDENTICAL recursion text — one SQL string,
+    // two engines, the strongest twin-parity form the surface has
+    "sql_recursive_chain" -> recursiveChainSql
   )
 }

@@ -697,6 +697,145 @@ object StreamingRun {
     drainToSink(joined).orderBy(col("imp_id"))
   }
 
+  /** Oracle-gated stream-stream RIGHT OUTER watermarked interval join —
+    * the click-anchored mirror of [[attributionOuterAvailableNow]]
+    * (every CLICK reported, attributed or orphaned — the "which clicks
+    * have no preceding impression?" audit), completing the join-mode
+    * matrix: inner, leftOuter, fullOuter, leftSemi, rightOuter. Same
+    * two independent file-source readers, same two-sided interval
+    * condition. Matched pairs emit as buffered (no horizon); an
+    * unmatched click null-extends on STATE EVICTION under the
+    * click-side horizon the full-outer probe pinned —
+    * `clk_ts_us <= (wm_ms − 1) · 1000` with
+    * `wm_ms = floor(min(maxView, maxClick)_us / 1000) − 600000`, NO
+    * 30-minute term (click state only waits for views at-or-below its
+    * own instant) — re-pinned through the rightOuter mode by
+    * `StreamRightJoinSpec` (the mode shares the full join's click-state
+    * machinery, but that is an implementation fact, so the gate gets
+    * its own boundary corpus rather than inheriting the pin). Either
+    * side empty → per-side-MIN watermark stays at epoch 0 → no null
+    * rows. */
+  def attributionRightAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+    val joined = views.join(clicks,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "rightOuter")
+      .select(col("imp_id"), col("clk_id"),
+        col("clk_user").as("user_id"),
+        col("imp_ts").cast("timestamp_ntz").as("imp_ts"),
+        col("clk_ts").cast("timestamp_ntz").as("clk_ts"))
+    drainToSink(joined)
+      .orderBy(col("clk_id"), col("imp_id").asc_nulls_last)
+  }
+
+  /** Oracle-gated CHAINED STATEFUL pipeline — stream-stream interval
+    * join FOLLOWED by a tumbling windowed aggregation in one continuous
+    * query (the multiple-stateful-operators capability, SPARK-42376):
+    * attribute clicks to impressions, then roll the attributed pairs up
+    * to hourly counts — the shape a real-time attribution dashboard
+    * runs as ONE topology instead of join-to-sink + batch rollup. The
+    * downstream agg windows on the JOIN OUTPUT's impression event time;
+    * watermark propagation through the join DELAYS the downstream
+    * watermark by the join's left-side state retention — PROBED FACT
+    * (δ-sweep in `StreamJoinAggSpec`): a window is emitted iff
+    * `end_ms <= wm_ms − 1800000` (wm_ms = ms-floored
+    * min(maxView, maxClick) − 10min; 1800000 ms = the 30-minute
+    * interval width, the longest a buffered view can still produce
+    * in-window joined rows), NON-STRICT at the boundary (δ = 30min
+    * exactly → emitted, δ = 30min − 1ms → withheld) — the
+    * single-operator horizon `end_ms <= wm_ms` does NOT hold through
+    * the chain. Inner matches themselves are complete on a
+    * single-data-batch drain (the inner-join gate's no-late argument),
+    * so the horizon is purely the downstream agg's emission contract. */
+  def joinAggAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+    val joined = views.join(clicks,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("imp_ts"),
+        (unix_micros(col("clk_ts")) - unix_micros(col("imp_ts")))
+          .as("lag_us"))
+    val agg = joined
+      .groupBy(window(col("imp_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lag_us")).as("lag_us_sum"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("n_pairs"), col("lag_us_sum"))
+    drainToSink(agg).orderBy(col("wstart"))
+  }
+
+  /** Oracle-gated STATE STORE READER — the operational introspection
+    * surface (Spark 4 `statestore` batch source): run the tumbling-agg
+    * topology to completion, then read the checkpoint's state store AS
+    * A DATAFRAME and report the windows still buffered — i.e. the
+    * exact COMPLEMENT of what the append-mode sink received (append
+    * eviction removes a window from state when it emits, so post-drain
+    * state = windows whose end the final watermark has not passed).
+    * This is how an operator answers "what is in flight right now?" —
+    * lag dashboards, state-size audits, debugging a stuck watermark —
+    * without touching the running query. The checkpoint must survive
+    * the drain for the reader to see it (TempLayouts-tracked, unlike
+    * the other gates' deleted checkpoints). The oracle is the tumbling
+    * oracle's HAVING clause NEGATED — window end STRICTLY ABOVE
+    * max(ts) − 10min (emission is non-strict `<=`, so the complement
+    * is strict `>`), over the same streaming-timeline event set.
+    * The reader's raw schema (key/value structs + partition metadata)
+    * is pinned in `StateReaderSpec`; the gate projects it to plain
+    * (wstart, n, sum_value) columns per GateSchemaSpec. */
+  def stateInspectAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("n"), col("sum_value"))
+    val out = graft.TempLayouts.tracked("graft-stream-sink").toString
+    val ckpt = graft.TempLayouts.tracked("graft-state-ckpt").toString
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val st = s.read.format("statestore").load(ckpt)
+    // raw reader schema (StateReaderSpec pin): key.window.{start,end};
+    // value = the AGG BUFFER, not the result row — {count: long,
+    // sum: decimal(38,0), isEmpty: boolean} (buffer field names come
+    // from the aggregate functions, not the query aliases; the sum
+    // buffer is the pre-division integer-cents accumulator, upcast to
+    // decimal by Sum's overflow widening; isEmpty marks a sum that has
+    // seen no non-null input — the buffer encoding of SQL's NULL sum)
+    st.select(col("key.window.start").cast("timestamp_ntz").as("wstart"),
+      col("value.count").as("n"),
+      when(col("value.isEmpty"), lit(null).cast("double"))
+        .otherwise(col("value.sum").cast("double") / 100.0)
+        .as("sum_value"))
+      .orderBy(col("wstart"))
+  }
+
   /** Oracle-gated `transformWithState` running totals — the NEWEST
     * stateful operator class in Spark (4.x `StatefulProcessor`: named
     * typed state slots behind a handle, timer surface, RocksDB-mandatory
@@ -917,6 +1056,11 @@ object StreamingRun {
       attributionFullAvailableNow(s, d)),
     "events_stream_join_semi" -> ((s, d) =>
       attributionSemiAvailableNow(s, d)),
+    "events_stream_join_right" -> ((s, d) =>
+      attributionRightAvailableNow(s, d)),
+    "events_stream_join_agg" -> ((s, d) => joinAggAvailableNow(s, d)),
+    "events_stream_state_inspect" -> ((s, d) =>
+      stateInspectAvailableNow(s, d)),
     "events_stream_tws_totals" -> ((s, d) =>
       twsRunningAvailableNow(s, d)),
     "events_stream_tws_session" -> ((s, d) =>
@@ -1202,6 +1346,93 @@ object StreamingRun {
          OR (j.imp_id IS NULL
              AND epoch_us(j.clk_ts) <= (wm.wm_ms - 1) * 1000)
       ORDER BY imp_id NULLS LAST, clk_id NULLS LAST""",
+
+    // the batch RIGHT interval join over the streaming-timeline event
+    // set with the click-side eviction horizon re-pinned through the
+    // rightOuter mode by StreamRightJoinSpec: matched pairs always (no
+    // horizon); an unmatched click null-extends iff its full-µs instant
+    // is NON-STRICTLY at or below (wm_ms − 1) · 1000 — no 30-minute
+    // term (click state only waits for views at-or-below its own
+    // instant), wm_ms = ms-floored min-side watermark; either side
+    // empty → bnd NULL → no null rows
+    "events_stream_join_right" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
+      v AS (
+        SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM ev
+        WHERE event_type = 'view'),
+      c AS (
+        SELECT event_id AS clk_id, user_id, ts AS clk_ts FROM ev
+        WHERE event_type = 'click'),
+      wm AS (
+        SELECT CASE WHEN mv IS NULL OR mc IS NULL THEN NULL
+          ELSE epoch_us(least(mv, mc)) // 1000 - 600000 END AS wm_ms
+        FROM (SELECT (SELECT max(imp_ts) FROM v) AS mv,
+                     (SELECT max(clk_ts) FROM c) AS mc) mm),
+      j AS (
+        SELECT v.imp_id, c.clk_id, c.user_id, v.imp_ts, c.clk_ts
+        FROM v RIGHT JOIN c ON v.user_id = c.user_id
+         AND c.clk_ts >= v.imp_ts
+         AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes')
+      SELECT j.imp_id, j.clk_id, j.user_id, j.imp_ts, j.clk_ts
+      FROM j, wm
+      WHERE j.imp_id IS NOT NULL
+         OR epoch_us(j.clk_ts) <= (wm.wm_ms - 1) * 1000
+      ORDER BY clk_id, imp_id NULLS LAST""",
+
+    // the batch interval join rolled up to tumbling hourly windows,
+    // with the CHAINED-stateful emission horizon probed by
+    // StreamJoinAggSpec: the downstream agg's watermark is the global
+    // one DELAYED by the join's left-side state retention (the
+    // 30-minute interval width), so a window emits iff
+    // end_ms <= wm_ms − 1800000, non-strict at the boundary (the
+    // windowed-agg polarity). Window ends sit on the ms grid, so the
+    // ms-floored-watermark subtlety never bites here — but the clause
+    // keeps the floored form to match the pinned arithmetic verbatim
+    "events_stream_join_agg" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
+      v AS (SELECT user_id, ts AS imp_ts FROM ev WHERE event_type = 'view'),
+      c AS (SELECT user_id, ts AS clk_ts FROM ev WHERE event_type = 'click'),
+      wm AS (
+        SELECT CASE WHEN mv IS NULL OR mc IS NULL THEN NULL
+          ELSE epoch_us(least(mv, mc)) // 1000 - 600000 END AS wm_ms
+        FROM (SELECT (SELECT max(imp_ts) FROM v) AS mv,
+                     (SELECT max(clk_ts) FROM c) AS mc) mm),
+      j AS (
+        SELECT v.imp_ts,
+          epoch_us(c.clk_ts) - epoch_us(v.imp_ts) AS lag_us
+        FROM v JOIN c ON v.user_id = c.user_id
+         AND c.clk_ts >= v.imp_ts
+         AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes'),
+      w AS (
+        SELECT time_bucket(INTERVAL '1 hour', imp_ts) AS wstart,
+          count(*) AS n_pairs,
+          CAST(sum(lag_us) AS BIGINT) AS lag_us_sum
+        FROM j GROUP BY 1)
+      SELECT w.wstart, w.n_pairs, w.lag_us_sum
+      FROM w, wm
+      WHERE epoch_us(w.wstart) // 1000 + 3600000 <= wm.wm_ms - 1800000
+      ORDER BY wstart""",
+
+    // the COMPLEMENT of the tumbling emission set: post-drain agg state
+    // holds exactly the windows the append sink did not emit, so the
+    // horizon clause is the tumbling oracle's HAVING negated (emission
+    // is non-strict <=, the complement is strict >); a null-sum window
+    // (all values null) surfaces as isEmpty in the buffer and NULL here
+    "events_stream_state_inspect" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        count(*) AS n,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+      GROUP BY wstart
+      HAVING NOT (wstart + INTERVAL '1 hour' <=
+        (SELECT max(ts) - INTERVAL '10 minutes' FROM events))
+      ORDER BY wstart""",
 
     // the plain batch left join over the streaming-timeline event set —
     // stream-static enrichment is stateless and per-batch pure, so the
