@@ -270,6 +270,41 @@ object Events {
         .orderBy(col("hour_ts"))
     }),
 
+    // ---- observe() metrics — the in-flight instrumentation API (named
+    // observation point on a flowing DataFrame: metrics accumulate on
+    // executors as rows stream PAST the node, no second scan, no plan
+    // change downstream — the Spark-native form of a pipeline's "rows
+    // in / rows bad / bytes seen" counters, and how a production job
+    // audits its input WITHOUT paying an extra aggregation pass). The
+    // gate observes the full event stream (row count, non-null values,
+    // exact cents sum, null-ts count), lets the pipeline continue to a
+    // downstream filter+count, and emits the observation plus the
+    // downstream result as one row; the oracle recomputes both from
+    // scratch — proving the flow-past metrics equal the stop-and-
+    // aggregate answers. The observation handle is fresh per call
+    // (Observation is one-shot), and the only driver-side state is the
+    // O(1) metrics row. */
+    "events_observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = Tables.events(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_values"),
+          sum(cents(col("value")).cast("long")).as("sum_cents"),
+          count(when(col("ts").isNull, 1)).as("n_null_ts"))
+        .filter(col("event_type") === "purchase")
+      val nPurchases = observed.count()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_values").asInstanceOf[Long],
+        Option(m("sum_cents")).map(_.asInstanceOf[Long]),
+        m("n_null_ts").asInstanceOf[Long],
+        nPurchases))
+        .toDF("n_rows", "n_values", "sum_cents", "n_null_ts",
+          "n_purchases")
+    }),
+
     // ---- JSON extraction from the props column + aggregation
     "events_json" -> ((s, d) => {
       Tables.events(s, d)
@@ -2006,6 +2041,20 @@ object Events {
         coalesce(h.sv, 0.0) AS sum_value
       FROM grid g LEFT JOIN h ON g.hour_ts = h.hour_ts
       ORDER BY g.hour_ts""",
+
+    // the observed flow-past metrics recomputed as plain aggregates —
+    // the gate proves the observe() accumulators equal the stop-and-
+    // aggregate answers; sum over zero non-null values is NULL on both
+    // sides
+    "events_observe_metrics" -> """
+      SELECT count(*) AS n_rows,
+        count(value) AS n_values,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS sum_cents,
+        count(CASE WHEN ts IS NULL THEN 1 END) AS n_null_ts,
+        (SELECT count(*) FROM events WHERE event_type = 'purchase')
+          AS n_purchases
+      FROM events""",
 
     // open/close recovered via per-hour rank-1 windows over the SAME
     // (ts_us, event_id, v) total order the Spark struct extremum

@@ -51,6 +51,84 @@ final case class TwsAgg(n: Long, nv: Long, sumCents: Long, maxTs: Long)
 final case class TwsOut(user_id: Long, n: Long, n_values: Long,
                         sum_cents: Long, last_ts_us: Long)
 
+/** Typed input to the transformWithState journey/type-count processors:
+  * the (ts_us, event_id, event_type) triple that defines the journey's
+  * total order (event_type last — duplicate-(ts,id) corpora need the
+  * third tie-break). */
+final case class JournIn(user_id: Long, ts_us: Long, event_id: Long,
+                         event_type: String)
+
+/** A per-batch journey emission: the user's first-5 event-type path
+  * under the (ts_us, event_id, event_type) total order, plus the total
+  * event count held in state. */
+final case class JournOut(user_id: Long, path: String, n_events: Long)
+
+/** A per-batch map-state emission: one (user, event_type) count. */
+final case class TypeCntOut(user_id: Long, event_type: String, n: Long)
+
+/** `transformWithState` with LIST state — the append-log state slot
+  * ([[RunningTotalsProcessor]] covers ValueState, the session port
+  * covers timers): the per-user event journey accumulates in a
+  * `ListState[JournIn]` (append is O(1) per event — RocksDB merges the
+  * tail, no read-modify-write of the whole list), and each batch emits
+  * the user's first-5 path under the (ts_us, event_id, event_type)
+  * total order plus the total count. The per-batch sort touches ONE
+  * user's list (bounded by that user's history — a production topology
+  * caps the list; the gate documents the shape, `TwsSpec`-style
+  * cross-batch carry is pinned by the shared single-drain convention). */
+final class JourneyProcessorTws
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, JournIn, JournOut] {
+  import org.apache.spark.sql.streaming.{ListState, TTLConfig}
+  @transient private var st: ListState[JournIn] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit =
+    st = getHandle.getListState[JournIn]("journey",
+      org.apache.spark.sql.Encoders.product[JournIn], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[JournIn],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[JournOut] = {
+    rows.foreach(st.appendValue)
+    val all = st.get().toArray
+      .sortBy(e => (e.ts_us, e.event_id, e.event_type))
+    Iterator.single(JournOut(user,
+      all.take(5).map(_.event_type).mkString(">"), all.length.toLong))
+  }
+}
+
+/** `transformWithState` with MAP state — the keyed-counter state slot:
+  * per-user per-event-type counts in a `MapState[String, Long]` (point
+  * reads/writes — the state that would be a hot-key hash map in a hand
+  * -rolled consumer), each batch emitting every (user, type, count)
+  * entry. */
+final class TypeCountsProcessorTws
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, JournIn, TypeCntOut] {
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig}
+  @transient private var st: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit =
+    st = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[JournIn],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[TypeCntOut] = {
+    rows.foreach { r =>
+      val cur = if (st.containsKey(r.event_type)) st.getValue(r.event_type)
+                else 0L
+      st.updateValue(r.event_type, cur + 1L)
+    }
+    st.iterator().map(kv => TypeCntOut(user, kv._1, kv._2))
+  }
+}
+
 /** The sessionization walk of [[StreamingRun.sessionizeByUser]] ported to
   * Spark 4's `StatefulProcessor` with EVENT-TIME TIMERS — the timer half
   * of the transformWithState surface ([[RunningTotalsProcessor]] covers
@@ -880,6 +958,73 @@ object StreamingRun {
     }
   }
 
+  /** Oracle-gated transformWithState LIST STATE — per-user journeys in
+    * an append-log `ListState` ([[JourneyProcessorTws]]): each batch
+    * emits the first-5 event-type path under the (ts_us, event_id,
+    * event_type) total order plus the user's total event count. Under
+    * the single-data-batch drain convention the emission IS the batch
+    * walk, which is the oracle (string_agg over the rank ≤ 5 prefix of
+    * the same total order). Null-type events are off the journey by
+    * contract (a path leg needs a name — mirrored in the oracle); null
+    * users off the keyed walk as in the other typed gates. RocksDB
+    * provider set around the drain (TWS-mandatory). */
+  def twsJourneyAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[JournIn]
+      val out = typed.groupByKey(_.user_id)
+        .transformWithState(new JourneyProcessorTws,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      drainToSink(out.toDF())
+        .select(col("user_id"), col("path"), col("n_events"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Oracle-gated transformWithState MAP STATE — per-user per-type
+    * counters in a `MapState[String, Long]`
+    * ([[TypeCountsProcessorTws]]), each batch emitting every (user,
+    * type, count) entry — the point-read/point-write state slot. Under
+    * the single-data-batch drain the emitted set is the batch
+    * (user, type) aggregate, which is the oracle. Same contract
+    * filters and RocksDB wrap as the journey gate. */
+  def twsTypeCountsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[JournIn]
+      val out = typed.groupByKey(_.user_id)
+        .transformWithState(new TypeCountsProcessorTws,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      drainToSink(out.toDF())
+        .select(col("user_id"), col("event_type"), col("n"))
+        .orderBy(col("user_id"), col("event_type"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Oracle-gated transformWithState SESSIONIZATION with event-time
     * timers — [[SessionProcessorTws]] run over [[sessionAvailableNow]]'s
     * exact input shape (same typed projection, same watermark), sharing
@@ -1061,6 +1206,10 @@ object StreamingRun {
     "events_stream_join_agg" -> ((s, d) => joinAggAvailableNow(s, d)),
     "events_stream_state_inspect" -> ((s, d) =>
       stateInspectAvailableNow(s, d)),
+    "events_stream_tws_journey" -> ((s, d) =>
+      twsJourneyAvailableNow(s, d)),
+    "events_stream_tws_typecounts" -> ((s, d) =>
+      twsTypeCountsAvailableNow(s, d)),
     "events_stream_tws_totals" -> ((s, d) =>
       twsRunningAvailableNow(s, d)),
     "events_stream_tws_session" -> ((s, d) =>
@@ -1416,6 +1565,39 @@ object StreamingRun {
       FROM w, wm
       WHERE epoch_us(w.wstart) // 1000 + 3600000 <= wm.wm_ms - 1800000
       ORDER BY wstart""",
+
+    // the single-data-batch drain makes each user's one emission the
+    // full batch walk: first-5 path under the (ts_us, event_id,
+    // event_type) total order + total count; null-type legs off the
+    // journey, null users off the keyed walk
+    "events_stream_tws_journey" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND user_id IS NOT NULL AND event_type IS NOT NULL),
+      r AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id, event_type) AS rn
+        FROM e)
+      SELECT r.user_id,
+        string_agg(CASE WHEN rn <= 5 THEN event_type END, '>'
+          ORDER BY rn) AS path,
+        count(*) AS n_events
+      FROM r
+      GROUP BY r.user_id
+      ORDER BY r.user_id""",
+
+    // one emission per (user, type) in the single drain = the batch
+    // aggregate over the same contract-filtered event set
+    "events_stream_tws_typecounts" -> """
+      SELECT user_id, event_type, count(*) AS n
+      FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+        AND user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
 
     // the COMPLEMENT of the tumbling emission set: post-drain agg state
     // holds exactly the windows the append sink did not emit, so the
