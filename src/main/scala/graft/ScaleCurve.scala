@@ -116,7 +116,16 @@ object ScaleCurve {
     // index: linear in the batch, the stored corpus only re-trains the
     // broadcast-sized index statistics)
     "q41_join_runtime_filter", "events_orc_daily",
-    "events_attribution_decay", "sim_ivfpq_ingest")
+    "events_attribution_decay", "sim_ivfpq_ingest",
+    // round-12 session-2 additions: the LPA rounds (cost ∝ rounds·edges
+    // with rounds FIXED at 4 — the curve evidences no per-round
+    // compounding), the recursive chain (one edge build + depth
+    // vertex-sized loop steps — the curve evidences the UnionLoop
+    // prefix-caching rewrite holds at 10x), the OHLC struct-extremum
+    // bars and nearest as-of (both one map-side aggregate over a
+    // tolerance-bounded expansion — linear)
+    "q42_label_communities", "sql_recursive_chain", "events_ohlc_hourly",
+    "events_asof_nearest")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -473,6 +473,22 @@ object SqlSurface {
       UNPIVOT (val FOR metric IN (n_rows, qty_cents, price_cents))
       ORDER BY l_returnflag NULLS LAST, metric"""),
 
+    // ---- session_window through the SQL frontend — the gap-session
+    // assignment as a GROUP BY table-valued window (the DataFrame twin
+    // is events_session; this proves the parser carries the session
+    // operator, whose merging state machine is the one the streaming
+    // session gate runs). Same oracle verbatim.
+    "sql_session_window" -> sql("""
+      SELECT user_id,
+        CAST(session_window.start AS TIMESTAMP_NTZ) AS session_start,
+        count(*) AS n_events,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY session_window(ts, '30 minutes'), user_id
+      ORDER BY user_id, session_start"""),
+
     // ---- WITH RECURSIVE through the SQL frontend (UnionLoopExec) —
     // see [[recursiveChainPrefix]] for the shape, the |V| row bound,
     // the probed engine constraints on both sides, and why the prefix
@@ -566,6 +582,8 @@ object SqlSurface {
     // body in one text (DuckDB materializes CTEs under a recursion;
     // Spark's UnionLoop re-executes them, so the Spark side caches the
     // prefix first — see recursiveChainOnly)
-    "sql_recursive_chain" -> recursiveChainOracle
+    "sql_recursive_chain" -> recursiveChainOracle,
+    // the DataFrame twin's oracle verbatim — same gap walk, same grid
+    "sql_session_window" -> Events.oracles("events_session")
   )
 }

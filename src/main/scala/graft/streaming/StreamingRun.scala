@@ -862,6 +862,50 @@ object StreamingRun {
     drainToSink(agg).orderBy(col("wstart"))
   }
 
+  /** Oracle-gated FOREACHBATCH sink — the arbitrary-sink escape hatch
+    * (the API a production topology uses to MERGE/upsert each
+    * micro-batch into stores Spark has no native sink for: JDBC, KV
+    * stores, object-store compaction layouts). Update-mode per-type
+    * running counts flow into `foreachBatch`, which appends each
+    * batch's changed rows tagged with the batch id into a keyed parquet
+    * log; the snapshot read resolves per key to the LATEST batch's row
+    * — the append-log + compaction-view upsert, resolved by one
+    * max(struct(batch_id, …)) aggregate (batch_id is unique per key, so
+    * the argmax is decided at the first field). On the single-data-
+    * batch drain the snapshot holds each key's batch-0 row = the batch
+    * aggregate, which is the oracle; multi-batch update-mode
+    * accumulation is pinned engine-side by `StreamingSpec`. The
+    * explicit read schema matters: an empty corpus leaves a log with no
+    * files. */
+  def foreachBatchAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempLayouts.tracked("graft-febatch-sink").toString
+    val ckpt = Files.createTempDirectory("graft-febatch-ckpt").toString
+    val counts = eventStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+    val q = counts.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(new java.io.File(ckpt))
+    s.read.schema(counts.schema.add("batch_id", "long")).parquet(out)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("batch_id"), col("n"), col("sum_value")))
+        .as("m"))
+      .select(col("event_type"), col("m.n").as("n"),
+        col("m.sum_value").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Oracle-gated STATE STORE READER — the operational introspection
     * surface (Spark 4 `statestore` batch source): run the tumbling-agg
     * topology to completion, then read the checkpoint's state store AS
@@ -1210,6 +1254,8 @@ object StreamingRun {
       twsJourneyAvailableNow(s, d)),
     "events_stream_tws_typecounts" -> ((s, d) =>
       twsTypeCountsAvailableNow(s, d)),
+    "events_stream_foreachbatch" -> ((s, d) =>
+      foreachBatchAvailableNow(s, d)),
     "events_stream_tws_totals" -> ((s, d) =>
       twsRunningAvailableNow(s, d)),
     "events_stream_tws_session" -> ((s, d) =>
@@ -1565,6 +1611,18 @@ object StreamingRun {
       FROM w, wm
       WHERE epoch_us(w.wstart) // 1000 + 3600000 <= wm.wm_ms - 1800000
       ORDER BY wstart""",
+
+    // the single-data-batch drain puts each key's batch-0 row in the
+    // foreachBatch log, and the latest-batch upsert read resolves to
+    // exactly the batch aggregate over the streaming timeline
+    "events_stream_foreachbatch" -> """
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     // the single-data-batch drain makes each user's one emission the
     // full batch walk: first-5 path under the (ts_us, event_id,
