@@ -947,12 +947,13 @@ object Relational {
     // LPA need not converge, so a fixed horizon is the contract, not a
     // cap). Per round: one join of the 2m-row orientation table against
     // the |V|-row label table, one (node, label) count that
-    // hash-aggregates map-side, and the packed-decimal argmax of the
-    // sim_knn_label convention — max(c·2²⁰ − label) — so no per-node
-    // sort window exists anywhere; `localCheckpoint` snaps each round's
-    // lineage. Labels are partkeys, guarded into the 2²⁰ pack domain by
-    // requirePackable (loud, never silent — re-key first at larger
-    // id domains). Output: every vertex with its round-4 community.
+    // hash-aggregates map-side, and a max(struct(count, −label)) argmax
+    // — map-side combinable, so no per-node sort window exists
+    // anywhere; `localCheckpoint` snaps each round's lineage. The
+    // struct form (not the 2²⁰ packed decimal) is deliberate: labels
+    // are vertex ids, and the scale-curve corpus's 10⁹-offset ids sit
+    // far outside any pack domain. Output: every vertex with its
+    // round-4 community.
     "q42_label_communities" -> ((s, d) =>
       labelCommunities(copurchaseEdges(s, d), rounds = 4))
   )
@@ -1271,15 +1272,15 @@ object Relational {
     * update rule and determinism contract. Each round reads only the
     * PREVIOUS round's label table (synchronous), so the loop is
     * `rounds` joins deep; `localCheckpoint` keeps the physical lineage
-    * one round deep, the kcore/BFS convention. The argmax is the
-    * packed-decimal max of the sim_knn_label convention (map-side
-    * combinable — no per-node window): pk = c·2²⁰ − label recovers
-    * (max count, smallest label) via pmod(−pk, 2²⁰) for labels in
-    * [0, 2²⁰), enforced loudly by requirePackable. */
+    * one round deep, the kcore/BFS convention. The argmax is a
+    * map-side-combinable `max(struct(count, −label))` (struct min/max
+    * combine associatively field-by-field — no per-node window), which
+    * unlike the 2²⁰ packed-decimal convention is closed over the FULL
+    * long label domain: labels here are vertex ids, and the scale-curve
+    * corpus (ids offset by 10⁹ per copy) proved the packed form's
+    * domain guard fires exactly where a big corpus lives. */
   private[graft] def labelCommunities(edges0: DataFrame,
                                       rounds: Int): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val packBase = 1L << 20
     val snap: DataFrame => DataFrame = df => df.localCheckpoint(eager = true)
     val edges = snap(edges0)
     val nbrs = edges.select(col("a").as("node"), col("b").as("nbr"))
@@ -1289,15 +1290,11 @@ object Relational {
     for (_ <- 1 to rounds) {
       lbl = snap(nbrs
         .join(lbl.select(col("node").as("nbr"), col("label")), "nbr")
-        .groupBy(col("node"),
-          Similarity.requirePackable(col("label"), packBase,
-            "q42_label_communities").as("label"))
+        .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
-        .agg(max(col("c").cast(dec) * lit(packBase) - col("label"))
-          .as("pk"))
-        .select(col("node"),
-          pmod(-col("pk"), lit(packBase)).cast("long").as("label")))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).cast("long").as("label")))
     }
     lbl.select(col("node"), col("label").as("community"))
       .orderBy(col("node"))

@@ -42,15 +42,14 @@ class LpaSpec extends SparkSpec {
       "LPA argmax must ride the packed map-side aggregate, not a window")
   }
 
-  test("labels outside the pack domain raise loudly") {
-    val big = Seq((1L, (1L << 20) + 7L)).toDF("a", "b")
-    val ex = intercept[Exception] {
-      graft.queries.Relational.labelCommunities(big, rounds = 1)
-        .collect()
-    }
-    assert(ex.getMessage.contains("q42_label_communities") ||
-      Option(ex.getCause).exists(
-        _.getMessage.contains("q42_label_communities")),
-      s"expected the requirePackable site error, got: ${ex.getMessage}")
+  test("the argmax is closed over the full long label domain (the " +
+    "scale-curve corpus offsets ids by 10^9 per copy)") {
+    // a two-vertex graph with ids far outside any 2^20 pack domain:
+    // each adopts the other's (only) neighbor label in round 1
+    val big = (1L << 40) + 7L
+    val gr = Seq((big, big + 1L)).toDF("a", "b")
+    val got = graft.queries.Relational.labelCommunities(gr, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(big -> (big + 1L), (big + 1L) -> big))
   }
 }
