@@ -243,6 +243,12 @@ object Events {
     // struct extremum combines partially on every map task instead).
     // (event_id, v) complete the tie-break: duplicate-id corpora
     // (DupIdsSpec) can carry equal (ts, id) rows whose v differ.
+    // event_id rides the struct behind a MaxValue-sentinel coalesce
+    // (the events_asof_nearest non-null-struct convention): Spark
+    // sorts a null struct FIELD first while the oracle's rank windows
+    // use DuckDB defaults (ASC NULLS LAST / DESC NULLS FIRST) — the
+    // sentinel makes a null id lose the open pick and win the close
+    // pick in BOTH engines, so a null-id exact-ts tie cannot diverge.
     // Contract: bars only over timestamped priced events (null ts has
     // no position in a series, null value no price) — mirrored in the
     // oracle's WHERE; the oracle recovers the same rows via per-hour
@@ -253,7 +259,8 @@ object Events {
         .filter(col("ts").isNotNull && col("value").isNotNull)
         .select(date_trunc("hour", col("ts")).as("hour_ts"),
           cents(col("value")).cast("long").as("v"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("event_id"), lit(Long.MaxValue)).as("event_id"))
       b.groupBy(col("hour_ts"))
         .agg(min(struct(col("ts_us"), col("event_id"), col("v")))
           .getField("v").as("o"),
@@ -2058,7 +2065,9 @@ object Events {
 
     // open/close recovered via per-hour rank-1 windows over the SAME
     // (ts_us, event_id, v) total order the Spark struct extremum
-    // encodes; high/low/n are the plain per-hour aggregate
+    // encodes (DuckDB's ASC NULLS LAST / DESC NULLS FIRST defaults
+    // place a null event_id exactly where the Spark side's MaxValue
+    // sentinel does); high/low/n are the plain per-hour aggregate
     "events_ohlc_hourly" -> """
       WITH b AS (
         SELECT date_trunc('hour', ts) AS hour_ts,

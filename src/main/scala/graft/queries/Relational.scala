@@ -997,7 +997,10 @@ object Relational {
     val vcum = base.groupBy(col("s"), col("vbin")).agg(count(lit(1)).as("bc"))
       .withColumn("below", coalesce(sum(col("bc")).over(wBins), lit(0L)))
       .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("s"))))
-    val tbin = vcum.crossJoin(bs)
+    // broadcast spelled on the ≤ k−1-row bucket spine so the cross is a
+    // BroadcastNestedLoopJoin by convention, never a CartesianProduct
+    // shuffling the bin histogram (plan-audited in RankBoundariesSpec)
+    val tbin = vcum.crossJoin(broadcast(bs))
       .withColumn("cr", expr(s"b * (n div $k) + least(b, n % $k)"))
       .filter(col("below") < col("cr") &&
         col("cr") <= col("below") + col("bc"))
@@ -1561,8 +1564,9 @@ object Relational {
     // step (plain CTEs inline a self-referencing chain exponentially in
     // DuckDB — the emb_pca_project lesson); per round the mode-label
     // argmax is the rn = 1 window (ORDER BY c DESC, label ASC), the
-    // same (max count, smallest label) the Spark side's packed-decimal
-    // max recovers
+    // same (max count, smallest label) the Spark side's struct-extremum
+    // argmax max(struct(count, -label)) recovers (NOT the packed-decimal
+    // form — that fails on large label domains, see the verify skill)
     "q42_label_communities" -> {
       val rounds = (1 to 4).map { j => s"""
       l$j AS MATERIALIZED (

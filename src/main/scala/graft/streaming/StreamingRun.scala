@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -92,6 +91,11 @@ final class JourneyProcessorTws
       timerValues: org.apache.spark.sql.streaming.TimerValues)
       : Iterator[JournOut] = {
     rows.foreach(st.appendValue)
+    // third tie-break key sorts by UTF-16 code units (Scala String
+    // Ordering) while the oracle's ORDER BY is DuckDB binary UTF-8 —
+    // identical for the ASCII event_type vocabulary this corpus
+    // carries (contract: ASCII-only types); a non-ASCII type set would
+    // need a UTF-8-byte tie-break here to stay collation-proof
     val all = st.get().toArray
       .sortBy(e => (e.ts_us, e.event_id, e.event_type))
     Iterator.single(JournOut(user,
@@ -335,8 +339,10 @@ object StreamingRun {
     val s = df.sparkSession
     // JVM-exit-tracked: the sink must outlive this call (lazy read-back)
     // but repeated drains were leaking 1,600+ sink dirs across runs
+    // the checkpoint is also tracked: the eager delete below only runs on
+    // the success path, and a failed drain must not leak it past JVM exit
     val out = graft.TempLayouts.tracked("graft-stream-sink").toString
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val ckpt = graft.TempLayouts.tracked("graft-stream-ckpt").toString
     val q = df.writeStream
       .format("parquet")
       .option("path", out)
@@ -878,8 +884,10 @@ object StreamingRun {
     * explicit read schema matters: an empty corpus leaves a log with no
     * files. */
   def foreachBatchAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint tracked like every sibling gate (stateInspect precedent):
+    // eager delete below covers only the success path
     val out = graft.TempLayouts.tracked("graft-febatch-sink").toString
-    val ckpt = Files.createTempDirectory("graft-febatch-ckpt").toString
+    val ckpt = graft.TempLayouts.tracked("graft-febatch-ckpt").toString
     val counts = eventStream(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** Pins for `q42_label_communities` (deterministic synchronous label
   * propagation): the 4-round walk on a hand-computed graph, and the
-  * scale-shape audit (the per-round argmax is the packed map-side
-  * aggregate — no Window node anywhere in the plan). */
+  * scale-shape audit (the per-round argmax is the struct-extremum
+  * map-side aggregate — no Window node anywhere in the plan). */
 class LpaSpec extends SparkSpec {
   import spark.implicits._
 
@@ -39,7 +39,8 @@ class LpaSpec extends SparkSpec {
       .labelCommunities(bridgedTriangles, rounds = 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
-      "LPA argmax must ride the packed map-side aggregate, not a window")
+      "LPA argmax must ride the struct-extremum map-side aggregate, " +
+        "not a window")
   }
 
   test("the argmax is closed over the full long label domain (the " +

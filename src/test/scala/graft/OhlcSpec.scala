@@ -41,6 +41,26 @@ class OhlcSpec extends SparkSpec {
       (2L, 2.0, 4.0, 2.0, 4.0))) // hour 1: dup tie → open 2.0, close 4.0
   }
 
+  test("null event_id on an exact-ts tie: sentinel coalesce loses the " +
+    "open pick and wins the close pick (DuckDB NULLS LAST/FIRST parity)") {
+    val dir = TempLayouts.tracked("graft-ohlc").toString
+    Seq((Option(5L), T0 + 60_000_000L, 8.0),
+        (Option.empty[Long], T0 + 60_000_000L, 3.0))
+      .map { case (id, us, v) => (id, us, 7L, "view", v, """{"k":1}""") }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Events.queries("events_ohlc_hourly")(spark, dir)
+      .collect().map(r => (r.getLong(5), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // ASC: id 5 < MaxValue sentinel → open is the non-null row (8.0);
+    // DESC: sentinel wins → close is the null-id row (3.0) — the exact
+    // placements DuckDB's ASC NULLS LAST / DESC NULLS FIRST give
+    assert(got === Seq((2L, 8.0, 8.0, 3.0, 3.0)))
+  }
+
   test("plan shape: one aggregate, no Window, no sort before the agg") {
     val dir = corpus(Seq((1L, T0, 5.0)))
     val plan = graft.queries.Events.queries("events_ohlc_hourly")(spark, dir)

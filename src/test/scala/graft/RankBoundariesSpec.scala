@@ -104,4 +104,19 @@ class RankBoundariesSpec extends SparkSpec {
       Caching.releaseAll()
     }
   }
+
+  test("no gated quantile-segmentation plan has a CartesianProduct " +
+    "(the bucket-spine cross is broadcast by convention)") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q32_rfm_segments", "q33_pareto_deciles",
+      "q38_range_boundaries")) {
+      val phys = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+      val cart = phys.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cart.isEmpty,
+        s"$q: CartesianProductExec in physical plan:\n${cart.mkString}")
+      Caching.releaseAll()
+    }
+  }
 }
