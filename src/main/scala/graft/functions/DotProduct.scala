@@ -190,10 +190,17 @@ object GraftFunctions {
     (children: Seq[Expression]) =>
       GraftBpeEncode(children(0), children(1), children(2)))
 
+  val bpeDecodeInfo: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_decode"),
+    new ExpressionInfo(classOf[GraftBpeDecode].getName,
+      "graft_bpe_decode"),
+    (children: Seq[Expression]) => GraftBpeDecode(children(0)))
+
   private val all = Seq(dotInfo, dotlInfo, cosKeyInfo, srpBandsInfo, shinglesInfo,
     shingleHashesInfo, simhashInfo, simhashWideInfo, minhashSigInfo,
     termCountsInfo, winnowInfo, bigramCountsInfo, topBigramInfo,
-    gramHashesInfo, bpeEncodeInfo)
+    gramHashesInfo, bpeEncodeInfo, bpeDecodeInfo)
 
   /** Idempotent per-session registration — works on any session, including
     * ones built without [[graft.GraftExtensions]]. Also attaches the
@@ -246,4 +253,7 @@ object GraftFunctions {
         merges.map { case (a, b) => a + " " + b }.toArray),
       org.apache.spark.sql.functions.lit(
         merges.map { case (a, b) => a + b }.toArray))
+  /** BPE decode — the table-free inverse (see [[GraftBpeDecode]]). */
+  def bpeDecode(enc: Column): Column =
+    call_function("graft_bpe_decode", enc)
 }

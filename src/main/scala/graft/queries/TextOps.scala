@@ -328,6 +328,38 @@ object TextOps {
         .orderBy(col("word"))
     }),
 
+    // ---- BPE round-trip (the decode kernel as the encode kernel's
+    // inverse): every vocabulary word encoded with BOTH gated tables —
+    // the 50-rule learned table and the 1,024-rule synthetic one — then
+    // decoded by the table-free native `graft_bpe_decode` (merges only
+    // remove piece boundaries, so decode is separator-drop under ANY
+    // table). The gate emits the decoded strings themselves next to the
+    // word plus the mismatch count, and the oracle asserts identity by
+    // construction (dec_* = word, n_mismatch = 0 — the within_bound
+    // constant-contract convention): a single non-identity row anywhere
+    // in the vocabulary hash-fails the gate. Property coverage at other
+    // table sizes (0 rules, 50k rules, random tables) lives in BpeSpec.
+    // Scale shape: one vocabulary-bounded codegen'd projection.
+    "text_bpe_roundtrip" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val fns = graft.functions.GraftFunctions
+      Tables.documents(s, d)
+        .select(explode(fns.termCounts(col("text"))))
+        .toDF("word", "tf")
+        .select(col("word")).distinct()
+        .withColumn("dec_learned",
+          fns.bpeDecode(fns.bpeEncode(col("word"), bpeMerges(s, d, 50))))
+        .withColumn("dec_synth",
+          fns.bpeDecode(fns.bpeEncode(col("word"), syntheticMerges(1024))))
+        .withColumn("n_mismatch",
+          (when(col("dec_learned") =!= col("word"), 1L).otherwise(0L) +
+            when(col("dec_synth") =!= col("word"), 1L).otherwise(0L))
+            .cast("long"))
+        .select(col("word"), col("dec_learned"), col("dec_synth"),
+          col("n_mismatch"))
+        .orderBy(col("word"))
+    }),
+
     // ---- quality scoring: length, alpha ratio, stopword ratio, mean word len
     "text_quality" -> ((s, d) => {
       val words = filter(split(asciiLower(col("text")), "[^a-z]+"),
@@ -1618,6 +1650,22 @@ object TextOps {
         CAST(len(string_split(e.s, ' ')) AS BIGINT) AS n_pieces
       FROM wd w JOIN enc e ON e.word = w.word AND e.r = 1024
       ORDER BY w.word""",
+
+    // round-trip identity by construction: the oracle emits the word
+    // itself where the Spark side emits the decoded encodings (both
+    // tables) — any engine-side non-identity row hash-fails; n_mismatch
+    // is the within_bound-style constant-0 contract
+    "text_bpe_roundtrip" -> s"""
+      WITH tok AS (
+        SELECT unnest(list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          w -> len(w) > 0)) AS word
+        FROM documents),
+      wd AS (SELECT DISTINCT word FROM tok)
+      SELECT word, word AS dec_learned, word AS dec_synth,
+        CAST(0 AS BIGINT) AS n_mismatch
+      FROM wd
+      ORDER BY word""",
 
     // both directions of the shared pair CTEs, rank-1 per doc; the float
     // cosine orders identically cross-engine, neighbor id breaks ties

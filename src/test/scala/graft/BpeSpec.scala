@@ -149,6 +149,71 @@ class BpeSpec extends SparkSpec {
     assert(totBpe < totChars)
   }
 
+  test("native graft_bpe_decode inverts the native encode over the " +
+    "learned, synthetic, and empty tables (the roundtrip gate's law)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val fns = graft.functions.GraftFunctions
+    val learned = TextOps.bpeMerges(spark, d, 50)
+    val synth = TextOps.syntheticMerges(1024)
+    val rows = Tables.documents(spark, d)
+      .select(explode(fns.termCounts(col("text")))).toDF("word", "tf")
+      .select(col("word")).distinct()
+      .select(col("word"),
+        fns.bpeDecode(fns.bpeEncode(col("word"), learned)).as("dl"),
+        fns.bpeDecode(fns.bpeEncode(col("word"), synth)).as("ds"),
+        fns.bpeDecode(fns.bpeEncode(col("word"), Nil)).as("d0"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(0), "learned-table roundtrip")
+      assert(r.getString(2) === r.getString(0), "synthetic-table roundtrip")
+      assert(r.getString(3) === r.getString(0), "no-merge roundtrip")
+    }
+    Caching.releaseAll(); spark.catalog.clearCache()
+  }
+
+  test("decode∘encode identity on random words × random tables " +
+    "(kernel-level property, incl. a 50k-rule table)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    def randWord(): String =
+      (1 to (1 + rnd.nextInt(24))).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString
+    def randTable(n: Int): (Array[String], Array[String]) = {
+      // random pairs over pieces seen so far — merges can chain (ab + c)
+      val pieces = scala.collection.mutable.ArrayBuffer(
+        ('a' to 'z').map(_.toString): _*)
+      val pats = new Array[String](n); val reps = new Array[String](n)
+      for (i <- 0 until n) {
+        val a = pieces(rnd.nextInt(pieces.length))
+        val b = pieces(rnd.nextInt(pieces.length))
+        pats(i) = a + " " + b; reps(i) = a + b; pieces += (a + b)
+      }
+      (pats, reps)
+    }
+    for (_ <- 1 to 200) {
+      val w = randWord()
+      val (pats, reps) = randTable(1 + rnd.nextInt(40))
+      val enc = graft.functions.BpeEncodeKernel.encode(
+        UTF8String.fromString(w), pats, reps)
+      assert(graft.functions.BpeDecodeKernel.decode(enc).toString === w,
+        s"roundtrip($w) via ${pats.length}-rule table")
+    }
+    // production-size: one 50k-rule table
+    val (p5, r5) = randTable(50000)
+    val w = "interchangeabletokenization"
+    val enc = graft.functions.BpeEncodeKernel.encode(
+      UTF8String.fromString(w), p5, r5)
+    assert(graft.functions.BpeDecodeKernel.decode(enc).toString === w)
+    // multi-byte safety: 0x20 never occurs inside a UTF-8 sequence
+    assert(graft.functions.BpeDecodeKernel.decode(
+      UTF8String.fromString("é ş 日")).toString === "éş日")
+    // and NULL flows through the expression as NULL
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql("SELECT graft_bpe_decode(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+  }
+
   test("a NULL rule-array element is a type-check failure, not an NPE") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException](
