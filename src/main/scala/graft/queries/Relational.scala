@@ -935,6 +935,13 @@ object Relational {
     // join itself drops, so the result is exactly the unfiltered join's.
     "q41_join_runtime_filter" -> ((s, d) => runtimeFilteredJoin(s, d)),
 
+    // ---- cost-based join reordering (CBO) — the optimizer choosing the
+    // join ORDER from table/column statistics where every other gated
+    // join is hand-ordered. Written pessimally (fact ⋈ fact first);
+    // stats + spark.sql.cbo.joinReorder flip it dims-first, require()d
+    // per execution. See [[cboReorderJoin]].
+    "q43_join_cbo_reorder" -> ((s, d) => cboReorderJoin(s, d)),
+
     // ---- label-propagation community detection (Raghavan et al.,
     // arXiv 0709.2938) over the co-purchase graph — the fourth
     // iterative graph shape, and the one whose update rule is an ARGMAX
@@ -1101,6 +1108,95 @@ object Relational {
       require(opt.contains("bloom_filter_agg"),
         "q41_join_runtime_filter: no bloom build over the dim join keys:\n"
           + opt)
+      out.queryExecution.executedPlan
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** Catalog-registered, statistics-bearing EXTERNAL table over a fixture
+    * parquet directory — the substrate for cost-based optimization
+    * (row-count and column statistics live in catalog metadata; a bare
+    * path scan only ever has sizeInBytes, which is why CBO never fires
+    * on the other gates). Zero-copy: `CREATE TABLE … LOCATION` points at
+    * the existing files; `ANALYZE TABLE … FOR ALL COLUMNS` scans once to
+    * record rowCount + per-column NDV/min/max. Registered once per
+    * (session, dataset) — repeat calls (bench sweeps plan each gate 4+
+    * times) reuse the analyzed entry. */
+  private def cboTable(s: SparkSession, d: String, name: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    val t = s"graft_cbo_${name}_$tag"
+    if (!s.catalog.tableExists(t)) {
+      s.sql(s"CREATE TABLE $t USING parquet LOCATION '$d/$name.parquet'")
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    t
+  }
+
+  /** The cost-based join reorder behind `q43_join_cbo_reorder` — the last
+    * Catalyst optimizer family the engine exercises. The join is WRITTEN
+    * in the pessimal order (fact ⋈ fact first, the selective dim last):
+    *
+    *   (lineitem ⋈ orders) ⋈ σ_mktsegment(customer)
+    *
+    * With statistics on all three catalog tables and
+    * `spark.sql.cbo.{enabled,joinReorder.enabled}` set around planning
+    * (the q41 conf-scope convention), `CostBasedJoinReorder` re-plans the
+    * inner-join cluster dims-first — orders ⋈ filtered customer builds
+    * the ~order-per-matching-customer intermediate (≈ |orders|/5 rows)
+    * before the fact table joins in, where the written order materializes
+    * EVERY lineitem ⋈ orders pair first. At 100 TB that reorder is the
+    * difference between shuffling the full fact join output and
+    * shuffling the dim-pruned slice — and it is exactly what a cost
+    * model must do for ad-hoc queries whose authors wrote the joins in
+    * semantic, not optimal, order. The reordered shape is require()d per
+    * execution: the innermost Join of the optimized plan must touch only
+    * the two dim tables (the counterfactual — same query, CBO off, fact
+    * joined innermost — is pinned in CboReorderSpec). Oracle: the same
+    * join undisturbed; reordering an inner-join cluster cannot change
+    * its result. */
+  private[graft] def cboReorderJoin(s: SparkSession, d: String): DataFrame = {
+    val li = cboTable(s, d, "lineitem")
+    val or = cboTable(s, d, "orders")
+    val cu = cboTable(s, d, "customer")
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = s.table(li)
+        .join(s.table(or), col("l_orderkey") === col("o_orderkey"))
+        .join(s.table(cu).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          gridSum(col("l_quantity"), 100.0).as("sum_qty"))
+        .orderBy(col("o_year").asc_nulls_last)
+      // force optimization while CBO is on; the memoized QueryExecution
+      // keeps this plan after the conf restore (q41 convention)
+      val opt = out.queryExecution.optimizedPlan
+      val innermost = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.collect {
+              case jj: org.apache.spark.sql.catalyst.plans.logical.Join => jj
+            }.length == 1 => j
+      }
+      require(innermost.length == 1,
+        s"q43_join_cbo_reorder: expected one innermost Join, got " +
+          s"${innermost.length}:\n$opt")
+      val leaves = innermost.head.collectLeaves().flatMap {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            => lr.catalogTable.map(_.identifier.table)
+        case _ => None
+      }.toSet
+      require(leaves == Set(or, cu).map(_.toLowerCase),
+        s"q43_join_cbo_reorder: CBO did not reorder the dims innermost " +
+          s"(innermost leaves: $leaves):\n$opt")
       out.queryExecution.executedPlan
       out
     } finally prev.foreach {
@@ -1557,6 +1653,21 @@ object Relational {
           AS DOUBLE) / 100.0 AS sum_qty
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1
+      ORDER BY o_year NULLS LAST""",
+
+    // the same three-way join undisturbed — reordering an inner-join
+    // cluster cannot change its result, so the oracle never mentions
+    // the statistics or the reorder
+    "q43_join_cbo_reorder" -> """
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        count(*) AS n_items,
+        CAST(sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
       GROUP BY 1
       ORDER BY o_year NULLS LAST""",
 
