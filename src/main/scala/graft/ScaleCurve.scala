@@ -125,7 +125,18 @@ object ScaleCurve {
     // bars and nearest as-of (both one map-side aggregate over a
     // tolerance-bounded expansion — linear)
     "q42_label_communities", "sql_recursive_chain", "events_ohlc_hourly",
-    "events_asof_nearest")
+    "events_asof_nearest",
+    // round-13 additions: the native session_window drain (state ∝ open
+    // sessions, eviction watermark-incremental — the curve evidences
+    // the operator tracks the GroupState walk's growth), the chained
+    // agg→agg rollup (two map-side-combinable hash-agg levels, state ∝
+    // open (hour|day, type) windows — near-constant while scan cost
+    // grows), the CBO reorder join (ANALYZE is corpus-linear once per
+    // session, the reordered join dim-first by construction), and the
+    // BPE round-trip (vocabulary-bounded codegen projection — the scan
+    // feeding the vocab is the only corpus-linear term)
+    "events_stream_session_native", "events_stream_agg_agg",
+    "q43_join_cbo_reorder", "text_bpe_roundtrip")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -522,6 +522,44 @@ object StreamingRun {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Oracle-gated NATIVE streaming session windows — the built-in
+    * `session_window` aggregation run as a real `writeStream` drain (the
+    * one session-operator mode the GroupState walk and the TWS-timer
+    * port reproduce but never executed). Same topology as
+    * [[sessionAvailableNow]] — per-user 30-minute-gap sessions, 10-minute
+    * watermark, append mode — but the state merge and eviction belong to
+    * the operator, not hand-rolled state.
+    *
+    * Emission contract (probed in StreamSessionSpec, NOT assumed —
+    * it differs from the GroupState walk on two axes):
+    *  - eviction is WATERMARK-driven for every session: a session closed
+    *    by a successor event still waits in state until the horizon
+    *    passes its end, so the oracle has no closed-by-successor escape
+    *    clause;
+    *  - the horizon is NON-strict at microsecond precision — emitted iff
+    *    end_us <= wm_ms·1000 where end_us = last_us + gap_us (the
+    *    windowed-agg `<=` polarity; GroupState timeouts are strict and
+    *    ms-floored, and the boundary corpus separates the two).
+    *
+    * Scale shape: state is one merged-session range per (user, session)
+    * key in the store, map-side partial aggregation applies within a
+    * micro-batch, and eviction is incremental per watermark advance —
+    * the operator form survives key cardinalities that a per-user
+    * collect-and-sort walk cannot. */
+  def sessionWindowAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"), col("sum_value"))
+    drainToSink(agg).orderBy(col("user_id"), col("session_start"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
@@ -866,6 +904,55 @@ object StreamingRun {
       .select(col("w.start").cast("timestamp_ntz").as("wstart"),
         col("n_pairs"), col("lag_us_sum"))
     drainToSink(agg).orderBy(col("wstart"))
+  }
+
+  /** Oracle-gated CHAINED WINDOWED AGGREGATIONS — tumbling hourly
+    * counts re-aggregated to daily totals in ONE streaming topology via
+    * `window(window_time(w), '1 day')` (SPARK-40925, the agg→agg member
+    * of the multiple-stateful-operators family next to the gated
+    * join→agg): the shape a metrics pipeline runs as one query instead
+    * of hourly-to-sink + batch rollup. `window_time` recovers an event
+    * -time column (w.end − 1µs) from the upstream window so the daily
+    * window can legally re-window it.
+    *
+    * PROBED FACT (δ-sweep in `StreamAggAggSpec`): unlike the join→agg
+    * chain — whose downstream horizon is DELAYED by the join's
+    * state-retention interval — the agg→agg chain carries NO delay: a
+    * daily window emits iff `end_ms <= wm_ms` (non-strict, δ = 0 →
+    * emitted, δ = −1 ms → withheld), the single-operator windowed-agg
+    * horizon. The upstream hour evicts rows whose event time
+    * (end − 1µs) is already behind the watermark that evicted them, so
+    * the daily windows close on the SAME watermark; the AvailableNow
+    * flush batch cascades through both operators (an hour ending
+    * exactly at the day end = wm is evicted upstream and aggregated
+    * downstream in one drain).
+    *
+    * Exact money: integer cents ride the chain as longs and divide only
+    * at the output projection — re-summing the hourly DOUBLE would
+    * compound representation error across levels.
+    *
+    * Scale shape: both levels are map-side-combinable hash aggregates
+    * keyed by (window, type); state is one row per open (hour, type)
+    * upstream and (day, type) downstream, watermark-bounded — the
+    * hierarchy a 100 TB/day pipeline needs, where re-scanning raw
+    * events for the daily rollup would double the ingest cost. */
+  def aggAggAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val hourly = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.queries.cents(col("value")).cast("long")).as("c"))
+    val daily = hourly
+      .groupBy(window(window_time(col("w")), "1 day").as("d"),
+        col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n_events"),
+        count(lit(1)).as("n_hours"),
+        sum(col("c")).cast("long").as("cs"))
+      .select(col("d.start").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n_events"), col("n_hours"),
+        (col("cs").cast("double") / 100.0).as("sum_value"))
+    drainToSink(daily)
+      .orderBy(col("day"), col("event_type").asc_nulls_last)
   }
 
   /** Oracle-gated FOREACHBATCH sink — the arbitrary-sink escape hatch
@@ -1245,6 +1332,8 @@ object StreamingRun {
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
     "events_stream_sliding" -> ((s, d) => slidingAvailableNow(s, d)),
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
+    "events_stream_session_native" -> ((s, d) =>
+      sessionWindowAvailableNow(s, d)),
     "events_stream_throttle" -> ((s, d) => throttleAvailableNow(s, d)),
     "events_stream_join" -> ((s, d) => attributionAvailableNow(s, d)),
     "events_stream_join_outer" -> ((s, d) =>
@@ -1256,6 +1345,7 @@ object StreamingRun {
     "events_stream_join_right" -> ((s, d) =>
       attributionRightAvailableNow(s, d)),
     "events_stream_join_agg" -> ((s, d) => joinAggAvailableNow(s, d)),
+    "events_stream_agg_agg" -> ((s, d) => aggAggAvailableNow(s, d)),
     "events_stream_state_inspect" -> ((s, d) =>
       stateInspectAvailableNow(s, d)),
     "events_stream_tws_journey" -> ((s, d) =>
@@ -1283,10 +1373,12 @@ object StreamingRun {
   // The oracle's `<=` encodes that; with hour-aligned window ends the
   // µs-vs-ms floor gap is unreachable (a window end can never carry the
   // sub-ms remainder the floor would drop)
-  /** Shared by `events_stream_session` (GroupState timeouts) and
-    * `events_stream_tws_session` (transformWithState timers) — one
-    * emission arithmetic, two stateful APIs. */
-  private val sessionOracle = """
+  /** The gaps-and-islands session derivation + watermark CTEs shared by
+    * all three streaming session oracles — one session arithmetic, three
+    * runtime surfaces (GroupState timeouts, TWS timers, the native
+    * `session_window` operator), which differ ONLY in their emission
+    * clause. */
+  private val sessionCtes = """
       WITH ev AS MATERIALIZED (
         SELECT event_id, user_id, ts, value FROM events
         WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
@@ -1315,11 +1407,30 @@ object StreamingRun {
         SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
         FROM agg),
       wm AS (
-        SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM ev)
+        SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM ev)"""
+
+  /** Shared by `events_stream_session` (GroupState timeouts) and
+    * `events_stream_tws_session` (transformWithState timers) — one
+    * emission arithmetic, two stateful APIs. */
+  private val sessionOracle = sessionCtes + """
       SELECT user_id, session_start, n_events, sum_value
       FROM marked, wm
       WHERE sid < last_sid
          OR epoch_us(session_last) // 1000 + 1800000 < wm_ms
+      ORDER BY user_id, session_start"""
+
+  /** The NATIVE `session_window` operator's emission clause, probed in
+    * StreamSessionSpec: eviction is watermark-driven for EVERY session
+    * (a successor-closed session stays in state until the horizon
+    * passes — no `sid < last_sid` escape, unlike the GroupState walk)
+    * and NON-strict at microsecond precision — a session whose end
+    * (last + gap, µs-exact) equals the ms-floored watermark's µs
+    * instant IS emitted (the windowed-agg `<=` polarity, not the
+    * GroupState-timeout strict `<`). */
+  private val sessionNativeOracle = sessionCtes + """
+      SELECT user_id, session_start, n_events, sum_value
+      FROM marked, wm
+      WHERE epoch_us(session_last) + 1800000000 <= wm_ms * 1000
       ORDER BY user_id, session_start"""
 
   val oracles: Map[String, String] = Map(
@@ -1378,6 +1489,11 @@ object StreamingRun {
     // the TWS-timer port shares the oracle text verbatim — the gate
     // proves GroupState timeouts and transformWithState timers agree
     "events_stream_tws_session" -> sessionOracle,
+
+    // the native session_window operator shares the session CTEs but
+    // carries its own probed emission clause (watermark-driven for all
+    // sessions, non-strict µs horizon — see sessionNativeOracle)
+    "events_stream_session_native" -> sessionNativeOracle,
 
     // the batch events_debounce_kept walk (same recursive CTE) over the
     // streaming-timeline event set; deliberately NO horizon clause —
@@ -1619,6 +1735,35 @@ object StreamingRun {
       FROM w, wm
       WHERE epoch_us(w.wstart) // 1000 + 3600000 <= wm.wm_ms - 1800000
       ORDER BY wstart""",
+
+    // hourly → daily replayed relationally; the horizon is the PLAIN
+    // windowed-agg clause against the daily end (day + 24h) with NO
+    // chain delay — the probed agg→agg fact (δ-sweep in
+    // StreamAggAggSpec: δ = 0 emits, δ = −1 ms withholds), in contrast
+    // to the join→agg oracle above whose horizon subtracts the join's
+    // 30-minute state retention. Cents stay integer through both
+    // levels; a day emits only with every hour already evicted
+    // upstream, so its content is complete by construction
+    "events_stream_agg_agg" -> """
+      WITH ev AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
+      hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+          count(*) AS n,
+          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS c
+        FROM ev GROUP BY h, event_type),
+      wm AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM ev),
+      daily AS (
+        SELECT time_bucket(INTERVAL '1 day', h) AS day, event_type,
+          CAST(sum(n) AS BIGINT) AS n_events,
+          count(*) AS n_hours,
+          CAST(sum(c) AS DOUBLE) / 100.0 AS sum_value
+        FROM hourly GROUP BY day, event_type)
+      SELECT day, event_type, n_events, n_hours, sum_value
+      FROM daily, wm
+      WHERE epoch_us(day) // 1000 + 86400000 <= wm_ms
+      ORDER BY day, event_type NULLS LAST""",
 
     // the single-data-batch drain puts each key's batch-0 row in the
     // foreachBatch log, and the latest-batch upsert read resolves to

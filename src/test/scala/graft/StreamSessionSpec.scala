@@ -247,4 +247,92 @@ class StreamSessionSpec extends SparkSpec {
       s"streaming emitted ${got.size} vs oracle-mirror ${expected.size}; " +
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
+
+  // ---- native session_window operator pins (events_stream_session_native)
+
+  /** Drive the REAL session_window aggregation through MemoryStream. */
+  private def drainNative(events: Seq[Seq[SessIn]], name: String)
+      : Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessIn]
+    val agg = ms.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s_us"),
+        unix_micros(col("sw.end")).as("e_us"), col("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      events.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    } finally q.stop()
+  }
+
+  test("NATIVE session_window eviction is NON-strict at µs precision — " +
+    "the opposite polarity of the GroupState timeout at the same boundary") {
+    // ms-aligned end: u1's session end = T0+30min; driver u9 sets wm to
+    // EXACTLY that instant (event at T0+40min). GroupState (strict <)
+    // emits nothing here — the first test above pins that; the native
+    // operator (windowed-agg <=) emits the session. The two gated
+    // oracles encode exactly this divergence.
+    val atBoundary = drainNative(Seq(
+      Seq(in(1L, T0 * 1000L, Some(1L))),
+      Seq(in(9L, (T0 + 40 * 60000L) * 1000L, Some(1L))),
+      Seq(in(9L, (T0 + 40 * 60000L) * 1000L, Some(1L)))), "nat_b")
+      .filter(_._1 == 1L)
+    assert(atBoundary ===
+      Seq((1L, T0 * 1000L, (T0 + 30 * 60000L) * 1000L, 1L)),
+      "native operator must emit at wm == end (non-strict eviction)")
+    // µs remainder: end = T0+30min + 999µs > wm·1000 → held back …
+    val heldBack = drainNative(Seq(
+      Seq(in(1L, T0 * 1000L + 999L, Some(1L))),
+      Seq(in(9L, (T0 + 40 * 60000L) * 1000L, Some(1L))),
+      Seq(in(9L, (T0 + 40 * 60000L) * 1000L, Some(1L)))), "nat_us")
+      .filter(_._1 == 1L)
+    assert(heldBack.isEmpty,
+      "a session end 999µs past the watermark instant must be held")
+    // … and one watermark ms later (wm·1000 = end+1µs) it is emitted:
+    // the comparison is µs-exact against the ms-floored watermark
+    val next = drainNative(Seq(
+      Seq(in(1L, T0 * 1000L + 999L, Some(1L))),
+      Seq(in(9L, (T0 + 40 * 60000L + 1L) * 1000L, Some(1L))),
+      Seq(in(9L, (T0 + 40 * 60000L + 1L) * 1000L, Some(1L)))), "nat_us2")
+      .filter(_._1 == 1L)
+    assert(next.map(t => (t._1, t._2, t._4)) ===
+      Seq((1L, T0 * 1000L + 999L, 1L)))
+  }
+
+  test("NATIVE session_window holds a successor-closed session until the " +
+    "watermark passes its end — no closed-by-successor emission") {
+    // u3: T0, then T0+30min+1µs (strictly past gap → new session). The
+    // GroupState walk emits the first session immediately (pinned
+    // above); the native operator's state still holds BOTH sessions
+    // because wm = T0+20min+1µs−10min < first end — so the gate oracles
+    // must differ exactly here (no sid < last_sid clause native-side).
+    val r = drainNative(Seq(
+      Seq(in(3L, T0 * 1000L, Some(1L)),
+        in(3L, (T0 + 30 * 60000L) * 1000L + 1L, Some(1L))),
+      Seq(in(3L, (T0 + 30 * 60000L) * 1000L + 1L, Some(1L)))), "nat_succ")
+    assert(r.isEmpty,
+      "successor-closed session emitted before its watermark horizon")
+  }
+
+  test("NATIVE session_window merges touching sessions (shared edge) — " +
+    "the same merge rule every session oracle encodes") {
+    // events exactly gap apart merge: [T0, T0+30m) touches [T0+30m, …)
+    // — drive the watermark far past so the merged session emits once
+    val r = drainNative(Seq(
+      Seq(in(4L, T0 * 1000L, Some(1L)),
+        in(4L, (T0 + 30 * 60000L) * 1000L, Some(1L))),
+      Seq(in(9L, (T0 + 200 * 60000L) * 1000L, Some(1L))),
+      Seq(in(9L, (T0 + 200 * 60000L) * 1000L, Some(1L)))), "nat_merge")
+      .filter(_._1 == 4L)
+    assert(r === Seq((4L, T0 * 1000L, (T0 + 60 * 60000L) * 1000L, 2L)),
+      "touching pair must merge into one [T0, T0+60min) session of 2")
+  }
 }

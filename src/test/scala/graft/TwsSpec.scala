@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-import graft.streaming.{RunningTotalsProcessor, TwsIn}
+import graft.streaming.{RunningTotalsProcessor, SessIn, TwsIn}
 
 /** Pins for the `transformWithState` running-totals processor behind
   * `events_stream_tws_totals` — the cross-batch semantics the
@@ -119,5 +119,120 @@ class TwsSpec extends SparkSpec {
     // (batch order within run: later batch's rows come from drop(seen),
     // so rs.last is the most recent emission for that user)
     assert(lastSplit == combined.head.toSet)
+  }
+
+  /** Drive [[TtlCountProcessor]] through two poll-then-stop drains
+    * sharing one checkpoint, with a wall-clock pause between them;
+    * returns the per-drain emitted counts for key 1.
+    *
+    * Two PROBED engine constraints shape this harness: (1) TTL is
+    * ProcessingTime-mode-ONLY — `validateTTLConfig` rejects EventTime
+    * with STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL; (2) a
+    * ProcessingTime-mode TWS query re-triggers micro-batches endlessly
+    * EVEN UNDER AvailableNow (TransformWithStateExec keeps requesting
+    * batches to advance wall-clock timers/TTL: 1,900+ empty batches
+    * observed before this harness's first form was killed), so neither
+    * awaitTermination nor processAllAvailable ever returns — each drain
+    * polls the file sink for the expected emission and then stop()s the
+    * query, the checkpoint making the seam exactly-once. */
+  private def runTtl(ttlMs: Long, pauseMs: Long): Seq[Seq[Long]] = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val root = TempLayouts.tracked("graft-ttl").toString
+      val src = s"$root/in"
+      def addFile(tag: Long): Unit =
+        Seq(TwsIn(1L, tag, 10L, 1L)).toDF()
+          .repartition(1).write.mode("append").parquet(src)
+      addFile(1L)
+      val schema = spark.read.parquet(src).schema
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_1",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_2",
+          org.apache.spark.sql.types.LongType)))
+      def sinkCounts(): Seq[Long] =
+        spark.read.schema(outSchema).parquet(s"$root/out")
+          .collect().map(_.getLong(1)).toSeq
+      def drain(expectRows: Int): Unit = {
+        val q = spark.readStream.schema(schema).parquet(src)
+          .as[TwsIn].groupByKey(_.user_id)
+          .transformWithState(new TtlCountProcessor(ttlMs),
+            TimeMode.ProcessingTime(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet").option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (sinkCounts().length < expectRows &&
+            System.nanoTime() < deadline) Thread.sleep(200L)
+          assert(sinkCounts().length >= expectRows,
+            s"drain never emitted $expectRows rows within 120s")
+        } finally q.stop()
+      }
+      drain(1)
+      val first = sinkCounts()
+      if (pauseMs > 0) Thread.sleep(pauseMs)
+      addFile(2L)
+      drain(2)
+      val all = sinkCounts()
+      Seq(first, all.diff(first))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("TTLConfig state expiry is ENGINE-SIDE ONLY (wall-clock-based, " +
+    "so no event-time oracle can replay it): a ValueState past its TTL " +
+    "between drains reads as absent and re-initializes") {
+    // TTL anchors to wall-clock processing time, not event time: DuckDB
+    // replaying the event timeline cannot reproduce WHEN a batch ran,
+    // so expiry is pinned here rather than oracle-gated (the
+    // dedup-payload precedent for un-oracle-able runtime facts).
+    // Generous margins: a 500ms TTL vs a 5s pause — the assertion is on
+    // which side of the TTL the second drain lands, not on timing
+    // precision. The restart seam also pins that TTL deadlines PERSIST
+    // in the checkpoint (expiry applies to recovered state, not only to
+    // store-resident entries).
+    val expired = runTtl(ttlMs = 500L, pauseMs = 5000L)
+    assert(expired === Seq(Seq(1L), Seq(1L)),
+      "state past its TTL must read as absent (count restarts at 1)")
+    // control: a TTL far beyond the pause keeps the state alive
+    val kept = runTtl(ttlMs = 3600000L, pauseMs = 0L)
+    assert(kept === Seq(Seq(1L), Seq(2L)),
+      "unexpired TTL state must carry across drains")
+  }
+}
+
+/** Minimal TTL probe processor: per-key running count in a ValueState
+  * registered with a wall-clock TTL — the state slot variant the gated
+  * processors deliberately avoid (TTLConfig.NONE) because its expiry is
+  * wall-clock-driven and therefore un-oracle-able. */
+final class TtlCountProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TwsIn, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode)
+      : Unit =
+    st = getHandle.getValueState[Long]("cnt",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsIn],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    val n = (if (st.exists()) st.get() else 0L) + rows.size
+    st.update(n)
+    Iterator.single((key, n))
   }
 }
