@@ -136,7 +136,12 @@ object ScaleCurve {
     // BPE round-trip (vocabulary-bounded codegen projection — the scan
     // feeding the vocab is the only corpus-linear term)
     "events_stream_session_native", "events_stream_agg_agg",
-    "q43_join_cbo_reorder", "text_bpe_roundtrip")
+    "q43_join_cbo_reorder", "text_bpe_roundtrip",
+    // batch F: the DSv2 scan path (pushdown+pruning must keep the V2
+    // cost scan-linear like V1's) and the cached-projection double-read
+    // (cache build + two columnar reads — all linear in rows; the curve
+    // evidences the cache never costs more than the scan it saves)
+    "events_v2_daily", "q44_cache_reuse")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

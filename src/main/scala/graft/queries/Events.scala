@@ -442,6 +442,24 @@ object Events {
     // or double round-trip misparse changes the hashed result.
     "events_csv_daily" -> ((s, d) => csvDaily(s, d)),
 
+    // ---- the DataSource V2 read path (BatchScanExec + ParquetScan) —
+    // the OTHER half of Spark's scan machinery: every parquet gate in
+    // this engine rides the V1 FileSourceScanExec because parquet sits
+    // in spark.sql.sources.useV1SourceList by default; clearing the
+    // list around plan construction (the q41/q43 conf-scope convention)
+    // routes the SAME files through the V2 connector API — the
+    // interface every modern table format (Iceberg, Delta Uniform,
+    // Hudi) implements, so proving filter pushdown + column pruning
+    // survive the V2 path is proving the engine's scan contracts hold
+    // on lakehouse connectors, not just the built-in reader. Both
+    // contracts require()d per execution: the user_id null-filter
+    // reaches the scan (a PHYSICAL column on every corpus encoding —
+    // the canonical ts column can be derived under the nanos probe
+    // corpora, so it is deliberately not the pushdown probe) and the
+    // unreferenced props/event_type columns are pruned. Oracle replays
+    // from the same parquet — V1 and V2 must read identical bytes.
+    "events_v2_daily" -> ((s, d) => v2Daily(s, d)),
+
     // ---- JSONL source end-to-end ([[jsonlDaily]]): the second
     // landing-zone format, with the nested-JSON-in-JSON string hazard
     // (`props`) live on the hash path and a per-execution plan contract
@@ -1609,6 +1627,42 @@ object Events {
     out
   }
 
+  /** The DSv2-path rollup behind `events_v2_daily` — see the queries-map
+    * comment for why this family matters. The conf scope covers frame
+    * CONSTRUCTION AND PLANNING (the memoized QueryExecution keeps the V2
+    * plan after the restore); the restored list leaves every other
+    * gate's V1 planning untouched. */
+  private[graft] def v2Daily(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "")
+    try {
+      val out = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sumMoney(col("value")).as("sum_value"))
+        .orderBy(col("day"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("BatchScan"),
+        "events_v2_daily: the scan did not plan through the DSv2 " +
+          "BatchScan path:\n" + plan)
+      require(plan.contains("IsNotNull(user_id)"),
+        "events_v2_daily: the user_id filter was not pushed into the V2 " +
+          "parquet scan:\n" + plan)
+      require(!plan.contains("props"),
+        "events_v2_daily: the V2 scan schema was not pruned (props is " +
+          "unreferenced):\n" + plan)
+      out
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** The JSONL-source rollup behind `events_jsonl_daily` — the OTHER
     * landing-zone format ([[csvDaily]]'s sibling; API drops and log
     * shippers deliver JSON-lines at least as often as CSV). Same
@@ -1773,6 +1827,20 @@ object Events {
       WHERE ts IS NOT NULL
       GROUP BY 1, 2
       ORDER BY 1, 2 NULLS LAST""",
+
+    // V1 vs V2 is a Spark-internal scan-path split: DuckDB reads the
+    // same parquet bytes once — the gate proves the V2 connector path
+    // returns them unchanged
+    "events_v2_daily" -> """
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        count(*) AS n,
+        count(DISTINCT user_id) AS n_users,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1
+      ORDER BY 1""",
 
     // the JSONL layout is cost-level only, like the CSV gate: the oracle
     // replays the rollup from the parquet table, so any JSON round-trip

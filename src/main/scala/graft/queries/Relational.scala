@@ -935,6 +935,17 @@ object Relational {
     // join itself drops, so the result is exactly the unfiltered join's.
     "q41_join_runtime_filter" -> ((s, d) => runtimeFilteredJoin(s, d)),
 
+    // ---- columnar cache reuse (InMemoryRelation) — the one executor-
+    // memory surface not yet gated as a query: a narrow projection
+    // persisted once feeds TWO aggregates in one plan, both reading the
+    // cached columnar batches instead of re-scanning parquet (the
+    // dashboard/iterative-analytics pattern; at 100 TB the cache is the
+    // REDUCED slice — 3 columns here — never the raw table, and the
+    // second consumer is where caching pays). Both InMemoryTableScans
+    // require()d per execution. Oracle = the same two aggregates off an
+    // uncached CTE; caching cannot change bytes.
+    "q44_cache_reuse" -> ((s, d) => cachedReuseAgg(s, d)),
+
     // ---- cost-based join reordering (CBO) — the optimizer choosing the
     // join ORDER from table/column statistics where every other gated
     // join is hand-ordered. Written pessimally (fact ⋈ fact first);
@@ -1114,6 +1125,36 @@ object Relational {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None)    => s.conf.unset(k)
     }
+  }
+
+  /** The cached-projection double-read behind `q44_cache_reuse`: persist
+    * the 3-column lineitem slice (tracked — [[graft.Caching]] releases it
+    * with every other shared subplan), aggregate it twice (per-flag
+    * totals; per-flag heavy-line counts), join the two summaries. The
+    * plan contract is the point: BOTH branches must read
+    * `InMemoryTableScan` — if either re-scans parquet, the cache bought
+    * nothing and the require fires. Left-outer + coalesce(0) keeps flags
+    * whose heavy subset is empty (the count(*)-over-empty-slice = 0
+    * convention the COUNT-bug gate pins SQL-side). */
+  private[graft] def cachedReuseAgg(s: SparkSession, d: String): DataFrame = {
+    val cached = graft.Caching.persistTracked(
+      Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_quantity"), col("l_extendedprice")))
+    val totals = cached.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        gridSum(col("l_extendedprice"), 100.0).as("sum_price"))
+    val heavy = cached.filter(col("l_quantity") >= 25)
+      .groupBy(col("flag")).agg(count(lit(1)).as("n_heavy"))
+    val out = totals.join(heavy, Seq("flag"), "left_outer")
+      .select(col("flag"), col("n"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"), col("sum_price"))
+      .orderBy(col("flag").asc_nulls_last)
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(plan).length
+    require(scans >= 2,
+      s"q44_cache_reuse: expected both aggregate branches to read the " +
+        s"columnar cache, found $scans InMemoryTableScan(s):\n" + plan)
+    out
   }
 
   /** Catalog-registered, statistics-bearing EXTERNAL table over a fixture
@@ -1655,6 +1696,24 @@ object Relational {
       WHERE o.o_orderpriority = '1-URGENT'
       GROUP BY 1
       ORDER BY o_year NULLS LAST""",
+
+    // the same two aggregates off an uncached CTE — the cache is a
+    // Spark-internal locality decision, invisible to bytes
+    "q44_cache_reuse" -> """
+      WITH c AS (
+        SELECT l_returnflag AS flag, l_quantity, l_extendedprice
+        FROM lineitem),
+      t AS (
+        SELECT flag, count(*) AS n,
+          CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price
+        FROM c GROUP BY flag),
+      h AS (
+        SELECT flag, count(*) AS n_heavy FROM c
+        WHERE l_quantity >= 25 GROUP BY flag)
+      SELECT t.flag, t.n, coalesce(h.n_heavy, 0) AS n_heavy, t.sum_price
+      FROM t LEFT JOIN h USING (flag)
+      ORDER BY t.flag NULLS LAST""",
 
     // the same three-way join undisturbed — reordering an inner-join
     // cluster cannot change its result, so the oracle never mentions

@@ -489,6 +489,55 @@ object SqlSurface {
       GROUP BY session_window(ts, '30 minutes'), user_id
       ORDER BY user_id, session_start"""),
 
+    // ---- the FILTER (WHERE …) aggregate clause through the parser —
+    // per-aggregate predicates without CASE-WHEN contortions (ANSI
+    // SQL:2003 T612, supported verbatim by both engines, so the oracle
+    // is the same text). One hash aggregate carries four differently-
+    // filtered measures over one scan — the shape that otherwise costs
+    // four scans or four CASE pyramids; the distinct+filter member
+    // exercises the Expand-based distinct path under a filter. Money
+    // stays on the integer cent grid; an all-filtered-out group sums to
+    // NULL in both engines.
+    "sql_agg_filter" -> sql("""
+      SELECT l_returnflag,
+        count(*) AS n,
+        count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+          FILTER (WHERE l_discount > 0.05) AS BIGINT) AS cents_discounted,
+        count(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0.0)
+          AS n_taxfree_supp
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag NULLS LAST"""),
+
+    // ---- correlated SCALAR subqueries through the parser — the
+    // decorrelation family LATERAL doesn't cover: each output column is
+    // its own correlated aggregate, and Catalyst must rewrite both into
+    // left-outer aggregated joins (RewriteCorrelatedScalarSubquery)
+    // rather than re-executing per customer row. The count member is
+    // the classic COUNT-BUG probe: a customer with NO orders must
+    // surface n_orders = 0, not NULL — naive decorrelation turns the
+    // empty group into a null-extended row and loses the count(*) = 0
+    // contract; Spark patches it with the post-join coalesce, DuckDB
+    // decorrelates correctly, and the hash gate fails if either engine
+    // gets it wrong. The urgent-only restriction makes the empty group
+    // LIVE at every SF (the fixtures have no order-less customers, but
+    // 10% of MACHINERY customers have no urgent order at sf0.001 —
+    // checked); the max member keeps the opposite polarity visible:
+    // empty group → NULL in both.
+    "sql_scalar_subquery" -> sql("""
+      SELECT c.c_custkey,
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT') AS n_urgent,
+        (SELECT CAST(max(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 100.0
+         FROM orders o WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT') AS max_urgent_price
+      FROM customer c
+      WHERE c.c_mktsegment = 'MACHINERY'
+      ORDER BY c.c_custkey"""),
+
     // ---- WITH RECURSIVE through the SQL frontend (UnionLoopExec) —
     // see [[recursiveChainPrefix]] for the shape, the |V| row bound,
     // the probed engine constraints on both sides, and why the prefix
@@ -497,6 +546,35 @@ object SqlSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    // ANSI FILTER clause — DuckDB runs the identical text (HUGEINT cast
+    // already spelled on the filtered sum)
+    "sql_agg_filter" -> """
+      SELECT l_returnflag,
+        count(*) AS n,
+        count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+          FILTER (WHERE l_discount > 0.05) AS BIGINT) AS cents_discounted,
+        count(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0.0)
+          AS n_taxfree_supp
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag NULLS LAST""",
+
+    // identical text: both engines decorrelate, and the hash pins the
+    // COUNT-bug contract (order-less customers read 0, not NULL)
+    "sql_scalar_subquery" -> """
+      SELECT c.c_custkey,
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT') AS n_urgent,
+        (SELECT CAST(max(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 100.0
+         FROM orders o WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT') AS max_urgent_price
+      FROM customer c
+      WHERE c.c_mktsegment = 'MACHINERY'
+      ORDER BY c.c_custkey""",
+
     "sql_wordcount_topn" -> TextOps.oracles("wordcount_topn"),
     // the DataFrame twin's oracle verbatim — same contract, same grid
     "sql_bm25_topk" -> TextOps.oracles("text_bm25_topk"),

@@ -1327,9 +1327,42 @@ object StreamingRun {
     s.table(name).orderBy(col("event_type").asc_nulls_last)
   }
 
+  /** Oracle-gated UPDATE-MODE WINDOWED aggregation — the last open cell
+    * of the output-mode × windowed matrix (append×window =
+    * `events_stream_tumbling`, update×global = `events_stream_counts`,
+    * complete×global = `events_stream_totals`): the same hourly windows
+    * as the append gate, emitted under update semantics — every (window,
+    * type) group a batch CHANGES is emitted that batch, watermark or
+    * not, so the oracle is the plain hourly aggregate with NO horizon
+    * clause (the append gate's HAVING is exactly what this mode
+    * removes). The memory sink APPENDS each batch's updated rows; on
+    * the single-data-batch drain each group updates exactly once and
+    * the flush batch only EVICTS watermark-expired state (no
+    * re-emission — a duplicate row would break both the row count and
+    * the hash), so the table is the batch aggregate. This is the mode a
+    * live dashboard consumes (upsert sink keyed by window); the append
+    * twin is the mode an immutable log sink needs. */
+  def tumblingUpdateAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = "graft_stream_tumb_upd_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("wstart"), col("event_type").asc_nulls_last)
+  }
+
   val queries: Map[String, graft.queries.Q] = Map(
     "events_stream_totals" -> ((s, d) => totalsAvailableNow(s, d)),
     "events_stream_tumbling" -> ((s, d) => tumblingAvailableNow(s, d)),
+    "events_stream_tumbling_update" -> ((s, d) =>
+      tumblingUpdateAvailableNow(s, d)),
     "events_stream_sliding" -> ((s, d) => slidingAvailableNow(s, d)),
     "events_stream_session" -> ((s, d) => sessionAvailableNow(s, d)),
     "events_stream_session_native" -> ((s, d) =>
@@ -1455,6 +1488,18 @@ object StreamingRun {
       HAVING wstart + INTERVAL '1 hour' <=
         (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
       ORDER BY wstart, event_type""",
+
+    // the update-mode twin drops the HAVING horizon: update emits every
+    // group the batch changes, watermark or not — the flush batch only
+    // evicts (a re-emission would duplicate rows and hash-fail)
+    "events_stream_tumbling_update" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      FROM events
+      WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+      GROUP BY wstart, event_type
+      ORDER BY wstart, event_type NULLS LAST""",
 
     // the batch events_sliding two-offset expansion over the streaming
     // timeline, with the same non-strict horizon clause as tumbling but
