@@ -141,7 +141,12 @@ object ScaleCurve {
     // cost scan-linear like V1's) and the cached-projection double-read
     // (cache build + two columnar reads — all linear in rows; the curve
     // evidences the cache never costs more than the scan it saves)
-    "events_v2_daily", "q44_cache_reuse")
+    "events_v2_daily", "q44_cache_reuse",
+    // batch G: the CDC apply (one map-side struct-extremum argmax per
+    // key — the curve evidences no hidden per-key sort) and the span
+    // corruption manifest (tokenize + block-local projection + one
+    // aggregate — tokenize-linear like the text family)
+    "events_cdc_apply", "docs_span_corruption")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -277,6 +277,44 @@ object Events {
         .orderBy(col("hour_ts"))
     }),
 
+    // ---- CDC changelog apply (Debezium/Delta CDF-shaped maintenance):
+    // the event stream read as a per-user change log — a priced event
+    // is an UPSERT of that user's record, a price-less event a DELETE
+    // tombstone — and the snapshot is each key's LAST operation in
+    // (ts, event_id) log order, keys whose last op is a delete absent.
+    // This is the missing third of the maintenance family: upsert-only
+    // (dedup_upsert_snapshot) and additive-delta (events_agg_
+    // incremental) cannot express retraction; CDC apply is how a
+    // lakehouse table follows an OLTP source at 100 TB. Scale shape:
+    // ONE map-side-combinable struct-extremum argmax per key (the OHLC
+    // convention — no per-user window, no log re-sort; the oracle's
+    // rank window is correctness-only SQL). The cents field rides the
+    // struct behind a MinValue-sentinel coalesce and the oracle orders
+    // by the SAME coalesced expression, so tombstone NULLs can never
+    // place differently across engines; on an exact (ts, id) tie the
+    // upsert outranks the tombstone in both (op DESC), dup-id corpora
+    // covered.
+    "events_cdc_apply" -> ((s, d) => {
+      val sentinel = Long.MinValue / 2
+      val log = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("v"),
+          col("event_id"),
+          when(col("value").isNull, 0L).otherwise(1L).as("op_u"),
+          cents(col("value")).cast("long").as("cents"))
+      log.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when(col("op_u") === 0L, 1L).otherwise(0L)).cast("long")
+            .as("n_dels"),
+          max(struct(col("v"), col("event_id"), col("op_u"),
+            coalesce(col("cents"), lit(sentinel)).as("c"))).as("m"))
+        .filter(col("m.op_u") === 1L)
+        .select(col("user_id"), col("n_ops"), col("n_dels"),
+          timestamp_micros(col("m.v")).cast("timestamp_ntz").as("last_ts"),
+          (col("m.c").cast("double") / 100.0).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- observe() metrics — the in-flight instrumentation API (named
     // observation point on a flowing DataFrame: metrics accumulate on
     // executors as rows stream PAST the node, no second scan, no plan
@@ -1827,6 +1865,33 @@ object Events {
       WHERE ts IS NOT NULL
       GROUP BY 1, 2
       ORDER BY 1, 2 NULLS LAST""",
+
+    // the rank window recovers the same last-op row the Spark struct
+    // extremum picks: identical (v, event_id, op_u, coalesced-cents)
+    // key in both engines, the sentinel replacing NULL before either
+    // engine's null-ordering rules can differ
+    "events_cdc_apply" -> """
+      WITH log AS (
+        SELECT user_id, epoch_us(ts) AS v, event_id,
+          CASE WHEN value IS NULL THEN 0 ELSE 1 END AS op_u,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      r AS (
+        SELECT user_id, v, op_u, cents,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY v DESC, event_id DESC, op_u DESC,
+              coalesce(cents, -4611686018427387904) DESC) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS n_ops,
+          count(CASE WHEN op_u = 0 THEN 1 END)
+            OVER (PARTITION BY user_id) AS n_dels
+        FROM log)
+      SELECT user_id, n_ops, CAST(n_dels AS BIGINT) AS n_dels,
+        make_timestamp(v) AS last_ts,
+        CAST(cents AS DOUBLE) / 100.0 AS last_value
+      FROM r
+      WHERE rn = 1 AND op_u = 1
+      ORDER BY user_id""",
 
     // V1 vs V2 is a Spark-internal scan-path split: DuckDB reads the
     // same parquet bytes once — the gate proves the V2 connector path

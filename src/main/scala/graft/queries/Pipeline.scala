@@ -309,6 +309,50 @@ object Pipeline {
         .orderBy(col("shard"), col("pack"))
     }),
 
+    // ---- T5-style span corruption layout (Raffel et al. 2020 §3.1.4:
+    // contiguous token spans replaced by sentinels — the pretraining
+    // objective's data-prep step). Deterministic block variant so both
+    // engines replay it exactly: tokens partition into 20-token blocks;
+    // each block masks ONE md5-derived span (start = h[1..4] % 18, len
+    // = 2 + h[5..4] % 3 → 2–4 tokens, mean 3 → ~15% corruption, the
+    // paper's rate) — block-local derivation, so no sequential
+    // span-walk dependency and the plan is one projection + one
+    // aggregate at any corpus size. Gated output is the per-doc
+    // corruption manifest (token count, span count, masked count, ppm
+    // rate); token-less docs ride the left-join spine with a NULL rate
+    // (nullif — the ANSI div-by-zero convention).
+    "docs_span_corruption" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))))
+        .toDF("doc_id", "pos", "w")
+        .withColumn("blk", expr("pos div 20"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("blk").cast("string"))))
+        .withColumn("start",
+          expr("CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) % 18"))
+        .withColumn("len",
+          expr("2 + CAST(conv(substring(h, 5, 4), 16, 10) AS BIGINT) % 3"))
+        .withColumn("masked",
+          (col("pos") % 20 >= col("start") &&
+            col("pos") % 20 < col("start") + col("len")).cast("long"))
+      val agg = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("masked")).cast("long").as("n_masked"),
+          countDistinct(when(col("masked") === 1L, col("blk")))
+            .as("n_spans"))
+      Tables.documents(s, d).filter(col("doc_id").isNotNull)
+        .select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          expr("n_masked * 1000000 div nullif(n_tokens, 0)")
+            .as("mask_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "docs_split_train_val" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), (keyHash(col("doc_id")) % 100).as("bucket"))
@@ -1073,6 +1117,42 @@ object Pipeline {
     // the running-offset layout replayed: same hash shard, same BPE-ish
     // token regex (whitespace class spelled out — RE2's \s excludes VT),
     // same exclusive window frame; // on non-negative offsets == div
+    // block-local md5 span arithmetic replayed verbatim; positions via
+    // generate_subscripts (1-based → −1), empty token lists fall out of
+    // the unnest and ride the left-join spine
+    "docs_span_corruption" -> s"""
+      WITH base AS (
+        SELECT doc_id, list_filter(
+          string_split_regex($asciiLowerTextSql, '[^a-z]+'),
+          w -> len(w) > 0) AS ws
+        FROM documents WHERE doc_id IS NOT NULL),
+      tok AS (
+        SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos FROM base),
+      mm AS (
+        SELECT doc_id, pos, pos // 20 AS blk,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(pos // 20 AS VARCHAR)), 1, 4)) AS BIGINT) % 18 AS st,
+          2 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(pos // 20 AS VARCHAR)), 5, 4)) AS BIGINT) % 3 AS ln
+        FROM tok),
+      mk AS (
+        SELECT doc_id, blk,
+          CASE WHEN pos % 20 >= st AND pos % 20 < st + ln
+               THEN 1 ELSE 0 END AS masked
+        FROM mm),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(masked) AS BIGINT) AS n_masked,
+          count(DISTINCT CASE WHEN masked = 1 THEN blk END) AS n_spans
+        FROM mk GROUP BY doc_id)
+      SELECT b.doc_id,
+        coalesce(a.n_tokens, 0) AS n_tokens,
+        coalesce(a.n_spans, 0) AS n_spans,
+        coalesce(a.n_masked, 0) AS n_masked,
+        a.n_masked * 1000000 // nullif(a.n_tokens, 0) AS mask_ppm
+      FROM base b LEFT JOIN agg a USING (doc_id)
+      ORDER BY b.doc_id""",
+
     "docs_pack_sequences" -> """
       WITH t AS (
         SELECT doc_id,

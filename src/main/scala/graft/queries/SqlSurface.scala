@@ -538,6 +538,53 @@ object SqlSurface {
       WHERE c.c_mktsegment = 'MACHINERY'
       ORDER BY c.c_custkey"""),
 
+    // ---- NOT IN with a NULLABLE subquery column — the null-aware anti
+    // join, the one subquery rewrite with three-valued-logic teeth:
+    // `x NOT IN (set)` is UNKNOWN (row dropped) whenever the set
+    // contains a NULL, so a single null purchase user empties the whole
+    // result. Spark plans the single-column case as a broadcast hash
+    // join with isNullAwareAntiJoin (one null on the build side short-
+    // circuits every probe) instead of the O(n·m) BroadcastNestedLoop
+    // a naive NOT IN compiles to; DuckDB runs the same text under the
+    // same ANSI semantics, so the hash gate pins both the rewrite's
+    // correctness AND the null-poisoning contract (the nulls probe
+    // corpus carries null-user purchases — the result flips to empty
+    // there, in both engines).
+    "sql_not_in_nullaware" -> ((s, d) => {
+      registerViews(s, d)
+      val out = s.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT user_id FROM events
+                                WHERE event_type = 'purchase')
+        ORDER BY c_custkey""")
+      // isNullAwareAntiJoin prints as the trailing flag on the join
+      // node (`LeftAnti, BuildRight, true`) — the plan string never
+      // spells a "NullAware" name, and the AQE wrapper hides the tree
+      // from collect(), so the contract is pinned on the rendering
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("LeftAnti, BuildRight, true"),
+        "sql_not_in_nullaware: NOT IN did not plan as the null-aware " +
+          "anti join:\n" + plan)
+      out
+    }),
+
+    // ---- LIMIT/OFFSET pagination through the parser (Spark 3.4+'s
+    // OFFSET clause — GlobalLimitExec with offset): page 3 of the
+    // price-ranked order book under a total sort key (price DESC,
+    // orderkey ASC breaks exact-double ties), so the page content is
+    // deterministic in both engines. The anti-pattern this gate
+    // documents by existing: OFFSET is a driver-side skip — each page
+    // still sorts the full input, so deep pagination at 100 TB wants
+    // keyset continuation (WHERE (price, key) < last_seen), not
+    // growing offsets; page 3 is the honest demo size.
+    "sql_offset_pagination" -> sql("""
+      SELECT o_orderkey, o_custkey,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20 OFFSET 40"""),
+
     // ---- WITH RECURSIVE through the SQL frontend (UnionLoopExec) —
     // see [[recursiveChainPrefix]] for the shape, the |V| row bound,
     // the probed engine constraints on both sides, and why the prefix
@@ -574,6 +621,22 @@ object SqlSurface {
       FROM customer c
       WHERE c.c_mktsegment = 'MACHINERY'
       ORDER BY c.c_custkey""",
+
+    // identical text; ANSI three-valued NOT IN in both engines
+    "sql_not_in_nullaware" -> """
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT user_id FROM events
+                              WHERE event_type = 'purchase')
+      ORDER BY c_custkey""",
+
+    // identical text; the total sort key makes the page deterministic
+    "sql_offset_pagination" -> """
+      SELECT o_orderkey, o_custkey,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20 OFFSET 40""",
 
     "sql_wordcount_topn" -> TextOps.oracles("wordcount_topn"),
     // the DataFrame twin's oracle verbatim — same contract, same grid

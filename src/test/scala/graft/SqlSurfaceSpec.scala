@@ -63,6 +63,42 @@ class SqlSurfaceSpec extends SparkSpec {
       .dataType.typeName.startsWith("timestamp"))
   }
 
+  test("NOT IN null-poisoning: a single NULL purchase user empties the " +
+    "whole result (three-valued logic, the nulls the gate corpora lack)") {
+    import spark.implicits._
+    val dir = TempLayouts.tracked("graft-notin").toString
+    // customers 1..5; purchases by users 2 and 4 → NOT IN keeps {1,3,5}
+    Seq((1L, "a", 0.0), (2L, "b", 0.0), (3L, "c", 0.0), (4L, "d", 0.0),
+      (5L, "e", 0.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def writeEvents(users: Seq[Option[Long]]): Unit =
+      users.zipWithIndex.map { case (u, i) =>
+        (i.toLong, u, "purchase",
+          new java.sql.Timestamp(1704067200000L + i), 1.0, """{"k":1}""") }
+        .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the other driver tables just need to exist for registerViews
+    for (t <- Seq("region", "nation", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings"))
+      Seq(Tuple1(1L)).toDF("k").write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+
+    writeEvents(Seq(Some(2L), Some(4L)))
+    // registerViews memoizes per (session, dir) — different dir rebinds
+    val kept = SparkEntry.queries("sql_not_in_nullaware")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 3L, 5L))
+
+    writeEvents(Seq(Some(2L), None, Some(4L)))
+    graft.queries.SqlSurface.registerViews(spark,
+      "/root/testdata/sf0.001") // force a rebind: same dir, new files
+    val poisoned = SparkEntry.queries("sql_not_in_nullaware")(spark, dir)
+      .collect()
+    assert(poisoned.isEmpty,
+      "one NULL in the NOT IN set must drop every row (UNKNOWN ≠ TRUE)")
+  }
+
   test("every sql_* query has an oracle") {
     val sqlQueries = SparkEntry.queries.keySet.filter(_.startsWith("sql_"))
     assert(sqlQueries.nonEmpty)
