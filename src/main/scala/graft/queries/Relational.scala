@@ -935,6 +935,40 @@ object Relational {
     // join itself drops, so the result is exactly the unfiltered join's.
     "q41_join_runtime_filter" -> ((s, d) => runtimeFilteredJoin(s, d)),
 
+    // ---- NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    // join predicate where NULL matches NULL: a plain equi-join drops
+    // null keys from BOTH sides of a full outer (each null group
+    // null-extends separately), while the null-safe form pairs the two
+    // anonymous-user aggregates into ONE row — the semantics an
+    // analytics join over nullable identity keys usually wants, and
+    // still a HASH-JOINABLE equi-predicate (EqualNullSafe is a join
+    // key, require()d below: no nested-loop fallback — at 100 TB a
+    // BroadcastNestedLoopJoin here is the failure mode). The nulls
+    // probe corpus makes the NULL↔NULL match live.
+    "q45_join_null_safe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+        .withColumnRenamed("user_id", "vu")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        .withColumnRenamed("user_id", "cu")
+      val out = views.join(clicks, col("vu") <=> col("cu"), "full_outer")
+        .select(coalesce(col("vu"), col("cu")).as("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("user_id").asc_nulls_last)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        "q45_join_null_safe: the null-safe join fell back to a " +
+          "non-equi plan:\n" + plan)
+      require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        "q45_join_null_safe: nested-loop/cartesian in plan:\n" + plan)
+      out
+    }),
+
     // ---- columnar cache reuse (InMemoryRelation) — the one executor-
     // memory surface not yet gated as a query: a narrow projection
     // persisted once feeds TWO aggregates in one plan, both reading the
@@ -1696,6 +1730,21 @@ object Relational {
       WHERE o.o_orderpriority = '1-URGENT'
       GROUP BY 1
       ORDER BY o_year NULLS LAST""",
+
+    // IS NOT DISTINCT FROM is DuckDB's spelling of the same null-safe
+    // equality; the NULL user group pairs into one row in both engines
+    "q45_join_null_safe" -> """
+      WITH v AS (
+        SELECT user_id, count(*) AS n_views FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT user_id, count(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id)
+      SELECT coalesce(v.user_id, c.user_id) AS user_id,
+        coalesce(v.n_views, 0) AS n_views,
+        coalesce(c.n_clicks, 0) AS n_clicks
+      FROM v FULL JOIN c ON v.user_id IS NOT DISTINCT FROM c.user_id
+      ORDER BY user_id NULLS LAST""",
 
     // the same two aggregates off an uncached CTE — the cache is a
     // Spark-internal locality decision, invisible to bytes
