@@ -406,6 +406,32 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("quartile"))
     }),
 
+    // ---- distribution window functions (percent_rank / cume_dist) —
+    // the relative-position readouts the rank/ntile gates don't cover:
+    // percent_rank = (rank−1)/(n−1), cume_dist = peers-at-or-below/n,
+    // both IEEE divisions of the same two integers in either engine, so
+    // the doubles are bit-equal (the CAST(sum)/100.0 convention). Rows
+    // are windowed over the FULL priority partition, then a
+    // deterministic keyed sample (orderkey % 97) keeps the gate output
+    // compact without touching the window input. Same scale class as
+    // the q17–q23 partitioned-window family (partition count is small,
+    // partition size corpus-growing; the rankBoundaries histogram
+    // machinery is the documented scale path when a partition outgrows
+    // one task).
+    "q46_window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("pr"), col("cd"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // ---- fixed-iteration PageRank (Brin/Page; the link-analysis family
     // behind harmonic-centrality web-corpus curation à la CommonCrawl)
     // over the part↔supplier bipartite graph from lineitem, on the exact
@@ -2194,6 +2220,18 @@ object Relational {
            sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
       FROM s
       ORDER BY l_returnflag""",
+
+    // identical window text; the keyed sample filters AFTER the window
+    "q46_window_distribution" -> """
+      SELECT o_orderpriority, o_orderkey, pr, cd FROM (
+        SELECT o_orderpriority, o_orderkey,
+          percent_rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC, o_orderkey ASC) AS pr,
+          cume_dist() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC, o_orderkey ASC) AS cd
+        FROM orders) t
+      WHERE o_orderkey % 97 = 0
+      ORDER BY o_orderpriority, o_orderkey""",
 
     "q23_window_ntile" -> """
       SELECT o_orderpriority, quartile, count(*) AS n,

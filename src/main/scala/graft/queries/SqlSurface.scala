@@ -538,6 +538,27 @@ object SqlSurface {
       WHERE c.c_mktsegment = 'MACHINERY'
       ORDER BY c.c_custkey"""),
 
+    // ---- correlated EXISTS + NOT EXISTS through the parser — the
+    // predicate-subquery pair RewritePredicateSubquery turns into one
+    // LEFT SEMI and one LEFT ANTI join on the same fact (suppliers with
+    // a heavy line that was never returned): the remaining subquery
+    // forms next to IN (gated as the null-aware NOT IN), scalar
+    // (sql_scalar_subquery), and LATERAL. Unlike NOT IN, NOT EXISTS has
+    // NO null-poisoning: the correlation is an equality that simply
+    // fails on NULL, which is exactly why production anti-join filters
+    // should be written NOT EXISTS — this pair of gates documents the
+    // difference executably. Identical text in DuckDB.
+    "sql_exists_correlated" -> sql("""
+      SELECT o.o_orderkey, o.o_orderpriority
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_quantity >= 45)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = o.o_orderkey
+                          AND l2.l_returnflag = 'R')
+      ORDER BY o.o_orderkey"""),
+
     // ---- NOT IN with a NULLABLE subquery column — the null-aware anti
     // join, the one subquery rewrite with three-valued-logic teeth:
     // `x NOT IN (set)` is UNKNOWN (row dropped) whenever the set
@@ -621,6 +642,18 @@ object SqlSurface {
       FROM customer c
       WHERE c.c_mktsegment = 'MACHINERY'
       ORDER BY c.c_custkey""",
+
+    // identical text; semi + anti decorrelation in both engines
+    "sql_exists_correlated" -> """
+      SELECT o.o_orderkey, o.o_orderpriority
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_quantity >= 45)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = o.o_orderkey
+                          AND l2.l_returnflag = 'R')
+      ORDER BY o.o_orderkey""",
 
     // identical text; ANSI three-valued NOT IN in both engines
     "sql_not_in_nullaware" -> """
