@@ -146,7 +146,14 @@ object ScaleCurve {
     // key — the curve evidences no hidden per-key sort) and the span
     // corruption manifest (tokenize + block-local projection + one
     // aggregate — tokenize-linear like the text family)
-    "events_cdc_apply", "docs_span_corruption")
+    "events_cdc_apply", "docs_span_corruption",
+    // round-13 close-out trio: the null-safe full-outer join (one SMJ,
+    // both sides corpus-growing), the distribution windows (the q17–q23
+    // partitioned-window scale class — few partitions, corpus-growing
+    // partition size), and the EXISTS/NOT-EXISTS decorrelation (one
+    // semi + one anti hash join, both linear in fact rows)
+    "q45_join_null_safe", "q46_window_distribution",
+    "sql_exists_correlated")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -288,18 +288,20 @@ object Events {
     // lakehouse table follows an OLTP source at 100 TB. Scale shape:
     // ONE map-side-combinable struct-extremum argmax per key (the OHLC
     // convention — no per-user window, no log re-sort; the oracle's
-    // rank window is correctness-only SQL). The cents field rides the
-    // struct behind a MinValue-sentinel coalesce and the oracle orders
-    // by the SAME coalesced expression, so tombstone NULLs can never
-    // place differently across engines; on an exact (ts, id) tie the
-    // upsert outranks the tombstone in both (op DESC), dup-id corpora
-    // covered.
+    // rank window is correctness-only SQL). EVERY nullable struct field
+    // rides behind a sentinel coalesce and the oracle orders by the SAME
+    // coalesced expressions, so NULLs can never place differently across
+    // engines: event_id behind MaxValue (Spark's struct-max would sort a
+    // null field LOSING while DuckDB's `DESC` default is NULLS FIRST —
+    // the OHLC hazard), tombstone cents behind MinValue/2; on an exact
+    // (ts, id) tie the upsert outranks the tombstone in both (op DESC),
+    // dup-id corpora covered.
     "events_cdc_apply" -> ((s, d) => {
       val sentinel = Long.MinValue / 2
       val log = Tables.events(s, d)
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("user_id"), unix_micros(col("ts")).as("v"),
-          col("event_id"),
+          coalesce(col("event_id"), lit(Long.MaxValue)).as("event_id"),
           when(col("value").isNull, 0L).otherwise(1L).as("op_u"),
           cents(col("value")).cast("long").as("cents"))
       log.groupBy(col("user_id"))
@@ -1684,16 +1686,34 @@ object Events {
           countDistinct(col("user_id")).as("n_users"),
           sumMoney(col("value")).as("sum_value"))
         .orderBy(col("day"))
-      val plan = out.queryExecution.executedPlan.toString
-      require(plan.contains("BatchScan"),
+      // contract pinned on the BatchScanExec node's own schema/filters,
+      // not a substring of the whole plan rendering (a 'props' appearing
+      // in a path or conf elsewhere must not false-fail the gate, and
+      // the pushed-filter check must not depend on one Spark version's
+      // string format). sparkPlan is the pre-AQE physical tree, so
+      // collect() sees the scan node directly.
+      val scans = out.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }
+      require(scans.nonEmpty,
         "events_v2_daily: the scan did not plan through the DSv2 " +
-          "BatchScan path:\n" + plan)
-      require(plan.contains("IsNotNull(user_id)"),
-        "events_v2_daily: the user_id filter was not pushed into the V2 " +
-          "parquet scan:\n" + plan)
-      require(!plan.contains("props"),
+          "BatchScan path:\n" + out.queryExecution.sparkPlan)
+      val pq = scans.map(_.scan).collectFirst {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet
+          .ParquetScan => p
+      }.getOrElse(sys.error(
+        "events_v2_daily: BatchScan is not a ParquetScan: " +
+          scans.map(_.scan.getClass.getName).mkString(",")))
+      require(pq.pushedFilters.exists {
+        case org.apache.spark.sql.sources.IsNotNull("user_id") => true
+        case _ => false
+      }, "events_v2_daily: the user_id filter was not pushed into the " +
+        s"V2 parquet scan (pushed: ${pq.pushedFilters.mkString(",")})")
+      val readCols = pq.readDataSchema.fieldNames.toSet
+      require(!readCols.contains("props"),
         "events_v2_daily: the V2 scan schema was not pruned (props is " +
-          "unreferenced):\n" + plan)
+          s"unreferenced but read; readSchema: $readCols)")
       out
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
@@ -1867,12 +1887,13 @@ object Events {
       ORDER BY 1, 2 NULLS LAST""",
 
     // the rank window recovers the same last-op row the Spark struct
-    // extremum picks: identical (v, event_id, op_u, coalesced-cents)
-    // key in both engines, the sentinel replacing NULL before either
-    // engine's null-ordering rules can differ
+    // extremum picks: identical (v, coalesced-event_id, op_u,
+    // coalesced-cents) key in both engines, BOTH sentinels replacing
+    // NULL before either engine's null-ordering rules can differ
     "events_cdc_apply" -> """
       WITH log AS (
-        SELECT user_id, epoch_us(ts) AS v, event_id,
+        SELECT user_id, epoch_us(ts) AS v,
+          coalesce(event_id, 9223372036854775807) AS event_id,
           CASE WHEN value IS NULL THEN 0 ELSE 1 END AS op_u,
           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
         FROM events

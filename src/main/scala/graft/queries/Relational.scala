@@ -419,8 +419,12 @@ object Relational {
     // machinery is the documented scale path when a partition outgrows
     // one task).
     "q46_window_distribution" -> ((s, d) => {
+      // nullable sort key → explicit nulls position (SURVEY §5 item 6):
+      // Spark ASC defaults nulls FIRST, DuckDB ASC nulls LAST — inside
+      // percent_rank that divergence silently re-ranks every row, so
+      // both engines spell NULLS LAST
       val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        .orderBy(col("o_totalprice").asc_nulls_last, col("o_orderkey").asc)
       Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"),
           col("o_totalprice"))
@@ -1231,10 +1235,18 @@ object Relational {
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map(b => f"${b & 0xff}%02x").mkString
     val t = s"graft_cbo_${name}_$tag"
-    if (!s.catalog.tableExists(t)) {
+    if (!s.catalog.tableExists(t))
       s.sql(s"CREATE TABLE $t USING parquet LOCATION '$d/$name.parquet'")
+    // unconditional (ANALYZE is idempotent): an interrupted first call
+    // must not leave a stats-less table that tableExists would forever
+    // skip — CBO silently never reordering and q43's require failing
+    // permanently for the catalog. Skip the rescan only when rowCount
+    // stats are already recorded.
+    val hasStats = s.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter(col("col_name") === "Statistics")
+      .collect().exists(_.getString(1).contains("rows"))
+    if (!hasStats)
       s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
-    }
     t
   }
 
@@ -2221,14 +2233,15 @@ object Relational {
       FROM s
       ORDER BY l_returnflag""",
 
-    // identical window text; the keyed sample filters AFTER the window
+    // identical window text; the keyed sample filters AFTER the window;
+    // NULLS LAST spelled on the nullable price key (§5 item 6)
     "q46_window_distribution" -> """
       SELECT o_orderpriority, o_orderkey, pr, cd FROM (
         SELECT o_orderpriority, o_orderkey,
           percent_rank() OVER (PARTITION BY o_orderpriority
-            ORDER BY o_totalprice ASC, o_orderkey ASC) AS pr,
+            ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC) AS pr,
           cume_dist() OVER (PARTITION BY o_orderpriority
-            ORDER BY o_totalprice ASC, o_orderkey ASC) AS cd
+            ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC) AS cd
         FROM orders) t
       WHERE o_orderkey % 97 = 0
       ORDER BY o_orderpriority, o_orderkey""",

@@ -610,7 +610,115 @@ object SqlSurface {
     // see [[recursiveChainPrefix]] for the shape, the |V| row bound,
     // the probed engine constraints on both sides, and why the prefix
     // algebra is materialized before the recursion
-    "sql_recursive_chain" -> ((s, d) => recursiveChainOnly(s, d))
+    "sql_recursive_chain" -> ((s, d) => recursiveChainOnly(s, d)),
+
+    // ---- SQL join-strategy hints through the parser — the surface a
+    // SQL user reaches for FIRST when a plan goes wrong (the Column-API
+    // twin is q04's broadcast()). The same dim join runs under all
+    // three strategy hints and each demanded strategy is require()d in
+    // the physical plan: /*+ BROADCAST(c) */ → BroadcastHashJoin (the
+    // 100 TB default for any dim that fits an executor), /*+ MERGE(c) */
+    // → SortMergeJoin (forced AGAINST the auto-broadcast heuristic —
+    // what you demand when the "small" side lies about its stats), and
+    // /*+ SHUFFLE_HASH(c) */ → ShuffledHashJoin (no sort, the win when
+    // one side is modest and pre-partitioned). Hints cannot change
+    // results (the q41 convention), so all three tagged variants hash
+    // against ONE unhinted oracle aggregate fanned out by a VALUES
+    // dimension. Every variant is EXECUTED (union), not just planned.
+    "sql_join_hints" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      registerViews(s, d)
+      def leg(hint: String, tag: String, node: String) = {
+        val df = s.sql(s"""
+          SELECT /*+ $hint */ c.c_mktsegment AS c_mktsegment,
+            count(*) AS n,
+            CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 100.0 AS sum_price
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment""")
+        val plan = df.queryExecution.sparkPlan.toString
+        require(plan.contains(node),
+          s"sql_join_hints: /*+ $hint */ did not plan a $node:\n$plan")
+        df.select(lit(tag).as("hint"), col("c_mktsegment"), col("n"),
+          col("sum_price"))
+      }
+      leg("BROADCAST(c)", "broadcast", "BroadcastHashJoin")
+        .unionAll(leg("MERGE(c)", "merge", "SortMergeJoin"))
+        .unionAll(leg("SHUFFLE_HASH(c)", "shuffle_hash",
+          "ShuffledHashJoin"))
+        .orderBy(col("hint"), col("c_mktsegment").asc_nulls_last)
+    }),
+
+    // ---- GROUP BY ALL / ORDER BY ALL — DuckDB originated the syntax,
+    // Spark adopted it (3.4 / 4.0): every non-aggregate select-list item
+    // becomes a group key, and the sort covers the whole select list —
+    // IDENTICAL text in both engines, the strongest twin-parity form.
+    // The nullable keys ride a coalesce to '~' (sorts after every
+    // [A-Za-z] value in both engines) because ORDER BY ALL has no
+    // NULLS LAST slot to spell §5 item 6 in.
+    "sql_group_by_all" -> sql("""
+      SELECT coalesce(l_returnflag, '~') AS rf,
+        coalesce(l_linestatus, '~') AS ls,
+        count(*) AS n,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM lineitem
+      GROUP BY ALL
+      ORDER BY ALL"""),
+
+    // ---- SQL-defined function (Spark 4 `CREATE FUNCTION … RETURNS …
+    // RETURN <expr>`) — the declarative UDF rung between built-ins and
+    // Scala UDFs: the body is SQL, so Catalyst INLINES it (codegen,
+    // pushdown, no serialization wall — everything a lambda UDF
+    // forfeits). The cents-grid helper is defined as a temp function
+    // and a gated aggregate runs through it; the oracle replays the
+    // inlined expression (DuckDB's CREATE MACRO is the twin, but the
+    // driver oracle runs one statement, so the inline form is the
+    // honest cross-engine check). CREATE OR REPLACE TEMPORARY keeps
+    // the registration idempotent per session — bench sweeps plan each
+    // gate repeatedly and must not trip a duplicate-function error.
+    "sql_function_inline" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_sql_cents(x
+        DOUBLE) RETURNS BIGINT RETURN CAST(floor(x * 100.0 + 0.5) AS
+        BIGINT)""")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(graft_sql_cents(o_totalprice)) AS DOUBLE) / 100.0
+            AS sum_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority NULLS LAST""")
+    }),
+
+    // ---- TABLESAMPLE through the parser, gated as a CONTRACT (the
+    // events_quantiles_sketch convention): sampler RNG is engine-
+    // specific, so the hashable output is the contract grid, not the
+    // rows — (1) the sample is a SUBSET of the corpus (anti-join count
+    // = 0 on the non-null keys; nulls excluded on BOTH legs because a
+    // null key never equi-matches), and (2) the Bernoulli count lands
+    // inside a ±6σ integer band, (10·n − N)² ≤ 324·N by cross-
+    // multiplication (P(miss) ≈ 2e-9; degenerate-corpus-safe — at
+    // N ≤ 32 every n passes). REPEATABLE pins the seed; at 100 TB this
+    // is the one-pass corpus-sampling primitive (quality eval draws,
+    // held-out splits) that never shuffles.
+    "sql_tablesample_contract" -> sql("""
+      WITH s AS (SELECT o_orderkey
+                 FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+                 WHERE o_orderkey IS NOT NULL),
+        m AS (SELECT count(*) AS ns FROM s),
+        t AS (SELECT count(*) AS nt FROM orders
+              WHERE o_orderkey IS NOT NULL),
+        a AS (SELECT count(*) AS n_out FROM
+          (SELECT s.o_orderkey FROM s
+           LEFT ANTI JOIN orders o ON s.o_orderkey = o.o_orderkey) x)
+      SELECT
+        CASE WHEN a.n_out = 0 THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS subset_ok,
+        CASE WHEN (10 * m.ns - t.nt) * (10 * m.ns - t.nt) <= 324 * t.nt
+          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          AS within_bound
+      FROM m, t, a""")
   )
 
   val oracles: Map[String, String] = Map(
@@ -758,6 +866,46 @@ object SqlSurface {
     // prefix first — see recursiveChainOnly)
     "sql_recursive_chain" -> recursiveChainOracle,
     // the DataFrame twin's oracle verbatim — same gap walk, same grid
-    "sql_session_window" -> Events.oracles("events_session")
+    "sql_session_window" -> Events.oracles("events_session"),
+
+    // hints cannot change results: ONE unhinted aggregate fanned out by
+    // the three-tag VALUES dimension
+    "sql_join_hints" -> """
+      WITH base AS (
+        SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n,
+          CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment)
+      SELECT h.hint, b.c_mktsegment, b.n, b.sum_price
+      FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) h(hint)
+      CROSS JOIN base b
+      ORDER BY h.hint, b.c_mktsegment NULLS LAST""",
+
+    // identical text — DuckDB originated GROUP BY ALL / ORDER BY ALL
+    "sql_group_by_all" -> """
+      SELECT coalesce(l_returnflag, '~') AS rf,
+        coalesce(l_linestatus, '~') AS ls,
+        count(*) AS n,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM lineitem
+      GROUP BY ALL
+      ORDER BY ALL""",
+
+    // the SQL-defined function inlined back to its body expression
+    "sql_function_inline" -> """
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority NULLS LAST""",
+
+    // contract grid: the Spark side computes the subset/band checks
+    // from its own sample; the oracle pins both to 1
+    "sql_tablesample_contract" -> """
+      SELECT CAST(1 AS BIGINT) AS subset_ok,
+        CAST(1 AS BIGINT) AS within_bound"""
   )
 }

@@ -1355,7 +1355,21 @@ object StreamingRun {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name).orderBy(col("wstart"), col("event_type").asc_nulls_last)
+    val t = s.table(name)
+    // the no-duplicate-emission contract above rests on the whole corpus
+    // landing in ONE data micro-batch; if a source change ever splits
+    // the drain, update mode re-emits changed groups per batch and the
+    // append-only memory sink accumulates duplicate (wstart, type) rows
+    // — surface that as a loud failure here, not a downstream hash diff
+    val emitted = t.count()
+    val groups = t.select(col("wstart"), col("event_type"))
+      .distinct().count()
+    require(emitted == groups,
+      s"events_stream_tumbling_update: $emitted emissions for $groups " +
+        "groups — the single-data-batch drain assumption broke " +
+        "(multi-batch update-mode re-emission); the gate needs a " +
+        "latest-emission resolution step before it can hash")
+    t.orderBy(col("wstart"), col("event_type").asc_nulls_last)
   }
 
   val queries: Map[String, graft.queries.Q] = Map(

@@ -61,6 +61,45 @@ class OhlcSpec extends SparkSpec {
     assert(got === Seq((2L, 8.0, 8.0, 3.0, 3.0)))
   }
 
+  test("events_cdc_apply: null event_id on an exact-ts tie wins the " +
+    "last-op argmax via the MaxValue sentinel (both engines agree by " +
+    "construction — Spark's struct-max alone would have LOST the null)") {
+    val dir = TempLayouts.tracked("graft-cdc").toString
+    // same user, identical ts: a real-id upsert (3.0) vs a null-id
+    // upsert (7.0). coalesce(event_id, MaxValue) makes the null-id row
+    // the argmax in Spark's struct comparator, exactly where DuckDB's
+    // `event_id DESC` puts it — the snapshot value must be 7.0. An
+    // uncoalesced struct would sort the null field SMALLEST and pick
+    // 3.0, silently diverging from the oracle.
+    Seq((Option(5L), T0 + 60_000_000L, Option(3.0)),
+        (Option.empty[Long], T0 + 60_000_000L, Option(7.0)),
+        // second user: null-id TOMBSTONE on the tie — op rides after
+        // event_id in the key, so the null-id delete wins and the key
+        // is absent from the snapshot
+        (Option(6L), T0 + 60_000_000L, Option(4.0)))
+      .zipWithIndex
+      .map { case ((id, us, v), i) =>
+        val user = if (i < 2) 7L else 8L
+        (id, us, user, "view", v, """{"k":1}""") }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // add the user-8 null-id tombstone at the same ts
+    val extra = Seq((Option.empty[Long], T0 + 60_000_000L, 8L, "view",
+      Option.empty[Double], """{"k":1}"""))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    extra.write.mode("append").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Events.queries("events_cdc_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    // user 7: null-id upsert wins → 7.0; user 8: null-id tombstone wins
+    // → key absent
+    assert(got === Seq((7L, 7.0)))
+  }
+
   test("plan shape: one aggregate, no Window, no sort before the agg") {
     val dir = corpus(Seq((1L, T0, 5.0)))
     val plan = graft.queries.Events.queries("events_ohlc_hourly")(spark, dir)

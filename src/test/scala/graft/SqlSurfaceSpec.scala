@@ -99,6 +99,47 @@ class SqlSurfaceSpec extends SparkSpec {
       "one NULL in the NOT IN set must drop every row (UNKNOWN ≠ TRUE)")
   }
 
+  test("sql_exists_correlated decorrelates to exactly one LeftSemi and " +
+    "one LeftAnti join (RewritePredicateSubquery, no nested loops)") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("sql_exists_correlated")(spark, d)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.joinType
+    }
+    assert(joins.count(_ == LeftSemi) == 1, joins.toString)
+    assert(joins.count(_ == LeftAnti) == 1, joins.toString)
+    assert(joins.size == 2, joins.toString)
+  }
+
+  test("NOT EXISTS has NO null-poisoning (the contrast with NOT IN the " +
+    "gate pair documents): a NULL correlation value simply fails") {
+    import spark.implicits._
+    val dir = TempLayouts.tracked("graft-exists").toString
+    Seq((1L, "1-URGENT"), (2L, "2-HIGH"), (3L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // order 1: heavy + non-R line; order 2: heavy + NULL-returnflag line
+    // (must be kept — NULL = 'R' is UNKNOWN, NOT EXISTS still true,
+    // where a NOT IN over returnflags would drop the whole row set);
+    // order 3: heavy + 'R' line (dropped by the anti half)
+    Seq((1L, 50.0, Some("N")), (2L, 50.0, None), (3L, 50.0, Some("R")))
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "documents", "embeddings"))
+      Seq(Tuple1(1L)).toDF("k").write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+    Seq((0L, Some(1L), "view",
+      new java.sql.Timestamp(1704067200000L), 1.0, """{"k":1}"""))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val kept = SparkEntry.queries("sql_exists_correlated")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    graft.queries.SqlSurface.registerViews(spark, d) // rebind for peers
+    assert(kept === Seq(1L, 2L))
+  }
+
   test("every sql_* query has an oracle") {
     val sqlQueries = SparkEntry.queries.keySet.filter(_.startsWith("sql_"))
     assert(sqlQueries.nonEmpty)
