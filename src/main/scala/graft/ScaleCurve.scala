@@ -153,7 +153,26 @@ object ScaleCurve {
     // partition size), and the EXISTS/NOT-EXISTS decorrelation (one
     // semi + one anti hash join, both linear in fact rows)
     "q45_join_null_safe", "q46_window_distribution",
-    "sql_exists_correlated")
+    "sql_exists_correlated",
+    // round-14 additions: the three executed hint variants (3× the dim
+    // join — each leg linear, broadcast build dim-bounded), GROUP BY
+    // ALL (one map-side-combinable hash agg), the inlined SQL function
+    // (same agg through the declarative-UDF path — the curve evidences
+    // inlining leaves it scan-linear), the TABLESAMPLE contract (sample
+    // + one anti join, both linear), and the chained dedup→agg drain
+    // (dedup state watermark-bounded, rollup map-side-combinable —
+    // the at-least-once ingest shape must track the tumbling gate's
+    // growth, not compound)
+    "sql_join_hints", "sql_group_by_all", "sql_function_inline",
+    "sql_tablesample_contract", "events_stream_dedup_agg",
+    // round-14 batch D: INTERSECT ALL (one hash set-op, both sides
+    // corpus-growing), the parameterized/dynamic-identifier/EXECUTE
+    // IMMEDIATE aggregates (bind resolution is parse-time constant
+    // work — the curve evidences the dynamic surfaces stay scan-
+    // linear), and the region roster listagg (dim-bounded groups by
+    // construction — near-flat is the expected shape)
+    "sql_intersect_all", "sql_parameterized", "sql_identifier_dynamic",
+    "sql_execute_immediate", "sql_listagg_group")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

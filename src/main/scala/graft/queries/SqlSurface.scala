@@ -691,6 +691,89 @@ object SqlSurface {
         ORDER BY o_orderpriority NULLS LAST""")
     }),
 
+    // ---- INTERSECT ALL through the parser — the duplicate-preserving
+    // intersection (multiplicity = min of the two sides' counts),
+    // closing the set-operation surface next to q15's distinct
+    // intersect and q26's exceptAll: customers appear once per matched
+    // (urgent, high) order pair they can form. Identical text in both
+    // engines; ANSI set ops treat NULL keys as equal on both sides.
+    "sql_intersect_all" -> sql("""
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      ORDER BY o_custkey NULLS LAST"""),
+
+    // ---- named parameter markers (Spark 3.4+ parameterized SQL:
+    // spark.sql(text, args)) — the injection-safe surface a service
+    // embedding this engine must use instead of string interpolation;
+    // the parser binds :minp/:skip as typed literals BEFORE analysis,
+    // so the plan is identical to the inlined text (which is exactly
+    // what the oracle replays). DuckDB's prepared-statement markers are
+    // the same concept; the driver oracle runs one statement, so the
+    // inlined form is the honest cross-engine check.
+    "sql_parameterized" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price
+        FROM orders
+        WHERE o_totalprice >= :minp AND o_orderpriority <> :skip
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority NULLS LAST""",
+        Map("minp" -> 50000.0, "skip" -> "5-LOW"))
+    }),
+
+    // ---- the IDENTIFIER clause (Spark 3.5+) — dynamic table names
+    // WITHOUT SQL injection: IDENTIFIER(:tab) resolves a parameter to a
+    // catalog identifier at analysis time (a string can never smuggle
+    // `tab; DROP ...` into the tree, unlike interpolation). The shape
+    // every multi-tenant pipeline needs (per-tenant table names in one
+    // prepared query). Oracle = the same query with the identifier
+    // resolved.
+    "sql_identifier_dynamic" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n,
+          CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_bal
+        FROM IDENTIFIER(:tab)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment NULLS LAST""", Map("tab" -> "customer"))
+    }),
+
+    // ---- EXECUTE IMMEDIATE (Spark 4) — dynamic SQL with positional
+    // USING binds, the stored-procedure-style surface for queries
+    // assembled at runtime (the text is data, the binds are typed);
+    // returns the inner statement's result frame. Oracle = the inner
+    // text with the bind inlined.
+    "sql_execute_immediate" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql("""EXECUTE IMMEDIATE
+        'SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / 100.0 AS sum_price
+         FROM orders WHERE o_totalprice >= ?
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus NULLS LAST' USING 100000.0""")
+    }),
+
+    // ---- listagg WITHIN GROUP (Spark 4.0's headline ANSI aggregate) —
+    // ordered string aggregation, the report-building primitive (and
+    // the one aggregate whose ORDER BY lives INSIDE the call): per
+    // region, the comma-joined member-nation roster. Deterministic
+    // because the intra-group order is total (n_name); ANSI listagg
+    // skips NULL inputs in both engines (DuckDB spells it
+    // string_agg(expr, sep ORDER BY ...)). Dim-sized by construction —
+    // at 100 TB listagg belongs on bounded groups (rosters, top-k
+    // digests), never on fact-cardinality payloads.
+    "sql_listagg_group" -> sql("""
+      SELECT r.r_name, listagg(n.n_name, ',')
+          WITHIN GROUP (ORDER BY n.n_name) AS members
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      ORDER BY r.r_name NULLS LAST"""),
+
     // ---- TABLESAMPLE through the parser, gated as a CONTRACT (the
     // events_quantiles_sketch convention): sampler RNG is engine-
     // specific, so the hashable output is the contract grid, not the
@@ -906,6 +989,51 @@ object SqlSurface {
     // from its own sample; the oracle pins both to 1
     "sql_tablesample_contract" -> """
       SELECT CAST(1 AS BIGINT) AS subset_ok,
-        CAST(1 AS BIGINT) AS within_bound"""
+        CAST(1 AS BIGINT) AS within_bound""",
+
+    // identical text — ANSI INTERSECT ALL in both engines
+    "sql_intersect_all" -> """
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      ORDER BY o_custkey NULLS LAST""",
+
+    // the parameter markers bound to typed literals — the plan the
+    // parser produces from the parameterized text
+    "sql_parameterized" -> """
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM orders
+      WHERE o_totalprice >= 50000.0 AND o_orderpriority <> '5-LOW'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority NULLS LAST""",
+
+    // the identifier resolved — IDENTIFIER(:tab) with tab = 'customer'
+    "sql_identifier_dynamic" -> """
+      SELECT c_mktsegment, count(*) AS n,
+        CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_bal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment NULLS LAST""",
+
+    // the inner statement with the positional bind inlined
+    "sql_execute_immediate" -> """
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM orders WHERE o_totalprice >= 100000.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus NULLS LAST""",
+
+    // DuckDB spells ordered string aggregation string_agg(expr, sep
+    // ORDER BY ...); both engines skip NULL inputs (ANSI listagg)
+    "sql_listagg_group" -> """
+      SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name)
+          AS members
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      ORDER BY r.r_name NULLS LAST"""
   )
 }

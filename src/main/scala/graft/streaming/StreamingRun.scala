@@ -955,6 +955,54 @@ object StreamingRun {
       .orderBy(col("day"), col("event_type").asc_nulls_last)
   }
 
+  /** Oracle-gated CHAINED DEDUP → WINDOWED AGGREGATION — the remaining
+    * production pair of the multiple-stateful-operators family
+    * (join→agg and agg→agg are gated above): at-least-once ingest
+    * deduplicated by `dropDuplicatesWithinWatermark`, rolled up to
+    * hourly (window, type) counts/sums in ONE topology — the shape an
+    * event pipeline runs when its source redelivers (Kafka
+    * at-least-once, retried file drops) and re-scanning the raw log to
+    * dedup before a batch rollup would double the ingest cost.
+    *
+    * The dedup key is the WHOLE row identity (event_id, ts, type,
+    * value): an at-least-once duplicate is a byte-identical redelivery,
+    * and a composite key keeps the survivor's groupable attributes
+    * deterministic (a bare event_id key with conflicting payloads would
+    * make the downstream window assignment depend on arrival order —
+    * the oracle could never replay it). Both engines treat NULL key
+    * fields as equal here (Spark dropDuplicates semantics ≡ SQL
+    * DISTINCT), so null-salted corpora collapse identically.
+    *
+    * PROBED FACT (δ-sweep in `StreamDedupAggSpec`): the chain carries
+    * NO watermark delay — the hourly window emits iff
+    * `end_ms <= wm_ms`, the plain single-operator horizon with its
+    * non-strict polarity, like agg→agg and UNLIKE join→agg (whose
+    * horizon is delayed by the join's state-retention interval). The
+    * dedup operator is pass-through on first sight — it buffers only
+    * suppression KEYS, never rows — so nothing upstream can still
+    * produce in-window rows once the watermark passes the window end.
+    *
+    * Scale shape: dedup state is one key per unique row within the
+    * watermark horizon (evicted continuously — the unbounded-state trap
+    * of plain dropDuplicates is exactly what WithinWatermark exists to
+    * fix), and the rollup is a map-side-combinable hash agg; both
+    * stages shuffle on their natural keys. */
+  def dedupAggAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id", "ts", "event_type",
+        "value")
+    val agg = deduped
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.queries.cents(col("value")).cast("long")).as("c"))
+      .select(col("w.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n"),
+        (col("c").cast("double") / 100.0).as("sum_value"))
+    drainToSink(agg)
+      .orderBy(col("wstart"), col("event_type").asc_nulls_last)
+  }
+
   /** Oracle-gated FOREACHBATCH sink — the arbitrary-sink escape hatch
     * (the API a production topology uses to MERGE/upsert each
     * micro-batch into stores Spark has no native sink for: JDBC, KV
@@ -1393,6 +1441,7 @@ object StreamingRun {
       attributionRightAvailableNow(s, d)),
     "events_stream_join_agg" -> ((s, d) => joinAggAvailableNow(s, d)),
     "events_stream_agg_agg" -> ((s, d) => aggAggAvailableNow(s, d)),
+    "events_stream_dedup_agg" -> ((s, d) => dedupAggAvailableNow(s, d)),
     "events_stream_state_inspect" -> ((s, d) =>
       stateInspectAvailableNow(s, d)),
     "events_stream_tws_journey" -> ((s, d) =>
@@ -1823,6 +1872,31 @@ object StreamingRun {
       FROM daily, wm
       WHERE epoch_us(day) // 1000 + 86400000 <= wm_ms
       ORDER BY day, event_type NULLS LAST""",
+
+    // dedup replayed as DISTINCT over the whole row identity (both
+    // engines treat NULL key fields as equal), then the hourly rollup
+    // under the PLAIN windowed-agg horizon — the probed dedup→agg fact
+    // (δ-sweep in StreamDedupAggSpec: δ = 0 emits, δ = −1 ms withholds;
+    // no chain delay, like agg→agg and unlike join→agg). The watermark
+    // reads the PRE-dedup timeline; max ts is dedup-invariant
+    "events_stream_dedup_agg" -> """
+      WITH ev AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
+      ded AS (
+        SELECT DISTINCT event_id, ts, event_type, value FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
+      wm AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM ev),
+      w AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+          count(*) AS n,
+          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_value
+        FROM ded GROUP BY wstart, event_type)
+      SELECT w.wstart, w.event_type, w.n, w.sum_value
+      FROM w, wm
+      WHERE epoch_us(w.wstart) // 1000 + 3600000 <= wm.wm_ms
+      ORDER BY wstart, event_type NULLS LAST""",
 
     // the single-data-batch drain puts each key's batch-0 row in the
     // foreachBatch log, and the latest-batch upsert read resolves to
