@@ -172,7 +172,13 @@ object ScaleCurve {
     // linear), and the region roster listagg (dim-bounded groups by
     // construction — near-flat is the expected shape)
     "sql_intersect_all", "sql_parameterized", "sql_identifier_dynamic",
-    "sql_execute_immediate", "sql_listagg_group")
+    "sql_execute_immediate", "sql_listagg_group",
+    // round-14 batch E: the named-window top-3 (the q17 partitioned-
+    // window scale class), try_* safe arithmetic (one hash agg — the
+    // NULL-absorbing expressions must stay codegen'd and scan-linear),
+    // and the metadata-lineage contract (the scan exports provenance;
+    // the curve evidences the hidden columns cost no second listing)
+    "sql_window_named", "sql_try_arithmetic", "q47_metadata_lineage")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -436,6 +436,29 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // ---- hidden file-metadata columns (`_metadata.file_name` /
+    // `file_size`) — the lineage surface every lakehouse job leans on
+    // at 100 TB (which files fed this result? skip already-compacted
+    // ones, quarantine a poisoned drop, bill ingest by source file)
+    // WITHOUT a separate listing job: the scan itself exports its
+    // provenance. File names/sizes are layout-dependent (engine- and
+    // write-history-specific), so the gate is a CONTRACT
+    // (events_quantiles_sketch convention): row count (deterministic)
+    // plus metadata-sanity bits — at least one distinct source file
+    // and strictly positive file sizes — with the empty-corpus guard
+    // (a 0-row scan surfaces no metadata rows to count).
+    "q47_metadata_lineage" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("_metadata.file_name").as("f"),
+          col("_metadata.file_size").as("sz"))
+        .agg(count(lit(1)).as("n_rows"),
+          when(count(lit(1)) === 0L ||
+            countDistinct(col("f")) >= 1L, 1L).otherwise(0L)
+            .as("files_ok"),
+          when(count(lit(1)) === 0L || min(col("sz")) > 0L, 1L)
+            .otherwise(0L).as("size_ok"))
+    }),
+
     // ---- fixed-iteration PageRank (Brin/Page; the link-analysis family
     // behind harmonic-centrality web-corpus curation à la CommonCrawl)
     // over the part↔supplier bipartite graph from lineitem, on the exact
@@ -2245,6 +2268,13 @@ object Relational {
         FROM orders) t
       WHERE o_orderkey % 97 = 0
       ORDER BY o_orderpriority, o_orderkey""",
+
+    // contract grid: DuckDB recomputes the deterministic row count and
+    // pins the two metadata-sanity bits to 1
+    "q47_metadata_lineage" -> """
+      SELECT count(*) AS n_rows, CAST(1 AS BIGINT) AS files_ok,
+        CAST(1 AS BIGINT) AS size_ok
+      FROM orders""",
 
     "q23_window_ntile" -> """
       SELECT o_orderpriority, quartile, count(*) AS n,

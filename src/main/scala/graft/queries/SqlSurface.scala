@@ -774,6 +774,42 @@ object SqlSurface {
       GROUP BY r.r_name
       ORDER BY r.r_name NULLS LAST"""),
 
+    // ---- the named WINDOW clause — one window definition shared by
+    // reference instead of repeated inline OVER(...) bodies (the
+    // maintainability surface: a report with six measures over one
+    // frame defines it once; a drifted copy-paste frame is a silent
+    // wrong answer). Identical text in both engines; the window order
+    // is total (price DESC NULLS LAST, key) so ranks are reproducible.
+    "sql_window_named" -> sql("""
+      SELECT o_orderpriority, rnk, o_orderkey FROM (
+        SELECT o_orderpriority, o_orderkey,
+          CAST(rank() OVER w AS BIGINT) AS rnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
+      ) t WHERE rnk <= 3
+      ORDER BY o_orderpriority NULLS LAST, rnk, o_orderkey"""),
+
+    // ---- TRY_CAST / try_add — ANSI-mode-safe arithmetic (Spark 4
+    // ships ANSI ON: a malformed cast or a long overflow is a runtime
+    // ERROR unless the try_ form absorbs it to NULL; at 100 TB one
+    // poisoned row must not kill a 6-hour job, and try_* is the
+    // per-expression containment the ANSI docs themselves prescribe).
+    // TRY_CAST runs as identical text (letters → NULL in both engines);
+    // try_add's overflow branch is replayed by a CASE-guarded oracle
+    // (DuckDB raises on bigint overflow — the guard keeps the
+    // expression unevaluated on the overflow branch). Both branches
+    // are live: fixture groups overflow (count > 7), degenerate-corpus
+    // groups stay in range.
+    "sql_try_arithmetic" -> sql("""
+      SELECT o_orderstatus,
+        TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+        count(*) AS n,
+        try_add(9223372036854775800, count(*)) AS ovf
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus NULLS LAST"""),
+
     // ---- TABLESAMPLE through the parser, gated as a CONTRACT (the
     // events_quantiles_sketch convention): sampler RNG is engine-
     // specific, so the hashable output is the contract grid, not the
@@ -1024,6 +1060,30 @@ object SqlSurface {
         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
           AS DOUBLE) / 100.0 AS sum_price
       FROM orders WHERE o_totalprice >= 100000.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus NULLS LAST""",
+
+    // identical text — the WINDOW clause is ANSI in both engines
+    "sql_window_named" -> """
+      SELECT o_orderpriority, rnk, o_orderkey FROM (
+        SELECT o_orderpriority, o_orderkey,
+          CAST(rank() OVER w AS BIGINT) AS rnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
+      ) t WHERE rnk <= 3
+      ORDER BY o_orderpriority NULLS LAST, rnk, o_orderkey""",
+
+    // TRY_CAST identical; the overflow branch CASE-guarded (DuckDB
+    // raises on bigint overflow, and CASE evaluates lazily)
+    "sql_try_arithmetic" -> """
+      SELECT o_orderstatus,
+        TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+        count(*) AS n,
+        CASE WHEN count(*) > 7 THEN NULL
+             ELSE CAST(9223372036854775800 + count(*) AS BIGINT) END
+          AS ovf
+      FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus NULLS LAST""",
 
