@@ -446,16 +446,38 @@ object Relational {
     // (events_quantiles_sketch convention): row count (deterministic)
     // plus metadata-sanity bits — at least one distinct source file
     // and strictly positive file sizes — with the empty-corpus guard
-    // (a 0-row scan surfaces no metadata rows to count).
+    // (a 0-row scan surfaces no metadata rows to count). files_ok
+    // checks the metadata names against an INDEPENDENT filesystem
+    // listing of the dataset directory (every surfaced file_name must
+    // be a listed data file, and — when rows exist — at least one
+    // must surface): a metadata column emitting garbage or per-row
+    // unique names fails the anti-join, so the bit has teeth beyond
+    // count > 0. Surfaced ⊆ listed (not =) because an empty part file
+    // legitimately contributes no rows.
     "q47_metadata_lineage" -> ((s, d) => {
-      Tables.orders(s, d)
+      import s.implicits._
+      val dir = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val listed = fs.listStatus(dir).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+      val meta = Tables.orders(s, d)
         .select(col("_metadata.file_name").as("f"),
           col("_metadata.file_size").as("sz"))
-        .agg(count(lit(1)).as("n_rows"),
-          when(count(lit(1)) === 0L ||
-            countDistinct(col("f")) >= 1L, 1L).otherwise(0L)
-            .as("files_ok"),
-          when(count(lit(1)) === 0L || min(col("sz")) > 0L, 1L)
+      // distinct surfaced names not present in the listing — must be 0
+      val rogue = meta.select(col("f")).distinct()
+        .join(broadcast(listed.toDF("lf")), col("f") === col("lf"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_rogue"))
+      meta.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("f")).as("n_files"),
+          min(col("sz")).as("min_sz"))
+        .crossJoin(broadcast(rogue))  // 1 row × 1 row
+        .select(col("n_rows"),
+          when(col("n_rogue") === 0L &&
+            (col("n_rows") === 0L || col("n_files") >= 1L), 1L)
+            .otherwise(0L).as("files_ok"),
+          when(col("n_rows") === 0L || col("min_sz") > 0L, 1L)
             .otherwise(0L).as("size_ok"))
     }),
 
@@ -1258,20 +1280,34 @@ object Relational {
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map(b => f"${b & 0xff}%02x").mkString
     val t = s"graft_cbo_${name}_$tag"
+    // Fast path: once this process has VERIFIED rowCount stats for the
+    // table, skip the probe entirely — DESCRIBE + collect() twice per
+    // q43 execution was the dominant residue in bench reps. The memo is
+    // only populated AFTER a successful verification, so an interrupted
+    // first call still re-probes on the next execution.
+    if (cboStatsVerified.contains(t)) return t
     if (!s.catalog.tableExists(t))
       s.sql(s"CREATE TABLE $t USING parquet LOCATION '$d/$name.parquet'")
-    // unconditional (ANALYZE is idempotent): an interrupted first call
-    // must not leave a stats-less table that tableExists would forever
-    // skip — CBO silently never reordering and q43's require failing
-    // permanently for the catalog. Skip the rescan only when rowCount
-    // stats are already recorded.
-    val hasStats = s.sql(s"DESCRIBE TABLE EXTENDED $t")
+    // An interrupted first call must not leave a stats-less table that
+    // tableExists would forever skip — CBO silently never reordering and
+    // q43's require failing permanently for the catalog. Re-ANALYZE
+    // (idempotent) whenever rowCount stats are not yet recorded.
+    def hasStats: Boolean = s.sql(s"DESCRIBE TABLE EXTENDED $t")
       .filter(col("col_name") === "Statistics")
       .collect().exists(_.getString(1).contains("rows"))
-    if (!hasStats)
+    if (!hasStats) {
       s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      require(hasStats, s"ANALYZE left no rowCount stats on $t")
+    }
+    cboStatsVerified.add(t)
     t
   }
+
+  /** Tables whose rowCount stats this process has verified — guards the
+    * per-execution DESCRIBE probe in [[cboTable]]. Keyed by the
+    * dataset-tagged table name, so a different corpus dir re-probes. */
+  private val cboStatsVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The cost-based join reorder behind `q43_join_cbo_reorder` — the last
     * Catalyst optimizer family the engine exercises. The join is WRITTEN

@@ -628,7 +628,14 @@ object SqlSurface {
     "sql_join_hints" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit}
       registerViews(s, d)
-      def leg(hint: String, tag: String, node: String) = {
+      import org.apache.spark.sql.execution.joins.{
+        BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      // Strategy pinned by TYPED exec-node collection over the pre-AQE
+      // sparkPlan (the events_v2_daily convention) — substring-matching
+      // the rendered plan would false-fail on a node-rename across
+      // Spark versions.
+      def leg(hint: String, tag: String)(
+          isNode: org.apache.spark.sql.execution.SparkPlan => Boolean) = {
         val df = s.sql(s"""
           SELECT /*+ $hint */ c.c_mktsegment AS c_mktsegment,
             count(*) AS n,
@@ -636,16 +643,20 @@ object SqlSurface {
               AS DOUBLE) / 100.0 AS sum_price
           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
           GROUP BY c.c_mktsegment""")
-        val plan = df.queryExecution.sparkPlan.toString
-        require(plan.contains(node),
-          s"sql_join_hints: /*+ $hint */ did not plan a $node:\n$plan")
+        require(df.queryExecution.sparkPlan.collect {
+            case p if isNode(p) => p
+          }.nonEmpty,
+          s"sql_join_hints: /*+ $hint */ did not plan the hinted " +
+            s"strategy:\n${df.queryExecution.sparkPlan}")
         df.select(lit(tag).as("hint"), col("c_mktsegment"), col("n"),
           col("sum_price"))
       }
-      leg("BROADCAST(c)", "broadcast", "BroadcastHashJoin")
-        .unionAll(leg("MERGE(c)", "merge", "SortMergeJoin"))
-        .unionAll(leg("SHUFFLE_HASH(c)", "shuffle_hash",
-          "ShuffledHashJoin"))
+      leg("BROADCAST(c)", "broadcast") {
+          case _: BroadcastHashJoinExec => true; case _ => false }
+        .unionAll(leg("MERGE(c)", "merge") {
+          case _: SortMergeJoinExec => true; case _ => false })
+        .unionAll(leg("SHUFFLE_HASH(c)", "shuffle_hash") {
+          case _: ShuffledHashJoinExec => true; case _ => false })
         .orderBy(col("hint"), col("c_mktsegment").asc_nulls_last)
     }),
 
@@ -817,8 +828,12 @@ object SqlSurface {
     // = 0 on the non-null keys; nulls excluded on BOTH legs because a
     // null key never equi-matches), and (2) the Bernoulli count lands
     // inside a ±6σ integer band, (10·n − N)² ≤ 324·N by cross-
-    // multiplication (P(miss) ≈ 2e-9; degenerate-corpus-safe — at
-    // N ≤ 32 every n passes). REPEATABLE pins the seed; at 100 TB this
+    // multiplication (P(miss) ≈ 2e-9). Every n passes the band only at
+    // N ≤ 4 (worst case n = N: 81·N² ≤ 324·N ⇔ N ≤ 4), so the
+    // contract carries an explicit small-N escape — at N ≤ 32 a ±6σ
+    // band on one deterministic seeded draw is statistically
+    // meaningless and an unlucky REPEATABLE(42) draw would pin a
+    // permanent false failure. REPEATABLE pins the seed; at 100 TB this
     // is the one-pass corpus-sampling primitive (quality eval draws,
     // held-out splits) that never shuffles.
     "sql_tablesample_contract" -> sql("""
@@ -834,7 +849,8 @@ object SqlSurface {
       SELECT
         CASE WHEN a.n_out = 0 THEN CAST(1 AS BIGINT)
           ELSE CAST(0 AS BIGINT) END AS subset_ok,
-        CASE WHEN (10 * m.ns - t.nt) * (10 * m.ns - t.nt) <= 324 * t.nt
+        CASE WHEN t.nt <= 32
+          OR (10 * m.ns - t.nt) * (10 * m.ns - t.nt) <= 324 * t.nt
           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
           AS within_bound
       FROM m, t, a""")
