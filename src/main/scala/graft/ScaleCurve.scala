@@ -178,7 +178,13 @@ object ScaleCurve {
     // NULL-absorbing expressions must stay codegen'd and scan-linear),
     // and the metadata-lineage contract (the scan exports provenance;
     // the curve evidences the hidden columns cost no second listing)
-    "sql_window_named", "sql_try_arithmetic", "q47_metadata_lineage")
+    "sql_window_named", "sql_try_arithmetic", "q47_metadata_lineage",
+    // round-15 batch A: the pipe-syntax q01 twin (parser-frontend only
+    // — the curve evidences the pipe chain costs exactly the plain
+    // aggregate) and the collated grouping (one hash agg on a collated
+    // key — the collation comparator must stay codegen'd and
+    // scan-linear, no lowercased shadow column materialized)
+    "sql_pipe_syntax", "sql_collation_contract")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase

@@ -115,6 +115,23 @@ object SqlSurface {
     s.sql(q)
   }
 
+  /** The pipe-syntax q01 twin — kept as a val so SqlSurfaceSpec can pin
+    * canonicalized-plan equality against [[pipePlainText]]. */
+  val pipeText: String = """
+      FROM lineitem
+      |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |> AGGREGATE
+           CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+           count(*) AS count_order
+         GROUP BY l_returnflag, l_linestatus
+      |> SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+           sum_disc_price, sum_charge, avg_qty, count_order
+      |> ORDER BY l_returnflag, l_linestatus"""
+
   val queries: Map[String, Q] = Map(
     // ---- the flagship word count, as a SQL string (lateral explode +
     // lambda filter + agg + top-N — Catalyst plans the same bounded heap)
@@ -853,10 +870,90 @@ object SqlSurface {
           OR (10 * m.ns - t.nt) * (10 * m.ns - t.nt) <= 324 * t.nt
           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
           AS within_bound
-      FROM m, t, a""")
+      FROM m, t, a"""),
+
+    // ---- Spark 4 SQL pipe syntax (`|>`) — the headline 4.x SQL
+    // surface: each operator applies to the running table in reading
+    // order (FROM → WHERE → AGGREGATE … GROUP BY → SELECT → ORDER BY)
+    // instead of SELECT-first inversion. This is q01's pricing summary
+    // re-spelled as a pipe chain; the parser lowers it to the IDENTICAL
+    // logical plan as the plain text (canonicalized-plan equality
+    // pinned in SqlSurfaceSpec — probed: schema, rows, and optimized
+    // plan all equal), so the oracle is the plain q01 aggregate.
+    // AGGREGATE emits grouping keys FIRST in the output schema
+    // (probed); the trailing |> SELECT makes the column order explicit
+    // rather than leaning on that rule.
+    "sql_pipe_syntax" -> sql(pipeText),
+
+    // ---- Spark 4 collation (`COLLATE UTF8_LCASE`) — case-insensitive
+    // grouping and sort as a COLUMN TYPE property instead of lower()
+    // rewrites: at 100 TB the collated comparison avoids materializing
+    // a second lowercased key column through every exchange. The gate
+    // derives a mixed-case key (half the rows lowercased) so the
+    // collation genuinely MERGES keys, groups under UTF8_LCASE, sorts
+    // by the collated min, and emits lower(min(k)) as the
+    // deterministic representative k_rep (aliased OFF the input name so the
+    // ORDER BY's min(k) resolves to the input column, not the output
+    // alias — MISSING_ATTRIBUTES otherwise, probed; a bare collated key cannot be
+    // selected — MISSING_AGGREGATION, probed; min over UTF8_BINARY is
+    // the binary smallest). DuckDB has no matching collation, so the
+    // oracle replays the SURVEY §5.7 ASCII-fold equivalence: on ASCII
+    // keys (o_orderpriority in every corpus — probe corpora copy the
+    // TPC-H tables verbatim) UTF8_LCASE grouping ≡ GROUP BY lower(k)
+    // and UTF8_LCASE order ≡ ORDER BY lower(k). Where the two DIVERGE
+    // on non-ASCII (İ, Kelvin K, ȧ/Ȧ) is pinned engine-side in
+    // SqlSurfaceSpec. Nullable keys coalesce to '~' (the
+    // sql_group_by_all convention).
+    "sql_collation_contract" -> sql("""
+      WITH mk AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0
+                 THEN coalesce(o_orderpriority, '~')
+                 ELSE lower(coalesce(o_orderpriority, '~')) END AS k,
+               o_totalprice
+        FROM orders)
+      SELECT lower(min(k)) AS k_rep, count(*) AS n,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM mk
+      GROUP BY k COLLATE UTF8_LCASE
+      ORDER BY min(k) COLLATE UTF8_LCASE""")
   )
 
+  /** The plain-text q01 aggregate the pipe chain must plan identically
+    * to (and the DuckDB oracle for `sql_pipe_syntax`). */
+  val pipePlainText: String = """
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+        CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""
+
   val oracles: Map[String, String] = Map(
+    // the pipe chain lowers to the identical plan, so the oracle is the
+    // plain q01 text (DuckDB has no pipe syntax)
+    "sql_pipe_syntax" -> pipePlainText,
+
+    // ASCII-fold equivalence (SURVEY §5.7): UTF8_LCASE grouping/sort on
+    // ASCII keys is GROUP BY / ORDER BY lower(k)
+    "sql_collation_contract" -> """
+      WITH mk AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0
+                 THEN coalesce(o_orderpriority, '~')
+                 ELSE lower(coalesce(o_orderpriority, '~')) END AS k,
+               o_totalprice
+        FROM orders)
+      SELECT lower(min(k)) AS k_rep, count(*) AS n,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100.0 AS sum_price
+      FROM mk
+      GROUP BY lower(k)
+      ORDER BY lower(min(k))""",
     // ANSI FILTER clause — DuckDB runs the identical text (HUGEINT cast
     // already spelled on the filtered sum)
     "sql_agg_filter" -> """

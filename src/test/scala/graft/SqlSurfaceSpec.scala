@@ -140,6 +140,73 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L))
   }
 
+  test("sql_pipe_syntax lowers to the IDENTICAL logical plan as the " +
+    "plain q01 text (canonicalized optimized-plan equality)") {
+    graft.queries.SqlSurface.registerViews(spark, d)
+    val pipe = spark.sql(graft.queries.SqlSurface.pipeText)
+    val plain = spark.sql(graft.queries.SqlSurface.pipePlainText)
+    assert(pipe.schema === plain.schema)
+    assert(pipe.queryExecution.optimizedPlan.canonicalized ===
+      plain.queryExecution.optimizedPlan.canonicalized,
+      "pipe chain must be a pure parser-frontend rewrite")
+    assert(pipe.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("sql_pipe_syntax == q01_pricing_summary (DataFrame)") {
+    assert(rows("sql_pipe_syntax") === rows("q01_pricing_summary"))
+  }
+
+  test("UTF8_LCASE vs asciiLower: the documented agree/disagree edges " +
+    "(İ, Kelvin K, ȧ/Ȧ, ligature ﬃ)") {
+    import graft.operators.Tokenize.asciiLower
+    // each: (left, right, lcaseEqual) — lcaseEqual probed on Spark 4.1
+    val edges = Seq(
+      // dotted capital İ (U+0130): NOT equal to 'i' under UTF8_LCASE
+      // (its lowercase is i + combining dot, two codepoints) — and
+      // asciiLower agrees (leaves both untouched, unequal)
+      ("İ", "i", false),
+      // Kelvin sign K (U+212A) = 'k' under UTF8_LCASE — asciiLower
+      // DISAGREES (leaves U+212A untouched: unequal)
+      ("K", "k", true),
+      // non-ASCII case pair ȧ/Ȧ (U+0227/U+0226): equal under
+      // UTF8_LCASE — asciiLower DISAGREES (folds neither)
+      ("ȧ", "Ȧ", true),
+      // ligature ﬃ (U+FB03): no full-fold expansion to "ffi" under
+      // UTF8_LCASE — asciiLower agrees (unequal)
+      ("ﬃ", "ffi", false),
+      // plain ASCII case pair: both agree equal
+      ("A", "a", true))
+    for ((l, r, lcaseEq) <- edges) {
+      val got = spark.sql(
+        s"SELECT '$l' COLLATE UTF8_LCASE = '$r' COLLATE UTF8_LCASE")
+        .collect().head.getBoolean(0)
+      assert(got === lcaseEq, s"UTF8_LCASE '$l' = '$r'")
+    }
+    // asciiLower equivalence holds exactly on the ASCII edge — the
+    // §5.7 fold the sql_collation_contract oracle leans on — and
+    // breaks only on the non-ASCII folds UTF8_LCASE adds
+    assert(asciiLower("A") === asciiLower("a"))
+    assert(asciiLower("K") !== asciiLower("k"),
+      "asciiLower must NOT fold the Kelvin sign")
+    assert(asciiLower("ȧ") !== asciiLower("Ȧ"),
+      "asciiLower must NOT fold the non-ASCII case pair")
+    assert(asciiLower("İ") !== asciiLower("i"))
+  }
+
+  test("sql_collation_contract: UTF8_LCASE grouping merges the mixed-" +
+    "case key variants (distinct groups = distinct lowercase keys)") {
+    graft.queries.SqlSurface.registerViews(spark, d)
+    val out = rows("sql_collation_contract")
+    val plainKeys = spark.sql(
+      "SELECT count(DISTINCT lower(coalesce(o_orderpriority, '~'))) " +
+        "FROM orders").collect().head.getLong(0)
+    assert(out.size.toLong === plainKeys,
+      "one output group per lowercase key class")
+    // every representative is already lowercase (deterministic rep)
+    assert(out.forall(r => { val k = r.getString(0)
+      k === k.toLowerCase }), out.map(_.getString(0)).toString)
+  }
+
   test("every sql_* query has an oracle") {
     val sqlQueries = SparkEntry.queries.keySet.filter(_.startsWith("sql_"))
     assert(sqlQueries.nonEmpty)
