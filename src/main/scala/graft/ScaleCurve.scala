@@ -39,6 +39,7 @@ object ScaleCurve {
   private val Copies = 10
   private val Sf1Dir = "/tmp/graft-sf1"
   private val Sf01Dir = "/root/testdata/sf0.1"
+  private val Sf10Dir = "/tmp/graft-sf10"
 
   /** The heaviest queries whose cost is driven by corpus size, not by a
     * fixture-pinned constant. */
@@ -184,7 +185,13 @@ object ScaleCurve {
     // aggregate) and the collated grouping (one hash agg on a collated
     // key — the collation comparator must stay codegen'd and
     // scan-linear, no lowercased shadow column materialized)
-    "sql_pipe_syntax", "sql_collation_contract")
+    "sql_pipe_syntax", "sql_collation_contract",
+    // round-15 batch B: the chained dedup→join drain (dedup state
+    // watermark-bounded keys, join state interval-bounded buffers —
+    // the at-least-once attribution shape must track the inner-join
+    // gate's growth; the 2× redelivery union doubles the scan term
+    // only)
+    "events_stream_dedup_join")
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val upper = lower.toUpperCase
@@ -196,22 +203,61 @@ object ScaleCurve {
   private def saltText(c: org.apache.spark.sql.Column, copy: Int) =
     translate(c, lower + upper, rot(lower, copy) + rot(upper, copy))
 
-  private def buildCorpus(spark: SparkSession): Unit = {
+  /** Per-copy AFFINE letter cipher p → (a·p + b) mod 26 — the 100-copy
+    * generalization of [[rot]] (which is a = 1). Rotation alone has
+    * only 26 distinct bijections, so at 100 copies ~4 copies would
+    * share a cipher and their documents would be EXACT cross-copy
+    * duplicates — near-dup candidate pairs would grow with the
+    * collision count by construction, measuring the corpus instead of
+    * the plan. With a ∈ {1,3,5,7} (coprime to 26) × b ∈ 0..25 every
+    * copy index 0..103 gets a DISTINCT bijection, and two distinct
+    * affine maps agree on at most gcd-many letters, so multi-letter
+    * tokens never collide across copies. Copy indices 0..25 keep
+    * a = 1: tier-2's first ten copies reproduce [[saltText]] exactly. */
+  private def affineAlphabet(copy: Int): String = {
+    val a = Seq(1, 3, 5, 7)(copy / 26 % 4)
+    val b = copy % 26
+    (0 until 26).map(p => lower((a * p + b) % 26)).mkString
+  }
+
+  private def saltTextAffine(c: org.apache.spark.sql.Column, copy: Int) = {
+    val perm = affineAlphabet(copy)
+    translate(c, lower + upper, perm + perm.toUpperCase)
+  }
+
+  /** Per-copy coordinate permutation j → (a·j + copy) mod d for the
+    * embedding vectors — the 100-copy generalization of the tier-2
+    * rotation (a = 1 below 64 copies; odd a is coprime to any
+    * power-of-two dimension). Norms and within-copy geometry exact;
+    * cross-copy cosines decorrelate under every distinct map. */
+  private def saltEmbedding(copy: Int) = expr(
+    s"transform(embedding, (x, j) -> element_at(embedding, " +
+      s"1 + (${2 * (copy / 64) + 1} * j + $copy) % size(embedding)))")
+
+  private def buildCorpus(spark: SparkSession): Unit =
+    buildCorpusAt(spark, Sf1Dir, Copies)
+
+  /** Build an n-copy salted corpus from sf0.1 — n = 10 is the ~sf1
+    * tier (letter rotation: [[saltTextAffine]] with a = 1 reproduces
+    * it exactly), n = 100 the ~sf10 tier (affine ciphers keep all 100
+    * bijections distinct — see [[affineAlphabet]]). */
+  private def buildCorpusAt(spark: SparkSession, outDir: String,
+                            nCopies: Int): Unit = {
     val off = 1000000000L
     def copies(name: String,
                f: (DataFrame, Int, Long) => DataFrame): Unit = {
       val base = Tables.table(spark, Sf01Dir, name)
-      val out = (0 until Copies).map(i => f(base, i, i * off))
+      val out = (0 until nCopies).map(i => f(base, i, i * off))
         .reduce(_.union(_))
-      out.write.mode("overwrite").parquet(s"$Sf1Dir/$name.parquet")
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scale-curve] built $name")
     }
     copies("documents", (df, i, o) => df
       .withColumn("doc_id", col("doc_id") + o)
-      .withColumn("text", saltText(col("text"), i)))
+      .withColumn("text", saltTextAffine(col("text"), i)))
     copies("part", (df, i, o) => df
       .withColumn("p_partkey", col("p_partkey") + o)
-      .withColumn("p_name", saltText(col("p_name"), i)))
+      .withColumn("p_name", saltTextAffine(col("p_name"), i)))
     copies("orders", (_, _, o) => Tables.table(spark, Sf01Dir, "orders")
       .withColumn("o_orderkey", col("o_orderkey") + o)
       .withColumn("o_custkey", col("o_custkey") + o))
@@ -225,24 +271,58 @@ object ScaleCurve {
       .withColumn("s_suppkey", col("s_suppkey") + o))
     copies("embeddings", (df, i, o) => df
       .withColumn("vec_id", col("vec_id") + o)
-      .withColumn("embedding", expr(
-        s"transform(embedding, (x, j) -> element_at(embedding, " +
-          s"1 + (j + $i) % size(embedding)))")))
+      .withColumn("embedding", saltEmbedding(i)))
     // events: copy ts in whatever physical encoding the fixture uses
     // (nanos-as-long pre-r8, micros-NTZ from r8) so the sf1 table
     // round-trips through Tables.events' encoding dispatch identically
     val ev = spark.read.parquet(s"$Sf01Dir/events.parquet")
-    (0 until Copies).map { i =>
+    (0 until nCopies).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * off))
         .withColumn("user_id", col("user_id") + lit(i * off))
     }.reduce(_.union(_))
-      .write.mode("overwrite").parquet(s"$Sf1Dir/events.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"[scale-curve] built events")
     // shared dimensions: copied once, un-salted
     for (t <- Seq("region", "nation"))
       Tables.table(spark, Sf01Dir, t).write.mode("overwrite")
-        .parquet(s"$Sf1Dir/$t.parquet")
-    println(s"[scale-curve] corpus complete at $Sf1Dir")
+        .parquet(s"$outDir/$t.parquet")
+    println(s"[scale-curve] corpus complete at $outDir")
+  }
+
+  /** The 100×-tier members: the candidate-bound tail whose 10× ratios
+    * sit above the pack (each with a documented Σ-bound the three-point
+    * curve must show the CURVATURE of, not just one ratio), plus q01 as
+    * the scan-linear anchor the others are read against. */
+  private val Tier3Queries = Seq(
+    "q01_pricing_summary",        // anchor: one scan + hash agg, linear
+    "dedup_minhash_lsh",          // Σ min(df,cap)² band candidates
+    "dedup_winnow_pairs",         // winnow fingerprint candidate join
+    "q31_basket_lift",            // Σ basket² pair expansion
+    "dedup_gram_novelty",         // join-free packed-min attribution
+    "sql_tablesample_contract",   // sample + anti-join subset proof
+    "q46_window_distribution",    // q17-class partitioned window
+    "q43_join_cbo_reorder",       // CBO catalog join, ANALYZE linear
+    "text_cosine_pairs",          // Σ min(df,1000)² postings join
+    "sql_intersect_all")          // hash set-op, both sides growing
+
+  /** Three-point sweep (sf0.1 → ~sf1 → ~sf10, median of 3) for the
+    * candidate-bound tail: prints one JSON line per query with both
+    * step ratios so super-linear CURVATURE (ratio10x100 ≫ ratio01x1)
+    * is visible, not just a single 10× number. */
+  private def tier3Sweep(spark: SparkSession,
+                         sweep: (String, String) => Double): Unit = {
+    Tier3Queries.foreach { n =>
+      try materialize(SparkEntry.queries(n)(spark, Sf01Dir))
+      catch { case e: Throwable => println(s"[tier3] warm $n: $e") }
+    }
+    val rows = Tier3Queries.map { n =>
+      val a = sweep(Sf01Dir, n)
+      val b = sweep(Sf1Dir, n)
+      val c = sweep(Sf10Dir, n)
+      println(f"""{"query":"$n","sf01_sec":$a%.3f,"sf1_sec":$b%.3f,"sf10_sec":$c%.3f,"x10_lo":${b / a}%.2f,"x10_hi":${c / b}%.2f,"x100":${c / a}%.2f}""")
+      (n, a, b, c)
+    }
+    println(f"""{"metric":"scale_curve_tier3","sf01_sec":${rows.map(_._2).sum}%.2f,"sf1_sec":${rows.map(_._3).sum}%.2f,"sf10_sec":${rows.map(_._4).sum}%.2f}""")
   }
 
   private def materialize(df: DataFrame): Unit =
@@ -303,6 +383,13 @@ object ScaleCurve {
         (System.nanoTime() - t0) / 1e9
       }
       ts.sorted.apply(1)
+    }
+    if (args.contains("tier3")) {
+      if (!new java.io.File(s"$Sf10Dir/events.parquet").exists()) {
+        println(s"[scale-curve] building ~sf10 corpus at $Sf10Dir")
+        buildCorpusAt(spark, Sf10Dir, Copies * Copies)
+      }
+      tier3Sweep(spark, sweep); spark.stop(); return
     }
     // warm both dirs once (JIT, footers) before timing
     CurveQueries.foreach { n =>

@@ -324,6 +324,26 @@ object StreamingRun {
       .filter(col("ts") >= timestamp_micros(lit(0L)))
   }
 
+  /** Release the JVM's state-store runtime after a drain completes
+    * (providers unloaded AND the maintenance pool stopped — see
+    * `GraftStateStoreRelease` for why it must be both).
+    *
+    * Each drain here runs against a FRESH checkpoint, so the providers
+    * the finished query loaded (with their in-memory version maps —
+    * HDFSBackedStateStoreProvider keeps recent state versions on heap)
+    * can never be reused; left loaded they accumulate across drains in
+    * one JVM — 5 stores × 32 partitions PER multi-stateful drain — and
+    * the heap they pin plus the maintenance scans over them degrade
+    * every subsequent streaming execution in the process. Measured on
+    * `events_stream_dedup_join` reps in one JVM: 10.5 → 54 s across 5
+    * reps with providers retained, 8.8–11.4 s flat with this release.
+    * A real long-lived cluster job RESUMES its checkpoint and wants
+    * the cache; a drain-and-discard harness does not. The next
+    * streaming query lazily restarts the runtime on first access. */
+  private def releaseStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state
+      .GraftStateStoreRelease.releaseAll()
+
   /** Drain an append-mode streaming frame through a parquet sink via
     * `Trigger.AvailableNow` (including the no-data flush batch that
     * evicts watermark-closed state) and return the sink contents. The
@@ -351,6 +371,7 @@ object StreamingRun {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    releaseStateStores()
     deleteRecursively(new java.io.File(ckpt))
     s.read.schema(df.schema).parquet(out)
   }
@@ -1003,6 +1024,64 @@ object StreamingRun {
       .orderBy(col("wstart"), col("event_type").asc_nulls_last)
   }
 
+  /** Oracle-gated CHAINED DEDUP → STREAM-STREAM INTERVAL JOIN — the
+    * last unexplored pair of the multiple-stateful-operators family
+    * (join→agg, agg→agg, dedup→agg are gated above): an at-least-once
+    * view stream deduplicated by `dropDuplicatesWithinWatermark` and
+    * THEN interval-joined to the click stream in ONE topology — the
+    * attribution shape when the impression feed redelivers (Kafka
+    * at-least-once): without the in-topology dedup every redelivered
+    * impression would double its attributed pairs.
+    *
+    * Redelivery is REAL in this gate, not hypothetical: the view side
+    * reads the source TWICE and unions the reads (every view delivered
+    * exactly 2×, on every corpus), so the dedup stage is live at gate
+    * time — a broken dedup doubles every pair and the hash catches it.
+    * The dedup key is the whole projected row identity (event_id, ts,
+    * user_id, value — the dedup_agg convention: byte-identical
+    * redeliveries collapse, a same-id row with a different payload is
+    * a DIFFERENT event and must keep joining), replayed by the oracle
+    * as DISTINCT over the same columns.
+    *
+    * PROBED FACTS (δ-sweep in `StreamDedupJoinSpec`): the chain
+    * carries NO emission horizon — inner-join matches emit EAGERLY on
+    * first match (a pair at the very end of the timeline, where the
+    * watermark never reaches, is still emitted), exactly like the
+    * plain inner join gate; and the dedup stage introduces NO delay
+    * (pass-through on first sight — it buffers suppression keys, never
+    * rows), so on a single-data-batch AvailableNow drain the output is
+    * COMPLETE: oracle = DISTINCT views ⋈ clicks, no horizon clause.
+    *
+    * Scale shape: dedup state is one key per unique view within the
+    * watermark horizon (continuously evicted); join state is the
+    * interval-bounded per-side buffer of the gated inner join. Both
+    * stages shuffle on their natural keys — the dedup on the row
+    * identity, the join on user_id. */
+  def dedupJoinAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    def rawViews = eventStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val views = rawViews.unionAll(rawViews) // at-least-once: deliver 2x
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id", "ts", "user_id", "value")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("clk_id"), col("user_id").as("clk_user"),
+        col("ts").as("clk_ts"))
+    val joined = views.join(clicks,
+      col("imp_user") === col("clk_user") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") < col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("imp_id"), col("clk_id"),
+        col("clk_user").as("user_id"),
+        col("imp_ts").cast("timestamp_ntz").as("imp_ts"),
+        col("clk_ts").cast("timestamp_ntz").as("clk_ts"))
+    drainToSink(joined).orderBy(col("imp_id"), col("clk_id"))
+  }
+
   /** Oracle-gated FOREACHBATCH sink — the arbitrary-sink escape hatch
     * (the API a production topology uses to MERGE/upsert each
     * micro-batch into stores Spark has no native sink for: JDBC, KV
@@ -1039,6 +1118,7 @@ object StreamingRun {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    releaseStateStores()
     deleteRecursively(new java.io.File(ckpt))
     s.read.schema(counts.schema.add("batch_id", "long")).parquet(out)
       .groupBy(col("event_type"))
@@ -1085,6 +1165,7 @@ object StreamingRun {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    releaseStateStores()
     val st = s.read.format("statestore").load(ckpt)
     // raw reader schema (StateReaderSpec pin): key.window.{start,end};
     // value = the AGG BUFFER, not the result row — {count: long,
@@ -1346,6 +1427,7 @@ object StreamingRun {
     val q = counts.writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    releaseStateStores()
     s.table(name).orderBy(col("event_type"))
   }
 
@@ -1372,6 +1454,7 @@ object StreamingRun {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    releaseStateStores()
     s.table(name).orderBy(col("event_type").asc_nulls_last)
   }
 
@@ -1403,6 +1486,7 @@ object StreamingRun {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    releaseStateStores()
     val t = s.table(name)
     // the no-duplicate-emission contract above rests on the whole corpus
     // landing in ONE data micro-batch; if a source change ever splits
@@ -1442,6 +1526,7 @@ object StreamingRun {
     "events_stream_join_agg" -> ((s, d) => joinAggAvailableNow(s, d)),
     "events_stream_agg_agg" -> ((s, d) => aggAggAvailableNow(s, d)),
     "events_stream_dedup_agg" -> ((s, d) => dedupAggAvailableNow(s, d)),
+    "events_stream_dedup_join" -> ((s, d) => dedupJoinAvailableNow(s, d)),
     "events_stream_state_inspect" -> ((s, d) =>
       stateInspectAvailableNow(s, d)),
     "events_stream_tws_journey" -> ((s, d) =>
@@ -1897,6 +1982,31 @@ object StreamingRun {
       FROM w, wm
       WHERE epoch_us(w.wstart) // 1000 + 3600000 <= wm.wm_ms
       ORDER BY wstart, event_type NULLS LAST""",
+
+    // dedup replayed as DISTINCT over the projected view identity (the
+    // 2x redelivery union collapses; both engines treat NULL key
+    // fields as equal), then the plain interval join with NO horizon
+    // clause — the probed dedup→join fact (StreamDedupJoinSpec:
+    // inner-join matches emit eagerly on first match, a pair past the
+    // watermark's reach still emits; dedup is pass-through on first
+    // sight, so a single-data-batch drain is complete). DISTINCT keeps
+    // value so a same-id view with a different payload joins twice,
+    // exactly like the streaming key
+    "events_stream_dedup_join" -> """
+      WITH v AS (
+        SELECT DISTINCT event_id AS imp_id, user_id, ts AS imp_ts, value
+        FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND event_type = 'view'),
+      c AS (
+        SELECT event_id AS clk_id, user_id, ts AS clk_ts FROM events
+        WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+          AND event_type = 'click')
+      SELECT v.imp_id, c.clk_id, v.user_id, v.imp_ts, c.clk_ts
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.clk_ts >= v.imp_ts
+       AND c.clk_ts < v.imp_ts + INTERVAL '30 minutes'
+      ORDER BY imp_id, clk_id""",
 
     // the single-data-batch drain puts each key's batch-0 row in the
     // foreachBatch log, and the latest-batch upsert read resolves to
