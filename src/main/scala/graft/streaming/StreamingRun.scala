@@ -314,6 +314,15 @@ object StreamingRun {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchTwin = s.read.parquet(path)
     val f = new java.io.File(path)
+    // record the source size for the adaptive state-partition rule at
+    // the drain site (directory corpora: sum the data files one level
+    // down — fixtures are flat parquet dirs)
+    val srcBytes: Long =
+      if (f.isDirectory) {
+        val fs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        fs.iterator.filter(_.isFile).map(_.length()).sum
+      } else f.length()
+    sourceBytesLocal.set(srcBytes)
     val reader = s.readStream.schema(batchTwin.schema)
     val src =
       if (f.isDirectory) reader.parquet(path)
@@ -344,6 +353,55 @@ object StreamingRun {
     org.apache.spark.sql.execution.streaming.state
       .GraftStateStoreRelease.releaseAll()
 
+  /** Source bytes of the drain being assembled on this thread — written
+    * by [[eventStream]] (the single source constructor every streaming
+    * gate goes through), read by the stream-start sites to derive a
+    * scale-adaptive state-partition count. Thread-local so concurrently
+    * built drains (parallel spec suites) cannot cross-talk; a site that
+    * starts a stream not built through [[eventStream]] finds null and
+    * leaves the session's partitioning untouched. */
+  private val sourceBytesLocal = new ThreadLocal[java.lang.Long]
+
+  /** Scale-adaptive shuffle-partition count for a stateful streaming
+    * drain (optimization guide §2: derive partitioning from input size,
+    * never a constant tuned for one deployment). Stateful streaming is
+    * the one place AQE cannot help: the engine disables adaptive
+    * execution for stateful workloads, so the drain inherits the
+    * session's full `spark.sql.shuffle.partitions` as its STATE-STORE
+    * partition count no matter how small the source is — and every
+    * micro-batch then pays (partitions × state-store instances) store
+    * loads + delta commits. Measured via StreamProbe at sf0.1/local[32]:
+    * a stream-stream join batch reported 41–77 s of summed state-store
+    * commit time across 32 partitions × 4 join stores (~2 s of the
+    * batch's wall), on a 2 MB source whose join state is a few MB.
+    *
+    * The rule: one state partition per 32 MiB of source input, floored
+    * at 1, capped at the session's configured shuffle partitions — so a
+    * production-scale stream (TBs) keeps the cluster-tuned fan-out
+    * (the cap binds) while a small drain stops paying fixed per-partition
+    * store overhead. Applied by scoping the session conf around
+    * `start()` + `awaitTermination()`: the stream's cloned session reads
+    * it at plan time, and the original value is restored for everything
+    * after the drain (read-back, ordering, the next query). Results are
+    * partition-count-invariant — this moves only WHERE state rows live,
+    * never what is computed. */
+  private def withAdaptiveStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val bytes = sourceBytesLocal.get()
+    val before = s.conf.getOption(key)
+    val parts = (bytes, before.flatMap(_.toIntOption)) match {
+      case (b, Some(cur)) if b != null && b > 0L && cur > 0 =>
+        Some(math.min(cur.toLong, (b + (32L << 20) - 1) / (32L << 20)).toInt)
+      case _ => None
+    }
+    parts match {
+      case Some(p) =>
+        s.conf.set(key, p.toString)
+        try body finally before.foreach(s.conf.set(key, _))
+      case None => body
+    }
+  }
+
   /** Drain an append-mode streaming frame through a parquet sink via
     * `Trigger.AvailableNow` (including the no-data flush batch that
     * evicts watermark-closed state) and return the sink contents. The
@@ -363,14 +421,16 @@ object StreamingRun {
     // the success path, and a failed drain must not leak it past JVM exit
     val out = graft.TempLayouts.tracked("graft-stream-sink").toString
     val ckpt = graft.TempLayouts.tracked("graft-stream-ckpt").toString
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(s) {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     releaseStateStores()
     deleteRecursively(new java.io.File(ckpt))
     s.read.schema(df.schema).parquet(out)
@@ -1106,18 +1166,20 @@ object StreamingRun {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.queries.sumMoney(col("value")).as("sum_value"))
-    val q = counts.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(out)
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(s) {
+      val q = counts.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     releaseStateStores()
     deleteRecursively(new java.io.File(ckpt))
     s.read.schema(counts.schema.add("batch_id", "long")).parquet(out)
@@ -1157,14 +1219,16 @@ object StreamingRun {
         col("n"), col("sum_value"))
     val out = graft.TempLayouts.tracked("graft-stream-sink").toString
     val ckpt = graft.TempLayouts.tracked("graft-state-ckpt").toString
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(s) {
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     releaseStateStores()
     val st = s.read.format("statestore").load(ckpt)
     // raw reader schema (StateReaderSpec pin): key.window.{start,end};
@@ -1424,9 +1488,11 @@ object StreamingRun {
     val counts = StreamingDemo.runningCounts(typed).toDF("event_type", "n")
     val name = "graft_stream_counts_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(s) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     releaseStateStores()
     s.table(name).orderBy(col("event_type"))
   }
@@ -1451,9 +1517,11 @@ object StreamingRun {
         graft.queries.sumMoney(col("value")).as("sum_value"))
     val name = "graft_stream_totals_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(s) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     releaseStateStores()
     s.table(name).orderBy(col("event_type").asc_nulls_last)
   }
@@ -1483,9 +1551,11 @@ object StreamingRun {
         col("event_type"), col("n"), col("sum_value"))
     val name = "graft_stream_tumb_upd_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(s) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     releaseStateStores()
     val t = s.table(name)
     // the no-duplicate-emission contract above rests on the whole corpus
