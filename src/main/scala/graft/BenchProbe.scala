@@ -14,14 +14,20 @@ object BenchProbe {
     val names = sys.env.getOrElse("SPARK_GRAFT_PROBE",
       "q26_set_except_all,sql_top_orders_per_segment").split(",").toSeq
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "7").toInt
-    val spark = SparkSession.builder()
+    // extra session confs for conf A/B probes: "k=v;k=v" (diagnostic
+    // only — Bench.scala remains the official sweep configuration)
+    val extra = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(";")
+      .map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = extra.foldLeft(builder) { case (b, (k, v)) =>
+      b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def once(name: String): Double = {
       Caching.releaseAll(); spark.catalog.clearCache()

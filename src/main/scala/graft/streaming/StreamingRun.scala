@@ -389,9 +389,14 @@ object StreamingRun {
     val key = "spark.sql.shuffle.partitions"
     val bytes = sourceBytesLocal.get()
     val before = s.conf.getOption(key)
+    // bytes of source input per state partition — parameterized (env)
+    // with a measured local default; a deployment tunes it to its own
+    // state-store commit cost vs per-partition compute trade
+    val perPart = sys.env.get("SPARK_GRAFT_STREAM_PART_BYTES")
+      .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(32L << 20)
     val parts = (bytes, before.flatMap(_.toIntOption)) match {
       case (b, Some(cur)) if b != null && b > 0L && cur > 0 =>
-        Some(math.min(cur.toLong, (b + (32L << 20) - 1) / (32L << 20)).toInt)
+        Some(math.min(cur.toLong, (b + perPart - 1) / perPart).toInt)
       case _ => None
     }
     parts match {
