@@ -28,6 +28,25 @@ object BenchProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     val spark = extra.foldLeft(builder) { case (b, (k, v)) =>
       b.config(k, v) }.getOrCreate()
+    // SPARK_GRAFT_STAGES=1: print each completed stage's wall time, task
+    // count, and summed executor run time — attributes a query's wall
+    // clock to scheduling overhead (many short stages) vs real compute
+    // (few stages dominating executorRunTime) before any change is made
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = e.stageInfo
+            val wall = (for {
+              a <- si.completionTime; b <- si.submissionTime
+            } yield a - b).getOrElse(-1L)
+            println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+              f"wall=${wall}%5d ms run=${si.taskMetrics.executorRunTime}%6d ms " +
+              f"${si.name.takeWhile(_ != '(').trim}")
+          }
+        })
     spark.sparkContext.setLogLevel("WARN")
     def once(name: String): Double = {
       Caching.releaseAll(); spark.catalog.clearCache()

@@ -1568,9 +1568,11 @@ object StreamingRun {
     // the drain, update mode re-emits changed groups per batch and the
     // append-only memory sink accumulates duplicate (wstart, type) rows
     // — surface that as a loud failure here, not a downstream hash diff
-    val emitted = t.count()
-    val groups = t.select(col("wstart"), col("event_type"))
-      .distinct().count()
+    // one aggregate for both guard counts (a separate count() +
+    // distinct().count() ran two jobs over the sink per execution)
+    val g = t.agg(count(lit(1)),
+      count_distinct(struct(col("wstart"), col("event_type")))).head()
+    val (emitted, groups) = (g.getLong(0), g.getLong(1))
     require(emitted == groups,
       s"events_stream_tumbling_update: $emitted emissions for $groups " +
         "groups — the single-data-batch drain assumption broke " +
