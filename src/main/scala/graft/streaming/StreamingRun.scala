@@ -435,6 +435,11 @@ object StreamingRun {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // diagnostic (StreamProbe / plan-evidence capture): print the last
+      // executed micro-batch's physical plan — the only place the
+      // stateful stages' real partitioning is visible (a static
+      // df.explain shows the unplanned streaming relation)
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
     }
     releaseStateStores()
     deleteRecursively(new java.io.File(ckpt))
