@@ -56,9 +56,35 @@ object BenchProbe {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach { n => once(n) } // warm
+    // SPARK_GRAFT_PHASES=1: split each execution's wall into DataFrame
+    // construction (query fn: reads = listing + footer inference),
+    // planning (analysis+optimization+physical planning of the noop
+    // write is re-done at action time, so this phase forces only the
+    // read side's executedPlan as a proxy), and execution — attributes
+    // the sub-second floor to driver-side fixed cost vs real compute
+    val phases = sys.env.get("SPARK_GRAFT_PHASES").contains("1")
+    def phased(name: String): (Double, Double, Double) = {
+      Caching.releaseAll(); spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis->physical planning
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+    }
     names.foreach { n =>
-      val ts = (1 to iters).map(_ => once(n))
-      println(f"$n%-35s ${ts.map(t => f"$t%.3f").mkString(" ")}  median=${ts.sorted.apply(iters / 2)}%.3f min=${ts.min}%.3f")
+      if (phases) {
+        val ps = (1 to iters).map(_ => phased(n))
+        def med(f: ((Double, Double, Double)) => Double) =
+          ps.map(f).sorted.apply(iters / 2)
+        println(f"$n%-35s build=${med(_._1)}%.3f plan=${med(_._2)}%.3f " +
+          f"exec=${med(_._3)}%.3f")
+      } else {
+        val ts = (1 to iters).map(_ => once(n))
+        println(f"$n%-35s ${ts.map(t => f"$t%.3f").mkString(" ")}  median=${ts.sorted.apply(iters / 2)}%.3f min=${ts.min}%.3f")
+      }
     }
     spark.stop()
   }

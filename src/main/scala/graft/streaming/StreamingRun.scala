@@ -384,21 +384,24 @@ object StreamingRun {
     * it at plan time, and the original value is restored for everything
     * after the drain (read-back, ordering, the next query). Results are
     * partition-count-invariant — this moves only WHERE state rows live,
-    * never what is computed. */
+    * never what is computed.
+    *
+    * KNOWN LIMIT of the proxy: SOURCE bytes stand in for STATE bytes.
+    * A stream whose state outgrows its input share — high-cardinality
+    * keys under a long watermark retention, stream-stream joins that
+    * buffer both sides — can be under-partitioned when its source sits
+    * between perPart and (configured × perPart): the derived count then
+    * reflects input volume, not the state each partition must hold.
+    * The configured-partitions cap bounds the exposure (a source past
+    * configured × perPart keeps the full cluster fan-out), and
+    * `SPARK_GRAFT_STREAM_PART_BYTES` lets a deployment whose state/input
+    * ratio is high shrink perPart. Pinned by
+    * `StreamingRunSpec."adaptive state partitions"`. */
   private def withAdaptiveStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val bytes = sourceBytesLocal.get()
     val before = s.conf.getOption(key)
-    // bytes of source input per state partition — parameterized (env)
-    // with a measured local default; a deployment tunes it to its own
-    // state-store commit cost vs per-partition compute trade
-    val perPart = sys.env.get("SPARK_GRAFT_STREAM_PART_BYTES")
-      .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(32L << 20)
-    val parts = (bytes, before.flatMap(_.toIntOption)) match {
-      case (b, Some(cur)) if b != null && b > 0L && cur > 0 =>
-        Some(math.min(cur.toLong, (b + perPart - 1) / perPart).toInt)
-      case _ => None
-    }
+    val parts = adaptiveStatePartitions(bytes, before.flatMap(_.toIntOption))
     parts match {
       case Some(p) =>
         s.conf.set(key, p.toString)
@@ -406,6 +409,24 @@ object StreamingRun {
       case None => body
     }
   }
+
+  /** The derivation rule of [[withAdaptiveStatePartitions]], pure so the
+    * contract is pinnable: `min(configured, ceil(bytes / perPart))`,
+    * None (leave the session untouched) when either input is unusable.
+    * `perPart` = bytes of source input per state partition —
+    * parameterized (`SPARK_GRAFT_STREAM_PART_BYTES`) with a measured
+    * local default; a deployment tunes it to its own state-store commit
+    * cost vs per-partition compute trade. */
+  private[graft] def adaptiveStatePartitions(
+      bytes: java.lang.Long, configured: Option[Int],
+      perPart: Long = sys.env.get("SPARK_GRAFT_STREAM_PART_BYTES")
+        .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(32L << 20))
+      : Option[Int] =
+    (bytes, configured) match {
+      case (b, Some(cur)) if b != null && b > 0L && cur > 0 =>
+        Some(math.min(cur.toLong, (b + perPart - 1) / perPart).toInt)
+      case _ => None
+    }
 
   /** Drain an append-mode streaming frame through a parquet sink via
     * `Trigger.AvailableNow` (including the no-data flush batch that

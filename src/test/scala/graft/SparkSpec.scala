@@ -21,6 +21,15 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         TempLayouts.tracked("graft-warehouse").toString)
+      // Hardened local FS: RawLocalFileSystem.setPermission shells out to
+      // `chmod` without native hadoop libs, which a subprocess-denying
+      // sandbox turns into aborted streaming-checkpoint epochs (round-15
+      // driver: ChecksumCheckpointFileManager.createAtomic -> Shell.run).
+      // These wrappers make setPermission best-effort on both FS layers.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[NoChmodLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[NoChmodLocalFs].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

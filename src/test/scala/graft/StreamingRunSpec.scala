@@ -106,4 +106,31 @@ class StreamingRunSpec extends SparkSpec {
     assert(batch.exists(_.getTime < 0L),
       "batch tumbling should retain the pre-epoch window")
   }
+
+  test("adaptive state partitions: cap binds for large sources, " +
+    "ceil(bytes/perPart) below it, untouched on unusable inputs") {
+    val f = graft.streaming.StreamingRun.adaptiveStatePartitions _
+    val MiB = 1L << 20
+    // cap binds: a source past configured × perPart keeps the full
+    // cluster-tuned fan-out — the property that makes the source-bytes
+    // proxy safe at scale (under-partitioning is bounded to sources
+    // between perPart and configured × perPart)
+    assert(f(java.lang.Long.valueOf(10L * 1024 * 1024 * MiB), Some(32),
+      32 * MiB) === Some(32))
+    assert(f(java.lang.Long.valueOf(32L * 32 * MiB), Some(32),
+      32 * MiB) === Some(32)) // exactly at the knee
+    // below the knee: one partition per perPart of source, ceil'd
+    assert(f(java.lang.Long.valueOf(1L), Some(32), 32 * MiB) === Some(1))
+    assert(f(java.lang.Long.valueOf(32 * MiB), Some(32), 32 * MiB)
+      === Some(1))
+    assert(f(java.lang.Long.valueOf(32 * MiB + 1), Some(32), 32 * MiB)
+      === Some(2))
+    assert(f(java.lang.Long.valueOf(5L * 32 * MiB), Some(32), 32 * MiB)
+      === Some(5))
+    // unusable inputs leave the session untouched
+    assert(f(null, Some(32), 32 * MiB) === None)
+    assert(f(java.lang.Long.valueOf(0L), Some(32), 32 * MiB) === None)
+    assert(f(java.lang.Long.valueOf(1L), None, 32 * MiB) === None)
+    assert(f(java.lang.Long.valueOf(1L), Some(0), 32 * MiB) === None)
+  }
 }
