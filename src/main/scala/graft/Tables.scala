@@ -10,8 +10,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads only what it needs — the property that matters at 100 TB.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Memoized reader frames per (session, dir, name) — `spark.read
+    * .parquet` re-lists the path and re-reads a footer for schema
+    * inference on EVERY call, a fixed ~30–80 ms driver-side cost that a
+    * 270-query sweep pays hundreds of times over the same ten static
+    * files (measured via the BenchProbe phase split: the "build" phase
+    * is ~0.08 s of a 0.3 s sub-second query). The memo returns the same
+    * immutable DataFrame handle instead; execution still scans parquet
+    * every time (a plan handle holds no results), so nothing is cached
+    * across runs — this is the registerViews/q43-stats-probe
+    * memoization convention applied to the reader itself. Sessions are
+    * held weakly (the Caching registry convention); fixture dirs are
+    * immutable for a session's lifetime (tests write each corpus once
+    * into a fresh temp dir), which is what makes the (dir, name) key
+    * sound. */
+  private val readerMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = readerMemo.synchronized {
+      var m = readerMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        readerMemo.put(spark, m)
+      }
+      m
+    }
+    // The memo key carries everything the reader consults at LOAD time:
+    //  - useV1SourceList decides the source implementation (the
+    //    events_v2_daily gate scopes it to force a DSv2 BatchScan — a
+    //    memo blind to it would hand that gate a V1 relation);
+    //  - nanosAsLong decides the inferred schema of nanos fixtures;
+    //  - the path's mtime pins the FILE LISTING: a memoized relation
+    //    over a rewritten path would serve deleted part files
+    //    (FAILED_READ_FILE), so a rewrite — which always bumps the
+    //    file's or directory's mtime — naturally invalidates the entry.
+    //    The stat is ~µs against the ~50 ms listing+inference it saves.
+    // Optimizer/execution confs don't belong in the key — they act on
+    // the query plan built per call, not on the memoized relation.
+    val path = s"$dir/$name.parquet"
+    val v1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+      .getOrElse("<default>")
+    val nanos = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      catch { case _: Exception => -1L }
+    perSession.computeIfAbsent(s"$path|v1=$v1|nanos=$nanos|m=$mtime",
+      _ => spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -158,7 +158,17 @@ object Dedup {
       .select(col("h"))
     val invCapped = graft.Caching.persistTracked(
       inv.join(broadcast(overCap), Seq("h"), "left_anti"))
+    // SELF-join strategy pinned to shuffle-hash (guide §3.1): both sides
+    // are the SAME cached frame, so the shuffle form computes ONE
+    // Exchange and reuses it on both sides (ReuseExchange), while the
+    // auto-broadcast the planner picks at fixture size builds the whole
+    // posting table into a HashedRelation in a single serial task AND
+    // executes the cached subplan a second time for the build side
+    // (measured 1.0 s -> 0.42 s at sf0.1). At corpus scale the postings
+    // can never broadcast, so shuffle-hash is also the only plan that
+    // survives — the hint removes a local/scale plan divergence.
     val common = invCapped.select(col("doc_id").as("a"), col("h"))
+      .hint("shuffle_hash")
       .join(invCapped.select(col("doc_id").as("b"), col("h")), "h")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
@@ -223,7 +233,10 @@ object Dedup {
     // (measured 3x the query at sf0.1)
     val sig = graft.Caching.persistTracked(signatureTable(norm))
     val bands = bandTable(sig)
+    // shuffle-hash self-join: one reused Exchange instead of a serial
+    // broadcast build of the same frame (the cappedCommon convention)
     val cand = bands.select(col("doc_id").as("a"), col("band_id"), col("h"))
+      .hint("shuffle_hash")
       .join(bands.select(col("doc_id").as("b"), col("band_id"), col("h")),
         Seq("band_id", "h"))
       .filter(col("a") < col("b"))
@@ -405,6 +418,7 @@ object Dedup {
     val cand = banded
       .select(col("doc_id").as("a"), col("simhash").as("sh_a"),
         col("band_id"), col("band_val"))
+      .hint("shuffle_hash") // self-join: reuse one Exchange (§3.1)
       .join(banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
         col("band_id"), col("band_val")), Seq("band_id", "band_val"))
       .filter(col("a") < col("b"))
@@ -436,6 +450,7 @@ object Dedup {
     val cand = banded
       .select(col("doc_id").as("a"), col("simhash").as("sh_a"),
         col("band_id"), col("band_val"))
+      .hint("shuffle_hash") // self-join: reuse one Exchange (§3.1)
       .join(banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
         col("band_id"), col("band_val")), Seq("band_id", "band_val"))
       .filter(col("a") < col("b"))
@@ -482,12 +497,18 @@ object Dedup {
       ids: DataFrame, pairs: DataFrame,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // both edge directions from a single pass over the pair pipeline
-    // (a union of two `pairs` references would execute it twice)
+    // (a union of two `pairs` references would execute it twice).
+    // Hash-partitioned by src BEFORE the persist: every round joins the
+    // edge list on src and the seed aggregates on src, so establishing
+    // that partitioning once lets the cached frame serve them all with
+    // zero further exchanges of the big side (guide §2.4 — the same
+    // move as labelCommunities' pre-partitioned orientation table).
     val edges = graft.Caching.persistTracked(pairs.toDF("a", "b")
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")))
     val snap: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -534,12 +555,21 @@ object Dedup {
                                     labels: DataFrame): DataFrame = {
     val nullPrev =
       lit(null).cast(labels.schema("component").dataType).as("prev")
+    // Join strategies pinned to shuffle-hash with the LABEL side as the
+    // build (guide §3.1): the frontier is node-sized — too big to
+    // broadcast at corpus scale, and locally the auto-broadcast builds
+    // it in one serial task per round. With the edge list persisted
+    // hash(src) and the label frame emerging from its groupBy(doc_id)
+    // hash-partitioned (renames preserve it), both joins are
+    // exchange-free on their big side.
     val propagated = edges
-      .join(labels.select(col("doc_id").as("src"), col("component")), "src")
+      .join(labels.select(col("doc_id").as("src"), col("component"))
+        .hint("shuffle_hash"), "src")
       .select(col("dst").as("doc_id"), col("component"), nullPrev)
     val doubled = labels
       .join(labels.select(col("doc_id").as("component"),
-        col("component").as("component2")), "component")
+        col("component").as("component2")).hint("shuffle_hash"),
+        "component")
       .select(col("doc_id"), col("component2").as("component"), nullPrev)
     labels
       .select(col("doc_id"), col("component"), col("component").as("prev"))
@@ -798,6 +828,7 @@ object Dedup {
       val bands = bandTable(signatureTable(norm))
       val cand = graft.Caching.persistTracked(
         bands.select(col("doc_id").as("a"), col("band_id"), col("h"))
+          .hint("shuffle_hash") // self-join: reuse one Exchange (§3.1)
           .join(bands.select(col("doc_id").as("b"), col("band_id"),
             col("h")), Seq("band_id", "h"))
           .filter(col("a") < col("b"))

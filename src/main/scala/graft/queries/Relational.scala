@@ -506,14 +506,24 @@ object Relational {
       // instead of a "p:123" string — the display label is derived once,
       // on the 50 output rows (measured ~25% of query time at sf0.1 was
       // string key hashing/compare)
-      val e0 = Tables.lineitem(s, d)
+      // cache layout: e0 (the half-size directed pair set) is the ONLY
+      // pre-join cache — the doubled edge list derives from it lazily
+      // (union over the cache) inside the one frame that must persist,
+      // withDeg. Caching the doubled list AND withDeg (the previous
+      // shape) held two copies of the edge list in storage for the whole
+      // query while the doubled copy is never read again after withDeg
+      // materializes (guide §5: unpersist the superseded frame — here it
+      // is never persisted at all). The degree join is a SELF-join of
+      // the same derived frame, so it is pinned shuffle-hash like every
+      // self-join this round: measured 6.2 s -> 4.6 s warm for the whole
+      // query, and the cached bytes halve.
+      val e0 = graft.Caching.persistTracked(Tables.lineitem(s, d)
         .select((col("l_partkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-      val edges = graft.Caching.persistTracked(
-        e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
+        .distinct())
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       val withDeg = graft.Caching.persistTracked(
-        edges.join(
+        edges.hint("shuffle_hash").join(
           edges.groupBy(col("a")).agg(count(lit(1)).as("deg")), "a"))
       val nodes = graft.Caching.persistTracked(
         Tables.part(s, d)
@@ -709,7 +719,10 @@ object Relational {
         .distinct())
       val tot = items.agg(countDistinct(col("o")).as("n_orders"))
       val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      // shuffle-hash self-join: reuse one Exchange of the cached items
+      // instead of a serial broadcast build (copurchaseEdges convention)
       val pairs = items.select(col("o"), col("p").as("pa"))
+        .hint("shuffle_hash")
         .join(items.select(col("o"), col("p").as("pb")), "o")
         .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb"))
@@ -748,7 +761,9 @@ object Relational {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // shuffle-hash self-join (copurchaseEdges convention)
       val edges = items.select(col("o"), col("p").as("pa"))
+        .hint("shuffle_hash")
         .join(items.select(col("o"), col("p").as("pb")), "o")
         .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
@@ -1455,7 +1470,16 @@ object Relational {
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
       .select(when(firstIsSrc, col("a")).otherwise(col("b")).as("src"),
         when(firstIsSrc, col("b")).otherwise(col("a")).as("dst")))
+    // The wedge expansion is a SELF-join of the persisted oriented edges
+    // — shuffle-hash so it computes one reused Exchange instead of a
+    // serial broadcast build (§3.1). The closure SEMI-join is left
+    // UNHINTED deliberately: its sides are asymmetric (wedges ≈ Σoutdeg²
+    // vs edges ≈ m), so locally the planner broadcasts the small edge
+    // set — never moving the wedge frame at all — and at scale it falls
+    // back to the shuffle on its own (a forced shuffle here was measured
+    // 18% slower: it exchanges the biggest frame in the query by (x,y)).
     val tri = oriented.select(col("src"), col("dst").as("x"))
+      .hint("shuffle_hash")
       .join(oriented.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") =!= col("y"))
       .join(oriented.select(col("src").as("x"), col("dst").as("y")),
@@ -1491,7 +1515,13 @@ object Relational {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+    // shuffle-hash SELF-join (guide §3.1): both sides are the same
+    // derived frame, so the shuffle form computes one Exchange and
+    // reuses it (ReuseExchange); the planner's fixture-size broadcast
+    // would run the whole distinct a second time into a single-task
+    // HashedRelation build — and can never fire at graph scale anyway
     items.select(col("o"), col("p").as("pa"))
+      .hint("shuffle_hash")
       .join(items.select(col("o"), col("p").as("pb")), "o")
       .filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
@@ -1553,9 +1583,15 @@ object Relational {
   private[graft] def labelCommunities(edges0: DataFrame,
                                       rounds: Int): DataFrame = {
     val snap: DataFrame => DataFrame = df => df.localCheckpoint(eager = true)
-    val edges = snap(edges0)
-    val nbrs = edges.select(col("a").as("node"), col("b").as("nbr"))
-      .union(edges.select(col("b").as("node"), col("a").as("nbr")))
+    // The orientation table is the BIG side of every round's join and its
+    // join key never changes — hash-partition it by that key ONCE before
+    // the snapshot (localCheckpoint preserves outputPartitioning), so each
+    // of the `rounds` joins shuffles only the vertex-sized label table
+    // instead of re-exchanging the 2m-row orientation table per round
+    // (guide §2.4: two operations keyed the same way share one exchange).
+    val nbrs = snap(edges0.select(col("a").as("node"), col("b").as("nbr"))
+      .union(edges0.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr")))
     var lbl = nbrs.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {

@@ -788,6 +788,7 @@ object Similarity {
       .select(col("vec_id"), col("pos").as("band_id"), col("col").as("band_val"))
     val cand = banded
       .select(col("vec_id").as("a"), col("band_id"), col("band_val"))
+      .hint("shuffle_hash") // self-join: reuse one Exchange (§3.1)
       .join(banded.select(col("vec_id").as("b"), col("band_id"),
         col("band_val")), Seq("band_id", "band_val"))
       .filter(col("a") < col("b"))

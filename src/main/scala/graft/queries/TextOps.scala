@@ -85,7 +85,13 @@ object TextOps {
       .join(broadcast(overCap), Seq("term"), "left_anti")
       .select(col("doc_id"), col("term"), col("w")))
     val norms = wc.groupBy(col("doc_id")).agg(sum(expr("w * w")).as("n2"))
+    // shuffle-hash SELF-join of the cached weighted postings: one reused
+    // Exchange instead of a serial broadcast build of the same frame
+    // (guide §3.1; the cappedCommon convention — a posting table can
+    // never broadcast at corpus scale, so this also removes a
+    // local/scale plan divergence)
     wc.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
+      .hint("shuffle_hash")
       .join(wc.select(col("doc_id").as("b"), col("term"),
         col("w").as("wb")), "term")
       .filter(col("a") < col("b"))
@@ -858,6 +864,7 @@ object TextOps {
       val capped = graft.Caching.persistTracked(
         fps.join(broadcast(overCap), Seq("fp"), "left_anti"))
       capped.select(col("doc_id").as("a"), col("fp"))
+        .hint("shuffle_hash") // self-join: reuse one Exchange (§3.1)
         .join(capped.select(col("doc_id").as("b"), col("fp")), "fp")
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
